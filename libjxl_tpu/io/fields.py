@@ -159,43 +159,98 @@ def f16_write(value: float, w: BitWriter) -> None:
     w.write(16, bits16)
 
 
-# -------------------------------------------------------------------- visitors
-class Visitor:
-    """Base visitor; subclasses implement the primitive field ops.
+def pack_signed(v: int) -> int:
+    """Zigzag map int -> uint (pack_signed.h:18-27)."""
+    return (v << 1) if v >= 0 else (-v * 2 - 1)
 
-    Field values live as attributes on the bundle object; visits pass the
-    attribute *name* so one visit_fields body serves read/write/size/init
-    (reference fields.h:101-188).
+
+def unpack_signed(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+class Visitor:
+    """Base visitor; subclasses implement the *_val primitives.
+
+    Two API levels:
+    - value-based: ``v.u32_val(value, enc, default) -> new_value`` — the core;
+      works for loops over list fields.
+    - attribute-based convenience: ``v.u32(obj, enc, default, 'attr')`` reads
+      obj.attr, visits it, stores the result back.
+    One visit_fields body serves read/write/all-default/init, mirroring the
+    reference double dispatch (fields.h:101-188).
     """
 
     def is_reading(self) -> bool:
         return False
 
-    # each returns the (possibly new) value, and assigns obj.attr
-    def bits(self, obj, n: int, default: int, attr: str) -> int:
+    # ---- value-based primitives (override in subclasses)
+    def bits_val(self, value: int, n: int, default: int) -> int:
         raise NotImplementedError
 
-    def u32(self, obj, enc: U32Enc, default: int, attr: str) -> int:
+    def u32_val(self, value: int, enc: U32Enc, default: int) -> int:
         raise NotImplementedError
 
-    def u64(self, obj, default: int, attr: str) -> int:
+    def u64_val(self, value: int, default: int) -> int:
         raise NotImplementedError
 
-    def bool_(self, obj, default: bool, attr: str) -> bool:
+    def bool_val(self, value: bool, default: bool) -> bool:
         raise NotImplementedError
 
-    def f16(self, obj, default: float, attr: str) -> float:
+    def f16_val(self, value: float, default: float) -> float:
         raise NotImplementedError
 
+    def enum_val(self, value: int, default: int) -> int:
+        return self.u32_val(value, _ENUM_ENC, default)
+
+    # ---- attribute-based convenience wrappers
+    def _visit_attr(self, obj, attr, fn):
+        v = fn(getattr(obj, attr, None))
+        setattr(obj, attr, v)
+        return v
+
+    def bits(self, obj, n, default, attr):
+        return self._visit_attr(obj, attr, lambda x: self.bits_val(x, n, default))
+
+    def u32(self, obj, enc, default, attr):
+        return self._visit_attr(obj, attr, lambda x: self.u32_val(x, enc, default))
+
+    def u64(self, obj, default, attr):
+        return self._visit_attr(obj, attr, lambda x: self.u64_val(x, default))
+
+    def bool_(self, obj, default, attr):
+        return self._visit_attr(obj, attr, lambda x: self.bool_val(x, default))
+
+    def f16(self, obj, default, attr):
+        return self._visit_attr(obj, attr, lambda x: self.f16_val(x, default))
+
+    def enum(self, obj, default, attr):
+        return self._visit_attr(obj, attr, lambda x: self.enum_val(x, default))
+
+    def name_string(self, obj, attr="name"):
+        """Length-prefixed byte string (frame_header.h:35-50)."""
+        name = getattr(obj, attr, "") or ""
+        raw = name.encode("utf-8")
+        n = self.u32_val(
+            len(raw), U32Enc(Val(0), Bits(4), BitsOffset(5, 16), BitsOffset(10, 48)), 0
+        )
+        if self.is_reading():
+            chars = bytes(self.bits_val(0, 8, 0) for _ in range(n))
+            setattr(obj, attr, chars.decode("utf-8", errors="replace"))
+        else:
+            for b in raw:
+                self.bits_val(b, 8, 0)
+        return getattr(obj, attr)
+
+    # ---- structure
     def conditional(self, cond: bool) -> bool:
         return bool(cond)
 
     def all_default(self, obj) -> bool:
-        """Visit the all_default bool; returns True if remaining fields are
-        skipped (reading an all-default bundle)."""
+        """Visit the all_default bool; returns True iff remaining fields are
+        to be skipped."""
         raise NotImplementedError
 
-    def visit_nested(self, obj, nested, attr: str):
+    def visit_nested(self, obj, nested, attr: str = None):
         nested.visit_fields(self)
         return nested
 
@@ -206,25 +261,23 @@ class Visitor:
         pass
 
 
+_ENUM_ENC = U32Enc(Val(0), Val(1), BitsOffset(4, 2), BitsOffset(6, 18))
+
+
 class SetDefaultVisitor(Visitor):
-    def bits(self, obj, n, default, attr):
-        setattr(obj, attr, default)
+    def bits_val(self, value, n, default):
         return default
 
-    def u32(self, obj, enc, default, attr):
-        setattr(obj, attr, default)
+    def u32_val(self, value, enc, default):
         return default
 
-    def u64(self, obj, default, attr):
-        setattr(obj, attr, default)
+    def u64_val(self, value, default):
         return default
 
-    def bool_(self, obj, default, attr):
-        setattr(obj, attr, default)
+    def bool_val(self, value, default):
         return default
 
-    def f16(self, obj, default, attr):
-        setattr(obj, attr, default)
+    def f16_val(self, value, default):
         return default
 
     def conditional(self, cond):
@@ -234,37 +287,45 @@ class SetDefaultVisitor(Visitor):
         obj.all_default = True
         return False  # keep visiting to initialize
 
-    def visit_nested(self, obj, nested, attr):
+    def visit_nested(self, obj, nested, attr=None):
         nested.set_default()
         return nested
+
+    def name_string(self, obj, attr="name"):
+        setattr(obj, attr, "")
+        return ""
 
 
 class AllDefaultVisitor(Visitor):
     def __init__(self):
         self.result = True
 
-    def bits(self, obj, n, default, attr):
-        self.result &= getattr(obj, attr) == default
-        return getattr(obj, attr)
+    def bits_val(self, value, n, default):
+        self.result &= value == default
+        return value
 
-    def u32(self, obj, enc, default, attr):
-        self.result &= getattr(obj, attr) == default
-        return getattr(obj, attr)
+    def u32_val(self, value, enc, default):
+        self.result &= value == default
+        return value
 
-    def u64(self, obj, default, attr):
-        self.result &= getattr(obj, attr) == default
-        return getattr(obj, attr)
+    def u64_val(self, value, default):
+        self.result &= value == default
+        return value
 
-    def bool_(self, obj, default, attr):
-        self.result &= getattr(obj, attr) == default
-        return getattr(obj, attr)
+    def bool_val(self, value, default):
+        self.result &= value == default
+        return value
 
-    def f16(self, obj, default, attr):
-        self.result &= abs(getattr(obj, attr) - default) < 1e-6
-        return getattr(obj, attr)
+    def f16_val(self, value, default):
+        self.result &= abs(value - default) < 1e-6
+        return value
 
     def all_default(self, obj):
         return False  # skip the all_default field itself; keep checking
+
+    def name_string(self, obj, attr="name"):
+        self.result &= not getattr(obj, attr, "")
+        return getattr(obj, attr, "")
 
 
 class ReadVisitor(Visitor):
@@ -277,37 +338,27 @@ class ReadVisitor(Visitor):
     def is_reading(self):
         return True
 
-    def bits(self, obj, n, default, attr):
-        v = self.r.read_bits(n)
-        setattr(obj, attr, v)
-        return v
+    def bits_val(self, value, n, default):
+        return self.r.read_bits(n)
 
-    def u32(self, obj, enc, default, attr):
-        v = u32_read(enc, self.r)
-        setattr(obj, attr, v)
-        return v
+    def u32_val(self, value, enc, default):
+        return u32_read(enc, self.r)
 
-    def u64(self, obj, default, attr):
-        v = u64_read(self.r)
-        setattr(obj, attr, v)
-        return v
+    def u64_val(self, value, default):
+        return u64_read(self.r)
 
-    def bool_(self, obj, default, attr):
-        v = bool(self.r.read_bits(1))
-        setattr(obj, attr, v)
-        return v
+    def bool_val(self, value, default):
+        return bool(self.r.read_bits(1))
 
-    def f16(self, obj, default, attr):
-        v = f16_read(self.r)
-        setattr(obj, attr, v)
-        return v
+    def f16_val(self, value, default):
+        return f16_read(self.r)
 
     def all_default(self, obj):
-        obj.all_default = bool(self.r.read_bits(1))
-        if obj.all_default:
+        ad = bool(self.r.read_bits(1))
+        if ad:
             obj.set_default()
-            obj.all_default = True
-        return obj.all_default
+        obj.all_default = ad
+        return ad
 
     def begin_extensions(self, obj) -> int:
         ext = self.u64(obj, 0, "extensions")
@@ -335,30 +386,25 @@ class WriteVisitor(Visitor):
     def __init__(self, writer: BitWriter):
         self.w = writer
 
-    def bits(self, obj, n, default, attr):
-        v = getattr(obj, attr)
-        self.w.write(n, v)
-        return v
+    def bits_val(self, value, n, default):
+        self.w.write(n, value)
+        return value
 
-    def u32(self, obj, enc, default, attr):
-        v = getattr(obj, attr)
-        u32_write(enc, v, self.w)
-        return v
+    def u32_val(self, value, enc, default):
+        u32_write(enc, value, self.w)
+        return value
 
-    def u64(self, obj, default, attr):
-        v = getattr(obj, attr)
-        u64_write(v, self.w)
-        return v
+    def u64_val(self, value, default):
+        u64_write(value, self.w)
+        return value
 
-    def bool_(self, obj, default, attr):
-        v = getattr(obj, attr)
-        self.w.write(1, 1 if v else 0)
-        return v
+    def bool_val(self, value, default):
+        self.w.write(1, 1 if value else 0)
+        return value
 
-    def f16(self, obj, default, attr):
-        v = getattr(obj, attr)
-        f16_write(v, self.w)
-        return v
+    def f16_val(self, value, default):
+        f16_write(value, self.w)
+        return value
 
     def all_default(self, obj):
         is_default = bundle_all_default(obj)
