@@ -1,0 +1,120 @@
+"""Top-level codestream encode/decode (signature | SizeHeader |
+ImageMetadata | CustomTransformData | [ICC] | frames).
+
+Mirrors lib/jxl/decode.cc:1009-1231 (header parsing order) and
+lib/jxl/encode.cc:803-940 (writer). Container (ISOBMFF) handling lives in
+libjxl_tpu.io.container.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..base.status import JXLError, NotEnoughBytes
+from ..io.bits import BitReader, BitWriter
+from ..io.frame_header import ENC_MODULAR, ENC_VARDCT, FrameHeader
+from ..io.headers import CodecMetadata, CustomTransformData, ImageMetadata, SizeHeader
+from .frame import (
+    ModularEncOptions,
+    decode_modular_frame,
+    encode_modular_frame,
+    make_modular_frame_header,
+)
+
+SIGNATURE = b"\xff\x0a"
+
+
+def parse_codestream_header(r: BitReader) -> CodecMetadata:
+    if r.read_bits(8) != 0xFF or r.read_bits(8) != 0x0A:
+        raise JXLError("not a JPEG XL codestream (bad signature)")
+    meta = CodecMetadata()
+    meta.size = SizeHeader().read(r)
+    meta.m = ImageMetadata().read(r)
+    meta.transform_data = CustomTransformData(
+        nonserialized_xyb_encoded=meta.m.xyb_encoded)
+    meta.transform_data.read(r)
+    if meta.m.color_encoding.want_icc:
+        from ..io.icc import read_icc
+
+        meta.m.color_encoding.icc = read_icc(r)
+    r.jump_to_byte_boundary()
+    return meta
+
+
+def write_codestream_header(w: BitWriter, meta: CodecMetadata) -> None:
+    w.write(8, 0xFF)
+    w.write(8, 0x0A)
+    meta.size.write(w)
+    meta.m.write(w)
+    meta.transform_data.nonserialized_xyb_encoded = meta.m.xyb_encoded
+    meta.transform_data.write(w)
+    if meta.m.color_encoding.want_icc:
+        from ..io.icc import write_icc
+
+        write_icc(meta.m.color_encoding.icc, w)
+    w.zero_pad_to_byte()
+
+
+# ----------------------------------------------------------------- image API
+def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
+                    effort: int = 3, group_size_shift: int = 1) -> bytes:
+    """Encode an image losslessly (modular mode).
+
+    image: (H, W) or (H, W, C) uint8/uint16/int array.
+    Returns a bare JPEG XL codestream.
+    """
+    if image.ndim == 2:
+        image = image[:, :, None]
+    h, w, nc = image.shape
+    if bits_per_sample is None:
+        bits_per_sample = 16 if image.dtype == np.uint16 else 8
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(w, h)
+    meta.m.all_default = False
+    meta.m.xyb_encoded = False
+    meta.m.bit_depth.bits_per_sample = bits_per_sample
+    if bits_per_sample > 12:
+        meta.m.modular_16_bit_buffer_sufficient = False
+    if nc == 1:
+        meta.m.color_encoding.all_default = False
+        meta.m.color_encoding = meta.m.color_encoding.srgb(is_gray=True)
+        meta.m.color_encoding.all_default = False
+    if nc == 4:
+        meta.m.set_alpha_bits(bits_per_sample)
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+    fh = make_modular_frame_header(meta, group_size_shift=group_size_shift)
+    channels = [image[:, :, c].astype(np.int32) for c in range(min(nc, 3))]
+    if nc == 4:
+        channels.append(image[:, :, 3].astype(np.int32))
+    opts = ModularEncOptions(group_size_shift=group_size_shift,
+                             color_transform=6 if nc >= 3 else None)
+    encode_modular_frame(writer, channels, fh, opts)
+    return writer.get_bytes()
+
+
+def decode(data: bytes):
+    """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
+
+    Only the first frame is returned; animation frames via decode_frames.
+    """
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    if fh.encoding == ENC_MODULAR:
+        img = decode_modular_frame(r, fh)
+        chans = [c.data for c in img.channel]
+    else:
+        from ..vardct.frame import decode_vardct_frame
+
+        chans = decode_vardct_frame(r, fh)
+    bits = meta.m.bit_depth.bits_per_sample
+    if fh.encoding == ENC_MODULAR:
+        stacked = np.stack(chans, axis=-1)
+        if bits <= 8:
+            return stacked.astype(np.uint8), meta
+        if bits <= 16:
+            return stacked.astype(np.uint16), meta
+        return stacked, meta
+    return np.stack(chans, axis=-1), meta

@@ -142,6 +142,14 @@ class BitWriter:
             raise JXLError("append_bytes requires byte alignment")
         self._buf.extend(data)
 
+    def append_bits_from(self, other: "BitWriter") -> None:
+        """Append another writer's bits without alignment
+        (BitWriter::AppendUnaligned analog)."""
+        for byte in other._buf:
+            self.write(8, byte)
+        if other._nbits:
+            self.write(other._nbits, other._bits)
+
     def bits_written(self) -> int:
         return len(self._buf) * 8 + self._nbits
 

@@ -311,7 +311,7 @@ class FrameHeader(Bundle):
             self.blending_info.nonserialized_num_extra_channels = num_extra
             self.blending_info.nonserialized_is_partial_frame = is_partial_frame
             v.visit_nested(self, self.blending_info)
-            if v.is_reading():
+            if len(self.extra_channel_blending_info) != num_extra:
                 self.extra_channel_blending_info = [
                     BlendingInfo() for _ in range(num_extra)]
             for bi in self.extra_channel_blending_info:
