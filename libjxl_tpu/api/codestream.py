@@ -93,6 +93,41 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
     return writer.get_bytes()
 
 
+def encode_lossy(image: np.ndarray, distance: float = 1.0,
+                 group_size_shift: int = 1) -> bytes:
+    """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode)."""
+    from ..io.frame_header import (
+        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FT_REGULAR,
+        ENC_VARDCT,
+        CT_XYB,
+        FrameHeader,
+    )
+    from ..ops.xyb import srgb_to_linear
+    from ..vardct.frame import encode_vardct_frame
+
+    if image.ndim == 2:
+        image = np.repeat(image[:, :, None], 3, axis=2)
+    h, w, _ = image.shape
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(w, h)
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+    fh = FrameHeader(meta)
+    fh.all_default = False
+    fh.frame_type = FT_REGULAR
+    fh.encoding = ENC_VARDCT
+    fh.color_transform = CT_XYB
+    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
+    rgb = np.moveaxis(rgb, -1, 0)
+    encode_vardct_frame(writer, rgb, fh, distance=distance)
+    return writer.get_bytes()
+
+
 def decode(data: bytes):
     """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
 
@@ -102,19 +137,22 @@ def decode(data: bytes):
     meta = parse_codestream_header(r)
     fh = FrameHeader(meta)
     fh.read(r)
+    bits = meta.m.bit_depth.bits_per_sample
     if fh.encoding == ENC_MODULAR:
         img = decode_modular_frame(r, fh)
         chans = [c.data for c in img.channel]
-    else:
-        from ..vardct.frame import decode_vardct_frame
-
-        chans = decode_vardct_frame(r, fh)
-    bits = meta.m.bit_depth.bits_per_sample
-    if fh.encoding == ENC_MODULAR:
         stacked = np.stack(chans, axis=-1)
         if bits <= 8:
             return stacked.astype(np.uint8), meta
         if bits <= 16:
             return stacked.astype(np.uint16), meta
         return stacked, meta
-    return np.stack(chans, axis=-1), meta
+    from ..ops.xyb import linear_to_srgb
+    from ..vardct.frame import decode_vardct_frame
+
+    chans = decode_vardct_frame(r, fh)
+    rgb = np.stack(chans, axis=-1)
+    srgb = linear_to_srgb(rgb)
+    if bits <= 8:
+        return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta
+    return srgb, meta

@@ -1,0 +1,87 @@
+"""XYB (opsin) color transform, forward and inverse.
+
+Mirrors enc_xyb.cc:43-106 (LinearRGBToXYB) and dec_xyb-inl.h:37-85
+(XybToRgb). Both NumPy and JAX versions; the JAX version is the TPU
+render-pipeline stage (pure elementwise VPU work, fused by XLA).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.headers import (
+    DEFAULT_INVERSE_OPSIN_MATRIX,
+    OPSIN_ABSORBANCE_BIAS,
+    OPSIN_ABSORBANCE_MATRIX,
+)
+
+_M = np.array(OPSIN_ABSORBANCE_MATRIX, dtype=np.float64)
+_MINV = np.array(DEFAULT_INVERSE_OPSIN_MATRIX, dtype=np.float64)
+_BIAS = OPSIN_ABSORBANCE_BIAS
+_CBRT_BIAS = _BIAS ** (1.0 / 3.0)
+
+
+def linear_rgb_to_xyb(rgb: np.ndarray) -> np.ndarray:
+    """rgb: (3, H, W) linear [0,1] -> xyb (3, H, W)."""
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    mixed = np.stack([
+        _M[0, 0] * r + _M[0, 1] * g + _M[0, 2] * b + _BIAS,
+        _M[1, 0] * r + _M[1, 1] * g + _M[1, 2] * b + _BIAS,
+        _M[2, 0] * r + _M[2, 1] * g + _M[2, 2] * b + _BIAS,
+    ])
+    mixed = np.maximum(mixed, 0.0)
+    cbrt = np.cbrt(mixed) - _CBRT_BIAS
+    return np.stack([
+        0.5 * (cbrt[0] - cbrt[1]),
+        0.5 * (cbrt[0] + cbrt[1]),
+        cbrt[2],
+    ])
+
+
+def xyb_to_linear_rgb(xyb: np.ndarray) -> np.ndarray:
+    """Inverse of linear_rgb_to_xyb."""
+    x, y, b = xyb[0], xyb[1], xyb[2]
+    gr = y + x + _CBRT_BIAS
+    gg = y - x + _CBRT_BIAS
+    gb = b + _CBRT_BIAS
+    mixed = np.stack([gr ** 3 - _BIAS, gg ** 3 - _BIAS, gb ** 3 - _BIAS])
+    return np.einsum("ij,j...->i...", _MINV, mixed)
+
+
+def make_jax_xyb():
+    """Returns (to_xyb, from_xyb) JAX functions over (3, H, W) arrays."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(_M, dtype=jnp.float32)
+    minv = jnp.asarray(_MINV, dtype=jnp.float32)
+    bias = jnp.float32(_BIAS)
+    cbrt_bias = jnp.float32(_CBRT_BIAS)
+
+    def to_xyb(rgb):
+        mixed = jnp.einsum("ij,j...->i...", m, rgb) + bias
+        mixed = jnp.maximum(mixed, 0.0)
+        cbrt = jnp.cbrt(mixed) - cbrt_bias
+        return jnp.stack([0.5 * (cbrt[0] - cbrt[1]),
+                          0.5 * (cbrt[0] + cbrt[1]), cbrt[2]])
+
+    def from_xyb(xyb):
+        gr = xyb[1] + xyb[0] + cbrt_bias
+        gg = xyb[1] - xyb[0] + cbrt_bias
+        gb = xyb[2] + cbrt_bias
+        mixed = jnp.stack([gr ** 3 - bias, gg ** 3 - bias, gb ** 3 - bias])
+        return jnp.einsum("ij,j...->i...", minv, mixed)
+
+    return to_xyb, from_xyb
+
+
+def srgb_to_linear(srgb: np.ndarray) -> np.ndarray:
+    """sRGB transfer function inverse ([0,1] -> linear)."""
+    srgb = np.asarray(srgb, dtype=np.float64)
+    return np.where(srgb <= 0.04045, srgb / 12.92,
+                    ((srgb + 0.055) / 1.055) ** 2.4)
+
+
+def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
+    linear = np.clip(linear, 0.0, 1.0)
+    return np.where(linear <= 0.0031308, linear * 12.92,
+                    1.055 * linear ** (1 / 2.4) - 0.055)

@@ -1,0 +1,746 @@
+"""VarDCT frame codec: DC/AC section encode & decode.
+
+Mirrors the reference frame anatomy:
+- DC global: quantizer + block ctx map + CfL DC + modular global info
+  (dec_frame.cc:61-77, 267-315)
+- DC groups: VarDCTDC + ModularDC + ACMetadata modular streams
+  (dec_modular.cc:404-532)
+- AC global: dequant matrices, num histogram sets, coeff orders, histograms
+  (dec_frame.cc:367-430)
+- AC groups: per-block nzeros + coefficient tokens in natural order
+  (dec_group.cc:453-530), dequant with AdjustQuantBias + CfL
+  (dec_group.cc:96-165), inverse transform.
+
+Round-1 encoder: DCT8-only strategy, uniform quant field, CfL maps = 0,
+444, XYB, single pass, adaptive DC smoothing skipped. Decoder handles all
+strategies and per-tile CfL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..base.status import JXLError
+from ..io.bits import BitReader, BitWriter
+from ..io.fields import (
+    Bits,
+    BitsOffset,
+    Bundle,
+    U32Enc,
+    Val,
+    f16_read,
+    f16_write,
+    u32_read,
+    u32_write,
+)
+from ..io.frame_header import (
+    FLAG_NOISE,
+    FLAG_PATCHES,
+    FLAG_SPLINES,
+    FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+    FLAG_USE_DC_FRAME,
+    FrameDimensions,
+    FrameHeader,
+)
+from ..io.headers import DEFAULT_QUANT_BIAS
+from ..entropy.decode import ANSSymbolReader, decode_histograms
+from ..entropy.encode import Token, build_and_encode_histograms, write_tokens
+from ..modular.codec import GroupHeader, ModularOptions, _tokenize_channel, modular_decode
+from ..modular.image import Channel, ModularImage
+from ..modular.predict import P_GRADIENT
+from ..modular.tree import encode_tree, make_fixed_tree, num_tree_contexts
+from . import ac_strategy as acs
+from .ctx import (
+    BlockCtxMap,
+    decode_block_ctx_map,
+    predict_nzeros,
+    zero_density_context,
+    QUANT_MAX,
+)
+from .quant_weights import DequantMatrices
+from .transforms import (
+    dc_from_lowest_frequencies,
+    lowest_frequencies_from_dc,
+    transform_from_pixels,
+    transform_to_pixels,
+)
+
+GLOBAL_SCALE_DENOM = 1 << 16  # quantizer.h:32
+GLOBAL_SCALE_NUMER = 4096
+COLOR_TILE_DIM_IN_BLOCKS = 8
+DEFAULT_COLOR_FACTOR = 84
+Y_TO_B_BASE = 1.0  # cms::kYToBRatio
+
+# encoder quality constants (enc_adaptive_quantization.cc)
+K_AC_QUANT = 0.79
+K_DC_QUANT = 1.095924047623553
+
+ORDER_ENC = U32Enc(Val(0x5F), Val(0x13), Val(0), Bits(acs.NUM_ORDERS))
+
+
+class QuantizerParams(Bundle):
+    """quantizer.cc:119-127."""
+
+    def visit_fields(self, v):
+        v.u32(self, U32Enc(BitsOffset(11, 1), BitsOffset(11, 2049),
+                           BitsOffset(12, 4097), BitsOffset(16, 8193)),
+              1, "global_scale")
+        v.u32(self, U32Enc(Val(16), BitsOffset(5, 1), BitsOffset(8, 1),
+                           BitsOffset(16, 1)), 1, "quant_dc")
+
+
+class Quantizer:
+    """quantizer.h:64-148."""
+
+    def __init__(self, dequant: DequantMatrices, quant_dc: int = 64,
+                 global_scale: int = 64):
+        self.dequant = dequant
+        self.quant_dc = quant_dc
+        self.global_scale = global_scale
+        self._recompute()
+
+    def _recompute(self):
+        self.global_scale_float = self.global_scale / GLOBAL_SCALE_DENOM
+        self.inv_global_scale = GLOBAL_SCALE_DENOM / self.global_scale
+        self.inv_quant_dc = self.inv_global_scale / self.quant_dc
+
+    def compute_global_scale_and_quant(self, quant_dc: float,
+                                       quant_median: float):
+        """quantizer.cc:39-69."""
+        k_target = 5.0
+        scale = GLOBAL_SCALE_DENOM * quant_median / k_target
+        scale = min(max(scale, 1.0), 1 << 15)
+        new_global_scale = int(scale)
+        scaled_quant_dc = int(quant_dc * GLOBAL_SCALE_NUMER * 1.6)
+        if new_global_scale > scaled_quant_dc:
+            new_global_scale = max(scaled_quant_dc, 1)
+        self.global_scale = new_global_scale
+        self._recompute()
+        fval = quant_dc * self.inv_global_scale + 0.5
+        self.quant_dc = int(min(1 << 16, fval))
+        self._recompute()
+
+    def mul_dc(self, c: int) -> float:
+        return self.inv_quant_dc * self.dequant.dc_quant[c]
+
+    def decode(self, r: BitReader):
+        p = QuantizerParams().read(r)
+        self.global_scale = p.global_scale
+        self.quant_dc = p.quant_dc
+        self._recompute()
+
+    def encode(self, w: BitWriter):
+        p = QuantizerParams()
+        p.global_scale = self.global_scale
+        p.quant_dc = self.quant_dc
+        p.write(w)
+
+
+def adjust_quant_bias(q: np.ndarray, c: int) -> np.ndarray:
+    """AdjustQuantBias (quantizer-inl.h:34-62), vectorized."""
+    biases = DEFAULT_QUANT_BIAS
+    qf = q.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        general = qf - biases[3] / np.where(qf == 0, 1, qf)
+    return np.where(q == 0, 0.0,
+                    np.where(q == 1, biases[c],
+                             np.where(q == -1, -biases[c], general)))
+
+
+class VarDCTState:
+    """Per-frame decoder/encoder shared state (PassesSharedState analog)."""
+
+    def __init__(self, fh: FrameHeader, fd: FrameDimensions):
+        self.fh = fh
+        self.fd = fd
+        self.matrices = DequantMatrices()
+        self.quantizer = Quantizer(self.matrices)
+        self.block_ctx_map = BlockCtxMap()
+        # CfL
+        self.color_factor = DEFAULT_COLOR_FACTOR
+        self.base_x = 0.0
+        self.base_b = Y_TO_B_BASE
+        self.ytox_dc = 0
+        self.ytob_dc = 0
+        tile_w = -(-fd.xsize_blocks // COLOR_TILE_DIM_IN_BLOCKS)
+        tile_h = -(-fd.ysize_blocks // COLOR_TILE_DIM_IN_BLOCKS)
+        self.ytox_map = np.zeros((tile_h, tile_w), dtype=np.int32)
+        self.ytob_map = np.zeros((tile_h, tile_w), dtype=np.int32)
+        # per-block fields
+        self.raw_quant_field = np.ones(
+            (fd.ysize_blocks, fd.xsize_blocks), dtype=np.int32)
+        self.epf_sharpness = np.zeros(
+            (fd.ysize_blocks, fd.xsize_blocks), dtype=np.int32)
+        # strategy: raw id per 8x8 block; origin flag
+        self.strategy = np.full((fd.ysize_blocks, fd.xsize_blocks), -1,
+                                dtype=np.int32)
+        self.is_origin = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                                  dtype=bool)
+        self.dc = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks),
+                           dtype=np.float64)
+        self.quant_dc_img = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                                     dtype=np.int32)
+        # decoded XYB image
+        self.xyb = np.zeros((3, fd.ysize_padded, fd.xsize_padded),
+                            dtype=np.float64)
+        self.x_dm_mult = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
+        self.b_dm_mult = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
+        # modular substream codec state (global tree)
+        self.tree = None
+        self.code = None
+        self.context_map = None
+        self.num_histograms = 1
+        self.ac_code = None
+        self.ac_context_map = None
+
+    def ytox(self, tile_val: int) -> float:
+        return self.base_x + tile_val / self.color_factor
+
+    def ytob(self, tile_val: int) -> float:
+        return self.base_b + tile_val / self.color_factor
+
+    def cfl_dc_factors(self):
+        return (self.ytox(self.ytox_dc), self.ytob(self.ytob_dc))
+
+
+def decode_cmap_dc(r: BitReader, state: VarDCTState) -> None:
+    """ColorCorrelation::DecodeDC (chroma_from_luma.cc:20-40)."""
+    if r.read_bits(1):
+        return
+    state.color_factor = u32_read(
+        U32Enc(Val(DEFAULT_COLOR_FACTOR), Val(256), BitsOffset(8, 2),
+               BitsOffset(16, 258)), r)
+    state.base_x = f16_read(r)
+    state.base_b = f16_read(r)
+    if abs(state.base_x) > 4.0 or abs(state.base_b) > 4.0:
+        raise JXLError("base correlation out of range")
+    state.ytox_dc = r.read_bits(8) - 128
+    state.ytob_dc = r.read_bits(8) - 128
+
+
+def encode_cmap_dc_default(w: BitWriter) -> None:
+    w.write(1, 1)
+
+
+# ------------------------------------------------------------------ AC groups
+def _block_list(state: VarDCTState, gx: int, gy: int):
+    """Blocks of a group in raster order: (bx_in_group, by_in_group,
+    strategy)."""
+    fd = state.fd
+    bx0 = gx * (fd.group_dim // 8)
+    by0 = gy * (fd.group_dim // 8)
+    bw = min(fd.group_dim // 8, fd.xsize_blocks - bx0)
+    bh = min(fd.group_dim // 8, fd.ysize_blocks - by0)
+    out = []
+    for by in range(bh):
+        for bx in range(bw):
+            if state.is_origin[by0 + by, bx0 + bx]:
+                out.append((bx, by, int(state.strategy[by0 + by, bx0 + bx])))
+    return out, bx0, by0, bw, bh
+
+
+def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int) -> None:
+    """DecodeGroupImpl + DecodeACVarBlock, single pass."""
+    fd = state.fd
+    gx = group_idx % fd.xsize_groups
+    gy = group_idx // fd.xsize_groups
+    blocks, bx0, by0, bw, bh = _block_list(state, gx, gy)
+    histo_bits = (state.num_histograms - 1).bit_length() \
+        if state.num_histograms > 1 else 0
+    ctx_offset = 0
+    if histo_bits:
+        ctx_offset = r.read_bits(histo_bits) * state.block_ctx_map.num_ac_contexts()
+    reader = ANSSymbolReader(state.ac_code, r)
+    nzeros_map = np.zeros((3, bh, bw), dtype=np.int32)
+    bcm = state.block_ctx_map
+    inv_gs = state.quantizer.inv_global_scale
+    for (bx, by, strategy) in blocks:
+        cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+        cb = cx * cy
+        log2_cb = acs.LOG2_COVERED[strategy]
+        size = cb * 64
+        order = acs.natural_coeff_order(strategy)
+        ord_ = acs.STRATEGY_ORDER[strategy]
+        quant = int(state.raw_quant_field[by0 + by, bx0 + bx])
+        kind = acs.QUANT_TABLE[strategy]
+        tile_x = (bx0 + bx) // COLOR_TILE_DIM_IN_BLOCKS
+        tile_y = (by0 + by) // COLOR_TILE_DIM_IN_BLOCKS
+        x_cc = state.ytox(int(state.ytox_map[tile_y, tile_x]))
+        b_cc = state.ytob(int(state.ytob_map[tile_y, tile_x]))
+        dequant = {}
+        for c in (1, 0, 2):
+            qblock = np.zeros(size, dtype=np.int64)
+            pred = predict_nzeros(nzeros_map, c, by, bx)
+            block_ctx = bcm.context(0, quant, ord_, c)
+            nz_ctx = ctx_offset + bcm.nonzero_context(pred, block_ctx)
+            nzeros = reader.read_hybrid_uint(nz_ctx, r, state.ac_context_map)
+            if nzeros > size - cb:
+                raise JXLError("invalid AC nzeros")
+            nzeros_map[c, by:by + cy, bx:bx + cx] = \
+                (nzeros + cb - 1) >> log2_cb
+            histo_offset = ctx_offset + bcm.zero_density_contexts_offset(block_ctx)
+            prev = 0 if nzeros > size // 16 else 1
+            k = cb
+            remaining = nzeros
+            while k < size and remaining != 0:
+                ctx = histo_offset + zero_density_context(
+                    remaining, k, cb, log2_cb, prev)
+                u = reader.read_hybrid_uint(ctx, r, state.ac_context_map)
+                # UnpackSigned: even -> u/2, odd -> -((u+1)/2)
+                coeff = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+                qblock[order[k]] += coeff
+                prev = 1 if u else 0
+                remaining -= prev
+                k += 1
+            if remaining != 0:
+                raise JXLError("invalid AC block: leftover nzeros")
+            dequant[c] = qblock
+        # DequantBlock (dec_group.cc:96-165)
+        scaled = inv_gs / quant
+        rows = min(cy, cx) * 8
+        cols = max(cy, cx) * 8
+        dm = [state.matrices.dequant_matrix(kind, c).reshape(-1)
+              for c in range(3)]
+        dq_y = adjust_quant_bias(dequant[1], 1) * dm[1] * scaled
+        dq_x = adjust_quant_bias(dequant[0], 0) * dm[0] * (
+            scaled * state.x_dm_mult) + x_cc * dq_y
+        dq_b = adjust_quant_bias(dequant[2], 2) * dm[2] * (
+            scaled * state.b_dm_mult) + b_cc * dq_y
+        coeffs = np.stack([dq_x, dq_y, dq_b]).reshape(3, rows, cols)
+        # LLF from DC
+        dc_block = state.dc[:, by0 + by:by0 + by + cy, bx0 + bx:bx0 + bx + cx]
+        for c in range(3):
+            llf = lowest_frequencies_from_dc(strategy, dc_block[c])
+            coeffs[c, :llf.shape[0], :llf.shape[1]] = llf
+        for c in range(3):
+            pix = transform_to_pixels(strategy, coeffs[c])
+            y0 = (by0 + by) * 8
+            x0 = (bx0 + bx) * 8
+            state.xyb[c, y0:y0 + cy * 8, x0:x0 + cx * 8] = pix
+    if not reader.check_final_state():
+        raise JXLError("AC group ANS final state mismatch")
+
+
+def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q):
+    """Encoder counterpart of decode_ac_group: produces tokens.
+
+    coeffs_q: dict (by_abs, bx_abs) -> (3, size) quantized int arrays in
+    coefficient (wide raster) layout.
+    """
+    fd = state.fd
+    gx = group_idx % fd.xsize_groups
+    gy = group_idx // fd.xsize_groups
+    blocks, bx0, by0, bw, bh = _block_list(state, gx, gy)
+    bcm = state.block_ctx_map
+    nzeros_map = np.zeros((3, bh, bw), dtype=np.int32)
+    tokens = []
+    for (bx, by, strategy) in blocks:
+        cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+        cb = cx * cy
+        log2_cb = acs.LOG2_COVERED[strategy]
+        size = cb * 64
+        order = acs.natural_coeff_order(strategy)
+        ord_ = acs.STRATEGY_ORDER[strategy]
+        quant = int(state.raw_quant_field[by0 + by, bx0 + bx])
+        qblocks = coeffs_q[(by0 + by, bx0 + bx)]
+        for c in (1, 0, 2):
+            qblock = qblocks[c]
+            nzeros = int(np.count_nonzero(qblock.reshape(-1)[order[cb:]]))
+            pred = predict_nzeros(nzeros_map, c, by, bx)
+            block_ctx = bcm.context(0, quant, ord_, c)
+            nz_ctx = bcm.nonzero_context(pred, block_ctx)
+            tokens.append(Token(nz_ctx, nzeros))
+            nzeros_map[c, by:by + cy, bx:bx + cx] = (nzeros + cb - 1) >> log2_cb
+            histo_offset = bcm.zero_density_contexts_offset(block_ctx)
+            prev = 0 if nzeros > size // 16 else 1
+            remaining = nzeros
+            flat = qblock.reshape(-1)
+            k = cb
+            while k < size and remaining != 0:
+                coeff = int(flat[order[k]])
+                u = (coeff << 1) if coeff >= 0 else (-coeff * 2 - 1)
+                ctx = histo_offset + zero_density_context(
+                    remaining, k, cb, log2_cb, prev)
+                tokens.append(Token(ctx, u))
+                prev = 1 if u else 0
+                remaining -= prev
+                k += 1
+    return tokens
+
+
+# ------------------------------------------------------- DC + metadata streams
+def _num_quant_tables():
+    return acs.NUM_QUANT_TABLES
+
+
+def _modular_stream_ids(fd: FrameDimensions):
+    """ModularStreamId::ID mapping (dec_modular.h:44-67)."""
+    def vardct_dc(g):
+        return 1 + g
+
+    def modular_dc(g):
+        return 1 + fd.num_dc_groups + g
+
+    def ac_metadata(g):
+        return 1 + 2 * fd.num_dc_groups + g
+
+    return vardct_dc, modular_dc, ac_metadata
+
+
+def decode_dc_group(r: BitReader, state: VarDCTState, dc_group_id: int) -> None:
+    """ProcessDCGroup for VarDCT (dec_frame.cc:315-341 + dec_modular.cc)."""
+    fd = state.fd
+    vardct_dc, modular_dc, ac_metadata = _modular_stream_ids(fd)
+    gx = dc_group_id % fd.xsize_dc_groups
+    gy = dc_group_id // fd.xsize_dc_groups
+    x0, y0, rw, rh = fd.dc_group_rect(dc_group_id)
+    # --- VarDCTDC stream (dec_modular.cc:404-435)
+    if not (state.fh.flags & FLAG_USE_DC_FRAME):
+        extra_precision = r.read_bits(2)
+        mul = 1.0 / (1 << extra_precision)
+        img = ModularImage(rw, rh, 8, 3)
+        modular_decode(r, img, vardct_dc(dc_group_id), ModularOptions(),
+                       global_tree=state.tree, global_code=state.code,
+                       global_ctx_map=state.context_map, undo_transforms=True)
+        # DequantDC (compressed_dc.cc:197-245), 444 path
+        fac = [state.quantizer.mul_dc(c) * mul for c in range(3)]
+        cfl_x, cfl_b = state.cfl_dc_factors()
+        qy = img.channel[0].data.astype(np.float64)
+        qx = img.channel[1].data.astype(np.float64)
+        qb = img.channel[2].data.astype(np.float64)
+        dc_y = qy * fac[1]
+        dc_x = qx * fac[0] + cfl_x * dc_y
+        dc_b = qb * fac[2] + cfl_b * dc_y
+        state.dc[0, y0:y0 + rh, x0:x0 + rw] = dc_x
+        state.dc[1, y0:y0 + rh, x0:x0 + rw] = dc_y
+        state.dc[2, y0:y0 + rh, x0:x0 + rw] = dc_b
+    # --- ModularDC stream: channels with shift >= 3 (none in VarDCT mode
+    # without extra squeezed channels); empty -> zero bits.
+    # --- ACMetadata stream (dec_modular.cc:437-532)
+    upper_bound = rw * rh
+    nbits = (upper_bound - 1).bit_length() if upper_bound > 1 else 0
+    count = r.read_bits(nbits) + 1
+    cr_w = -(-rw // 8)
+    cr_h = -(-rh // 8)
+    img = ModularImage(rw, rh, 8, 0)
+    img.channel = [
+        Channel(cr_w, cr_h, 3, 3),
+        Channel(cr_w, cr_h, 3, 3),
+        Channel(count, 2, 0, 0),
+        Channel(rw, rh, 0, 0),
+    ]
+    modular_decode(r, img, ac_metadata(dc_group_id), ModularOptions(),
+                   global_tree=state.tree, global_code=state.code,
+                   global_ctx_map=state.context_map, undo_transforms=True)
+    tx0 = x0 // COLOR_TILE_DIM_IN_BLOCKS
+    ty0 = y0 // COLOR_TILE_DIM_IN_BLOCKS
+    state.ytox_map[ty0:ty0 + cr_h, tx0:tx0 + cr_w] = img.channel[0].data
+    state.ytob_map[ty0:ty0 + cr_h, tx0:tx0 + cr_w] = img.channel[1].data
+    acs_row = img.channel[2].data[0]
+    qf_row = img.channel[2].data[1]
+    sharp = img.channel[3].data
+    num = 0
+    for iy in range(rh):
+        for ix in range(rw):
+            x, y = x0 + ix, y0 + iy
+            s = int(sharp[iy, ix])
+            if not (0 <= s < 8):
+                raise JXLError("corrupted sharpness field")
+            state.epf_sharpness[y, x] = s
+            if state.strategy[y, x] >= 0:
+                continue
+            if num >= count:
+                raise JXLError("corrupted AC metadata stream")
+            raw = int(acs_row[num])
+            if not (0 <= raw < acs.NUM_STRATEGIES):
+                raise JXLError("invalid AC strategy")
+            cx_, cy_ = acs.COVERED_X[raw], acs.COVERED_Y[raw]
+            if x + cx_ > fd.xsize_blocks or y + cy_ > fd.ysize_blocks:
+                raise JXLError("AC strategy overflows image")
+            state.strategy[y:y + cy_, x:x + cx_] = raw
+            state.is_origin[y, x] = True
+            qf = 1 + max(0, min(QUANT_MAX - 1, int(qf_row[num])))
+            state.raw_quant_field[y:y + cy_, x:x + cx_] = qf
+            num += 1
+    if num != count:
+        raise JXLError("AC metadata count mismatch")
+
+
+def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
+                      wp_header):
+    """Encoder: returns (vardct_dc_tokens, ac_metadata_tokens, count,
+    extra_bits_list). Quantizes DC in place into state.quant_dc_img and
+    updates state.dc to the dequantized values (for exact LLF match)."""
+    fd = state.fd
+    vardct_dc, modular_dc, ac_metadata = _modular_stream_ids(fd)
+    x0, y0, rw, rh = fd.dc_group_rect(dc_group_id)
+    fac = [state.quantizer.mul_dc(c) for c in range(3)]
+    cfl_x, cfl_b = state.cfl_dc_factors()
+    dc_x = state.dc[0, y0:y0 + rh, x0:x0 + rw]
+    dc_y = state.dc[1, y0:y0 + rh, x0:x0 + rw]
+    dc_b = state.dc[2, y0:y0 + rh, x0:x0 + rw]
+    qy = np.round(dc_y / fac[1]).astype(np.int64)
+    dy = qy * fac[1]
+    qx = np.round((dc_x - cfl_x * dy) / fac[0]).astype(np.int64)
+    qb = np.round((dc_b - cfl_b * dy) / fac[2]).astype(np.int64)
+    # overwrite with dequantized DC so LLF coefficients match the decoder
+    state.dc[0, y0:y0 + rh, x0:x0 + rw] = qx * fac[0] + cfl_x * dy
+    state.dc[1, y0:y0 + rh, x0:x0 + rw] = dy
+    state.dc[2, y0:y0 + rh, x0:x0 + rw] = qb * fac[2] + cfl_b * dy
+    img = ModularImage(rw, rh, 8, 0)
+    img.channel = [Channel(rw, rh, data=a.astype(np.int32))
+                   for a in (qy, qx, qb)]
+    dc_tokens = []
+    for i in range(3):
+        _tokenize_channel(img, i, vardct_dc(dc_group_id), dec_tree, wp_header,
+                          dc_tokens)
+    # AC metadata
+    blocks = []
+    for iy in range(rh):
+        for ix in range(rw):
+            if state.is_origin[y0 + iy, x0 + ix]:
+                blocks.append((int(state.strategy[y0 + iy, x0 + ix]),
+                               int(state.raw_quant_field[y0 + iy, x0 + ix])))
+    count = len(blocks)
+    cr_w = -(-rw // 8)
+    cr_h = -(-rh // 8)
+    tx0 = x0 // COLOR_TILE_DIM_IN_BLOCKS
+    ty0 = y0 // COLOR_TILE_DIM_IN_BLOCKS
+    meta = ModularImage(rw, rh, 8, 0)
+    meta.channel = [
+        Channel(cr_w, cr_h, 3, 3,
+                state.ytox_map[ty0:ty0 + cr_h, tx0:tx0 + cr_w].copy()),
+        Channel(cr_w, cr_h, 3, 3,
+                state.ytob_map[ty0:ty0 + cr_h, tx0:tx0 + cr_w].copy()),
+        Channel(count, 2, 0, 0, np.array(
+            [[b[0] for b in blocks], [b[1] - 1 for b in blocks]],
+            dtype=np.int32)),
+        Channel(rw, rh, 0, 0,
+                state.epf_sharpness[y0:y0 + rh, x0:x0 + rw].copy()),
+    ]
+    meta_tokens = []
+    for i in range(4):
+        _tokenize_channel(meta, i, ac_metadata(dc_group_id), dec_tree,
+                          wp_header, meta_tokens)
+    return dc_tokens, meta_tokens, count
+
+
+# ------------------------------------------------------------ frame orchestr.
+def decode_vardct_frame(r: BitReader, fh: FrameHeader):
+    """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
+    linear RGB channels list."""
+    from ..api.frame import decode_frame_sections, get_downsampling_bracket
+    from ..api.frame import decode_global_info, decode_modular_group
+    from ..api.frame import ModularFrameState, modular_dc_stream_id
+
+    fd = fh.frame_dimensions()
+    state = VarDCTState(fh, fd)
+    mstate = ModularFrameState()
+    if fh.flags & (FLAG_NOISE | FLAG_PATCHES | FLAG_SPLINES):
+        raise JXLError("noise/patches/splines not yet supported in VarDCT")
+
+    def dc_global(sr):
+        state.matrices.decode_dc(sr)
+        state.quantizer.decode(sr)
+        state.block_ctx_map = decode_block_ctx_map(sr)
+        decode_cmap_dc(sr, state)
+        decode_global_info(sr, fh, fd, mstate)
+        state.tree = mstate.tree
+        state.code = mstate.code
+        state.context_map = mstate.context_map
+
+    def dc_group(g, sr):
+        decode_dc_group(sr, state, g)
+        # ModularDC group (squeezed >=3 channels) for extra channels
+        gx = g % fd.xsize_dc_groups
+        gy = g // fd.xsize_dc_groups
+        rect = (gx * fd.dc_group_dim, gy * fd.dc_group_dim,
+                fd.dc_group_dim, fd.dc_group_dim)
+        decode_modular_group(sr, fh, fd, mstate, rect, 3, 1000,
+                             modular_dc_stream_id(fd, g))
+
+    def ac_global(sr):
+        state.matrices.decode(sr)
+        nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
+        state.num_histograms = 1 + (sr.read_bits(nbits) if nbits else 0)
+        for _ in range(fh.passes.num_passes):
+            used_orders = u32_read(ORDER_ENC, sr)
+            if used_orders:
+                from ..entropy.permutation import decode_permutation
+                raise JXLError("custom coefficient orders not yet supported")
+            num_contexts = (state.num_histograms
+                            * state.block_ctx_map.num_ac_contexts())
+            state.ac_code, state.ac_context_map = decode_histograms(
+                sr, num_contexts)
+
+    def ac_group(g, p, sr):
+        decode_ac_group(sr, state, g)
+
+    decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group)
+    if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
+        raise JXLError("adaptive DC smoothing not yet implemented")
+    # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
+    # when enabled; round-1 encoder disables them)
+    if fh.loop_filter.gab or fh.loop_filter.epf_iters > 0:
+        from ..render.pipeline import apply_restoration
+
+        state.xyb = apply_restoration(state.xyb, fh, state)
+    from ..ops.xyb import xyb_to_linear_rgb
+
+    rgb = xyb_to_linear_rgb(state.xyb[:, :fd.ysize, :fd.xsize])
+    return [rgb[c] for c in range(3)]
+
+
+def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
+                        fh: FrameHeader, distance: float = 1.0) -> None:
+    """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8, uniform quant)."""
+    from ..api.frame import num_toc_entries
+    from ..io.toc import write_group_offsets
+    from ..ops.xyb import linear_rgb_to_xyb
+
+    fd = fh.frame_dimensions()
+    state = VarDCTState(fh, fd)
+    h, w = rgb_linear.shape[-2:]
+    # pad to block multiple by edge replication
+    pad_y = fd.ysize_padded - h
+    pad_x = fd.xsize_padded - w
+    rgb = np.pad(rgb_linear, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+    xyb = linear_rgb_to_xyb(rgb)
+    # quantizer setup (SetQuant path, quantizer.cc:112-115)
+    quant_ac = K_AC_QUANT / distance
+    quant_dc = K_DC_QUANT / distance
+    state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
+    raw_qf = max(1, min(QUANT_MAX,
+                        int(quant_ac * state.quantizer.global_scale_float + 0.5)))
+    state.raw_quant_field[:, :] = raw_qf
+    state.strategy[:, :] = acs.DCT
+    state.is_origin[:, :] = True
+    # DC = DCT DC coefficients = 8x8 block means
+    state.dc = xyb.reshape(3, fd.ysize_blocks, 8, fd.xsize_blocks, 8).mean(
+        axis=(2, 4))
+    # global modular tree for the DC/metadata substreams
+    tree = make_fixed_tree(P_GRADIENT)
+    tree_writer = BitWriter()
+    dec_tree = encode_tree(tree, tree_writer)
+    wp_header = GroupHeader().wp_header
+    # tokenize DC groups (also replaces state.dc with dequantized values)
+    dc_streams = []
+    for g in range(fd.num_dc_groups):
+        dc_streams.append(tokenize_dc_group(state, g, dec_tree, wp_header))
+    modular_token_lists = [[]]  # global stream (empty channels)
+    for dc_tokens, meta_tokens, _ in dc_streams:
+        modular_token_lists.append(dc_tokens)
+        modular_token_lists.append(meta_tokens)
+    histo_writer = BitWriter()
+    codes, context_map = build_and_encode_histograms(
+        modular_token_lists, num_tree_contexts(dec_tree), histo_writer)
+
+    # quantize AC coefficients per block
+    inv_gs = state.quantizer.inv_global_scale
+    coeffs_q = {}
+    dm_inv = {}
+    for by in range(fd.ysize_blocks):
+        for bx in range(fd.xsize_blocks):
+            strategy = acs.DCT
+            kind = acs.QUANT_TABLE[strategy]
+            if kind not in dm_inv:
+                dm_inv[kind] = [state.matrices.inv_matrix(kind, c).reshape(-1)
+                                for c in range(3)]
+            quant = int(state.raw_quant_field[by, bx])
+            scaled = inv_gs / quant
+            block = xyb[:, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            co = np.stack([transform_from_pixels(strategy, block[c])
+                           for c in range(3)]).reshape(3, 64)
+            qy = np.round(co[1] * dm_inv[kind][1] / scaled)
+            # dequantized Y for exact CfL subtraction (LLF-safe: use the
+            # dequant matrix, whose LLF entries are finite)
+            dm_full_y = state.matrices.dequant_matrix(kind, 1).reshape(-1)
+            dy = adjust_quant_bias(qy, 1) * dm_full_y * scaled
+            qx = np.round((co[0] - 0.0 * dy) * dm_inv[kind][0]
+                          / (scaled * state.x_dm_mult))
+            qb = np.round((co[2] - Y_TO_B_BASE * dy) * dm_inv[kind][2]
+                          / (scaled * state.b_dm_mult))
+            q = np.stack([qx, qy, qb]).astype(np.int64)
+            q[:, 0] = 0  # LLF not coded
+            coeffs_q[(by, bx)] = q
+    ac_token_lists = []
+    for g in range(fd.num_groups):
+        ac_token_lists.append(tokenize_ac_group(state, g, coeffs_q))
+    num_contexts = state.block_ctx_map.num_ac_contexts()
+    ac_histo_writer = BitWriter()
+    ac_codes, ac_context_map = build_and_encode_histograms(
+        ac_token_lists, num_contexts, ac_histo_writer)
+
+    # --- assemble sections
+    def write_dc_global(w):
+        state.matrices.encode_dc(w)
+        state.quantizer.encode(w)
+        w.write(1, 1)  # default block ctx map
+        encode_cmap_dc_default(w)
+        # modular global info: has_tree=1, tree, histograms, empty global
+        w.write(1, 1)
+        w.append_bits_from(tree_writer)
+        w.append_bits_from(histo_writer)
+        # VarDCT frame: the global modular image has zero channels (no
+        # color, no extra channels in round 1), and ModularEncode writes
+        # NOTHING for a zero-channel image (enc_encoding.cc:562-564) —
+        # not even the GroupHeader.
+
+    def write_dc_group(w, g):
+        dc_tokens, meta_tokens, count = dc_streams[g]
+        w.write(2, 0)  # extra_precision
+        gh = GroupHeader()
+        gh.use_global_tree = True
+        gh.write(w)
+        write_tokens(dc_tokens, codes, context_map, w)
+        # ModularDC group: no channels -> nothing
+        x0, y0, rw, rh = fd.dc_group_rect(g)
+        upper_bound = rw * rh
+        nbits = (upper_bound - 1).bit_length() if upper_bound > 1 else 0
+        if nbits:
+            w.write(nbits, count - 1)
+        gh2 = GroupHeader()
+        gh2.use_global_tree = True
+        gh2.write(w)
+        write_tokens(meta_tokens, codes, context_map, w)
+
+    def write_ac_global(w):
+        state.matrices.encode(w)
+        nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
+        if nbits:
+            w.write(nbits, 0)  # num_histograms - 1
+        u32_write(ORDER_ENC, 0, w)  # default orders
+        w.append_bits_from(ac_histo_writer)
+
+    def write_ac_group(w, g):
+        write_tokens(ac_token_lists[g], ac_codes, ac_context_map, w)
+
+    single = fd.num_groups == 1 and fh.passes.num_passes == 1
+    sections = []
+    if single:
+        w = BitWriter()
+        write_dc_global(w)
+        write_dc_group(w, 0)
+        write_ac_global(w)
+        write_ac_group(w, 0)
+        sections.append(w.get_bytes())
+    else:
+        w = BitWriter()
+        write_dc_global(w)
+        sections.append(w.get_bytes())
+        for g in range(fd.num_dc_groups):
+            w = BitWriter()
+            write_dc_group(w, g)
+            sections.append(w.get_bytes())
+        w = BitWriter()
+        write_ac_global(w)
+        sections.append(w.get_bytes())
+        for g in range(fd.num_groups):
+            w = BitWriter()
+            write_ac_group(w, g)
+            sections.append(w.get_bytes())
+    fh.write(writer)
+    write_group_offsets([len(s) for s in sections], None, writer)
+    writer.zero_pad_to_byte()
+    for s in sections:
+        writer.append_bytes(s)

@@ -1,0 +1,75 @@
+"""VarDCT lossy end-to-end roundtrips (reference analog: jxl_test.cc
+RoundtripLossy cases — quality gates via PSNR)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api.codestream import decode, encode_lossy
+
+
+def psnr(a, b):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+def make_photoish(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128 + 80 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+        + 40 * np.sin((xx + yy) / 31.0)
+    )
+    noise = rng.normal(0, 4, (h, w))
+    r = np.clip(base + noise, 0, 255)
+    g = np.clip(base * 0.9 + 20 + noise, 0, 255)
+    b = np.clip(base * 0.7 + 40 - noise, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_vardct_roundtrip_single_group():
+    img = make_photoish(64, 64)
+    data = encode_lossy(img, distance=1.0)
+    out, meta = decode(data)
+    assert out.shape == img.shape
+    p = psnr(img, out)
+    assert p > 30, f"PSNR too low: {p:.2f} dB"
+    # and it should actually compress
+    assert len(data) < img.size
+
+
+def test_vardct_roundtrip_non_block_multiple():
+    img = make_photoish(45, 53, seed=1)
+    data = encode_lossy(img, distance=1.0)
+    out, _ = decode(data)
+    assert out.shape == img.shape
+    assert psnr(img, out) > 30
+
+
+def test_vardct_roundtrip_multigroup():
+    img = make_photoish(300, 280, seed=2)
+    data = encode_lossy(img, distance=1.0)
+    out, _ = decode(data)
+    assert psnr(img, out) > 30
+    assert len(data) < img.size // 2
+
+
+def test_vardct_distance_controls_rate():
+    img = make_photoish(96, 96, seed=3)
+    d1 = encode_lossy(img, distance=1.0)
+    d4 = encode_lossy(img, distance=4.0)
+    assert len(d4) < len(d1)
+    out1, _ = decode(d1)
+    out4, _ = decode(d4)
+    assert psnr(img, out1) > psnr(img, out4)
+
+
+def test_vardct_flat_image_tiny():
+    img = np.full((64, 64, 3), 130, dtype=np.uint8)
+    data = encode_lossy(img, distance=1.0)
+    out, _ = decode(data)
+    assert psnr(img, out) > 40
+    assert len(data) < 400
