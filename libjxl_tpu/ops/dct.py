@@ -93,14 +93,16 @@ def lowest_frequencies_scales(rows: int, cols: int, dct_rows: int,
 def make_jax_dct():
     """Returns (jdct2d, jidct2d) operating on jnp arrays; imported lazily so
     NumPy-only users avoid a jax dependency at import time."""
+    import jax
     import jax.numpy as jnp
 
     fwd = {n: jnp.asarray(fwd_matrix(n), dtype=jnp.float32) for n in SIZES}
     inv = {n: jnp.asarray(inv_matrix(n), dtype=jnp.float32) for n in SIZES}
+    hi = jax.lax.Precision.HIGHEST
 
     def jdct2d(pixels, r, c):
         out = jnp.einsum("ur,...rc,vc->...uv", fwd[r], pixels, fwd[c],
-                         preferred_element_type=jnp.float32)
+                         precision=hi, preferred_element_type=jnp.float32)
         if r > c:
             out = jnp.swapaxes(out, -2, -1)
         return out
@@ -109,6 +111,6 @@ def make_jax_dct():
         if r > c:
             coeffs = jnp.swapaxes(coeffs, -2, -1)
         return jnp.einsum("ru,...uv,cv->...rc", inv[r], coeffs, inv[c],
-                          preferred_element_type=jnp.float32)
+                          precision=hi, preferred_element_type=jnp.float32)
 
     return jdct2d, jidct2d

@@ -1,0 +1,179 @@
+"""TPU compute pipelines for the VarDCT hot paths (JAX/XLA).
+
+This is where the reference's per-block Highway SIMD loops
+(dec_group.cc DequantBlock/TransformToPixels, enc_group.cc
+ComputeCoefficients) become batched MXU work: every 8x8 block in the
+image is one row of a big einsum against the DCT basis, and the
+element-wise dequant/CfL/XYB stages fuse around it.
+
+Layouts:
+  blocks:   f32[3, nby, nbx, 8, 8]   per-block coefficients/pixels
+  image:    f32[3, H, W]             planar XYB or RGB
+All functions are jit-friendly (static shapes, no Python control flow on
+traced values).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..io.headers import (
+    DEFAULT_INVERSE_OPSIN_MATRIX,
+    DEFAULT_QUANT_BIAS,
+    OPSIN_ABSORBANCE_BIAS,
+    OPSIN_ABSORBANCE_MATRIX,
+)
+from .dct import fwd_matrix, inv_matrix
+
+COLOR_TILE_BLOCKS = 8
+
+
+def blocks_to_image(blocks):
+    """f32[c, nby, nbx, 8, 8] -> f32[c, nby*8, nbx*8]."""
+    c, nby, nbx, _, _ = blocks.shape
+    return blocks.transpose(0, 1, 3, 2, 4).reshape(c, nby * 8, nbx * 8)
+
+
+def image_to_blocks(image):
+    c, h, w = image.shape
+    nby, nbx = h // 8, w // 8
+    return image.reshape(c, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    # NumPy (not jnp) so cached values can never be traced-and-leaked
+    # across jit/shard_map scopes.
+    return {
+        "fwd8": fwd_matrix(8).astype(np.float32),
+        "inv8": inv_matrix(8).astype(np.float32),
+        "opsin": np.asarray(OPSIN_ABSORBANCE_MATRIX, dtype=np.float32),
+        "opsin_inv": np.asarray(DEFAULT_INVERSE_OPSIN_MATRIX,
+                                dtype=np.float32),
+        "bias": np.float32(OPSIN_ABSORBANCE_BIAS),
+        "cbrt_bias": np.float32(OPSIN_ABSORBANCE_BIAS ** (1 / 3)),
+        "qbias": np.asarray(DEFAULT_QUANT_BIAS, dtype=np.float32),
+    }
+
+
+def idct8_blocks(blocks):
+    """Batched 8x8 IDCT: one 8x8 matmul pair per block (MXU).
+
+    Precision HIGHEST keeps the TPU MXU in 3-pass bf16 (~f32) mode — the
+    conformance error bounds (ISO 18181-3) do not survive plain bf16."""
+    k = _consts()
+    return jnp.einsum("ru,...uv,cv->...rc", k["inv8"], blocks, k["inv8"],
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def dct8_blocks(blocks):
+    k = _consts()
+    return jnp.einsum("ur,...rc,vc->...uv", k["fwd8"], blocks, k["fwd8"],
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def adjust_quant_bias_jax(q, c):
+    k = _consts()
+    qb = k["qbias"]
+    qf = q.astype(jnp.float32)
+    safe = jnp.where(qf == 0, 1.0, qf)
+    general = qf - qb[3] / safe
+    return jnp.where(qf == 0, 0.0,
+                     jnp.where(qf == 1, qb[c],
+                               jnp.where(qf == -1, -qb[c], general)))
+
+
+def xyb_to_rgb_jax(xyb):
+    k = _consts()
+    gr = xyb[1] + xyb[0] + k["cbrt_bias"]
+    gg = xyb[1] - xyb[0] + k["cbrt_bias"]
+    gb = xyb[2] + k["cbrt_bias"]
+    mixed = jnp.stack([gr * gr * gr - k["bias"], gg * gg * gg - k["bias"],
+                       gb * gb * gb - k["bias"]])
+    return jnp.einsum("ij,jhw->ihw", k["opsin_inv"], mixed,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def rgb_to_xyb_jax(rgb):
+    k = _consts()
+    mixed = jnp.einsum("ij,jhw->ihw", k["opsin"], rgb,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32) + k["bias"]
+    mixed = jnp.maximum(mixed, 0.0)
+    cbrt = jnp.cbrt(mixed) - k["cbrt_bias"]
+    return jnp.stack([0.5 * (cbrt[0] - cbrt[1]),
+                      0.5 * (cbrt[0] + cbrt[1]), cbrt[2]])
+
+
+def _tile_to_blocks(tile_map, nby, nbx):
+    """Expand a per-64px-tile map to per-block values."""
+    t = jnp.repeat(jnp.repeat(tile_map, COLOR_TILE_BLOCKS, axis=0),
+                   COLOR_TILE_BLOCKS, axis=1)
+    return t[:nby, :nbx]
+
+
+def decode_pixels(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
+                  x_dm_mult, b_dm_mult, color_factor=84.0, base_x=0.0,
+                  base_b=1.0):
+    """VarDCT decode compute path (DCT8 layout), fully batched.
+
+    qcoeffs: i32[3, nby, nbx, 8, 8]; qf: i32[nby, nbx];
+    dc: f32[3, nby, nbx] (already dequantized);
+    ytox/ytob_map: i32 per-tile CfL multipliers; dm: f32[3, 8, 8].
+    Returns linear RGB f32[3, nby*8, nbx*8].
+
+    Mirrors DequantBlock (dec_group.cc:96-165) + TransformToPixels + XYB.
+    """
+    nby, nbx = qf.shape
+    scaled = (inv_global_scale / qf.astype(jnp.float32))[None, :, :, None, None]
+    x_cc = (base_x + _tile_to_blocks(ytox_map, nby, nbx).astype(jnp.float32)
+            / color_factor)[:, :, None, None]
+    b_cc = (base_b + _tile_to_blocks(ytob_map, nby, nbx).astype(jnp.float32)
+            / color_factor)[:, :, None, None]
+    dq_y = adjust_quant_bias_jax(qcoeffs[1], 1) * dm[1] * scaled[0]
+    dq_x = adjust_quant_bias_jax(qcoeffs[0], 0) * dm[0] * scaled[0] * x_dm_mult \
+        + x_cc * dq_y
+    dq_b = adjust_quant_bias_jax(qcoeffs[2], 2) * dm[2] * scaled[0] * b_dm_mult \
+        + b_cc * dq_y
+    coeffs = jnp.stack([dq_x, dq_y, dq_b])
+    coeffs = coeffs.at[:, :, :, 0, 0].set(dc)
+    pixels = idct8_blocks(coeffs)
+    xyb = blocks_to_image(pixels)
+    return xyb_to_rgb_jax(xyb)
+
+
+def encode_coefficients(rgb, qf, dm_inv, dm_y, inv_global_scale, x_dm_mult,
+                        b_dm_mult, inv_dc_quant_mul):
+    """VarDCT encode compute path: RGB -> XYB -> DCT8 -> quantize
+    (ComputeCoefficients analog, enc_group.cc:370-520).
+
+    Returns (qcoeffs i32[3,nby,nbx,8,8], qdc i32[3,nby,nbx]).
+    dm_inv: f32[3,8,8] quant weights (LLF zeroed); dm_y: f32[8,8] Y dequant.
+    inv_dc_quant_mul: f32[3] = 1 / mul_dc(c).
+    """
+    xyb = rgb_to_xyb_jax(rgb)
+    blocks = image_to_blocks(xyb)
+    co = dct8_blocks(blocks)
+    scaled = (inv_global_scale / qf.astype(jnp.float32))[:, :, None, None]
+    qy = jnp.round(co[1] * dm_inv[1] / scaled)
+    dy = adjust_quant_bias_jax(qy, 1) * dm_y * scaled
+    qx = jnp.round(co[0] * dm_inv[0] / (scaled * x_dm_mult))
+    qb = jnp.round((co[2] - dy) * dm_inv[2] / (scaled * b_dm_mult))
+    q = jnp.stack([qx, qy, qb]).astype(jnp.int32)
+    # DC: quantize block means with CfL (base_b = 1)
+    dc = co[:, :, :, 0, 0]
+    qdc_y = jnp.round(dc[1] * inv_dc_quant_mul[1])
+    dc_y_deq = qdc_y / inv_dc_quant_mul[1]
+    qdc_x = jnp.round(dc[0] * inv_dc_quant_mul[0])
+    qdc_b = jnp.round((dc[2] - dc_y_deq) * inv_dc_quant_mul[2])
+    qdc = jnp.stack([qdc_x, qdc_y, qdc_b]).astype(jnp.int32)
+    q = q.at[:, :, :, 0, 0].set(0)
+    return q, qdc

@@ -1,0 +1,155 @@
+"""Multi-chip sharding of the codec compute path.
+
+The reference parallelizes over the 256x256 group grid with a fork-join
+thread pool (lib/jxl/base/data_parallel.h, enc_frame.cc:1382). The TPU
+design shards the same grid over a jax.sharding.Mesh:
+
+- axis "batch": independent images/frames (data parallel),
+- axis "rows":  block-row stripes of one image (the sequence-parallel
+  analog). Gaborish/EPF need up to 3 px of halo across stripe seams —
+  exchanged with jax.lax.ppermute, mirroring the reference decoder's
+  SaveBorders/LoadBorders strip machinery
+  (low_memory_render_pipeline.h:52-53).
+
+All collectives ride ICI; entropy-coded bytes never touch the device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+from ..ops.pipeline import (
+    blocks_to_image,
+    decode_pixels,
+    encode_coefficients,
+    rgb_to_xyb_jax,
+    xyb_to_rgb_jax,
+)
+from ..render.pipeline import gaborish_kernel
+
+HALO = 3  # gaborish 1px + EPF up to 3px; 3 covers the round-1 chain
+
+
+def make_mesh(devices=None, batch: int = 1):
+    """Builds a (batch, rows) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    rows = n // batch
+    dev_array = np.array(devices[:batch * rows]).reshape(batch, rows)
+    return Mesh(dev_array, ("batch", "rows"))
+
+
+def _halo_exchange_rows(x, halo: int, axis_name: str):
+    """Exchange `halo` rows with the row-neighbors along `axis_name`.
+
+    x: f32[..., rows_local, W]; returns f32[..., rows_local + 2*halo, W]
+    with edge-replication at the outer image boundary."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name)
+    top_strip = x[..., :halo, :]
+    bottom_strip = x[..., -halo:, :]
+    # send bottom strip down (to idx+1) -> received as top halo
+    down = [(i, (i + 1) % n) for i in range(n)]
+    up = [(i, (i - 1) % n) for i in range(n)]
+    from_above = jax.lax.ppermute(bottom_strip, axis_name, down)
+    from_below = jax.lax.ppermute(top_strip, axis_name, up)
+    # replicate edges at the image boundary
+    edge_top = jnp.repeat(x[..., :1, :], halo, axis=-2)
+    edge_bottom = jnp.repeat(x[..., -1:, :], halo, axis=-2)
+    top = jnp.where(idx == 0, edge_top, from_above)
+    bottom = jnp.where(idx == n - 1, edge_bottom, from_below)
+    return jnp.concatenate([top, x, bottom], axis=-2)
+
+
+def _gaborish_local(xyb, weights):
+    outs = []
+    for c in range(3):
+        k = jnp.asarray(gaborish_kernel(*weights[c]), dtype=xyb.dtype)
+        img = jnp.pad(xyb[c], ((0, 0), (1, 1)), mode="edge")  # x only
+        out = jax.lax.conv_general_dilated(
+            img[None, None], k[None, None], (1, 1), "VALID")[0, 0]
+        outs.append(out)
+    return jnp.stack(outs)
+
+
+GAB_DEFAULT = ((0.115169525, 0.061248592),) * 3  # 1.1 * defaults
+
+
+def build_sharded_decode(mesh: Mesh, apply_gab: bool = True):
+    """Returns a jitted function decoding sharded coefficient tensors to RGB.
+
+    Input shapes (global):
+      qcoeffs i32[batch, 3, nby, nbx, 8, 8], qf i32[batch, nby, nbx],
+      dc f32[batch, 3, nby, nbx], ytox/ytob i32[batch, tby, tbx],
+      dm f32[3, 8, 8] (replicated).
+    The nby axis is sharded over "rows", the batch axis over "batch".
+    """
+
+    def local_decode(qcoeffs, qf, dc, ytox, ytob, dm):
+        def one(qc, qf1, dc1, yx, yb):
+            rgb = decode_pixels(qc, qf1, dc1, yx, yb, dm,
+                                inv_global_scale=jnp.float32(1024.0),
+                                x_dm_mult=1.0, b_dm_mult=1.0)
+            return rgb
+
+        rgb = jax.vmap(one)(qcoeffs, qf, dc, ytox, ytob)
+        if apply_gab:
+            # halo exchange across row-stripes, then 3x3 blur; the VALID
+            # convolution consumes the 1-row halo, restoring local height
+            padded = _halo_exchange_rows(rgb, 1, "rows")
+            rgb = jax.vmap(lambda x: _gaborish_local(x, GAB_DEFAULT))(padded)
+        return rgb
+
+    spec_blocks = P("batch", None, "rows", None, None, None)
+    spec_qf = P("batch", "rows", None)
+    spec_dc = P("batch", None, "rows", None)
+    spec_tiles = P("batch", "rows", None)
+    spec_out = P("batch", None, "rows", None)
+    fn = _shard_map(
+        local_decode, mesh,
+        (spec_blocks, spec_qf, spec_dc, spec_tiles, spec_tiles,
+         P(None, None, None)),
+        spec_out)
+    return jax.jit(fn)
+
+
+def build_sharded_encode(mesh: Mesh):
+    """Jitted sharded encode compute: RGB -> quantized coefficients + DC.
+
+    rgb f32[batch, 3, H, W] with H sharded over "rows"."""
+
+    def local_encode(rgb, qf, dm_inv, dm_y, inv_dc_mul):
+        def one(rgb1, qf1):
+            return encode_coefficients(
+                rgb1, qf1, dm_inv, dm_y,
+                inv_global_scale=jnp.float32(1024.0),
+                x_dm_mult=1.0, b_dm_mult=1.0, inv_dc_quant_mul=inv_dc_mul)
+
+        return jax.vmap(one)(rgb, qf)
+
+    fn = _shard_map(
+        local_encode, mesh,
+        (P("batch", None, "rows", None), P("batch", "rows", None),
+         P(None, None, None), P(None, None), P(None)),
+        (P("batch", None, "rows", None, None, None),
+         P("batch", None, "rows", None)))
+    return jax.jit(fn)

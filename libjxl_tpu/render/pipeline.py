@@ -1,0 +1,145 @@
+"""Decoder restoration pipeline: Gaborish + EPF as fused JAX stages.
+
+Mirrors render_pipeline/stage_gaborish.cc and stage_epf.cc + epf.cc
+(ComputeSigma). Where the reference streams rows through per-stage border
+buffers (LowMemoryRenderPipeline), the TPU design runs whole-group tensors
+through XLA-fused convolutions; cross-group halos are exchanged with
+ppermute in libjxl_tpu.parallel.sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BLOCK_DIM = 8
+INV_SIGMA_NUM = -1.1715728752538099  # epf.h:19
+MIN_SIGMA = -3.90524291751269967465540850526868  # epf.h:22
+SIGMA_PAD_VALUE = 1e10  # "no filtering" sentinel (|1/sigma| tiny)
+
+
+def gaborish_kernel(w1: float, w2: float) -> np.ndarray:
+    """3x3 kernel (stage_gaborish.cc:25-60): center 1, edges w1, corners w2,
+    normalized to sum 1."""
+    k = np.array([[w2, w1, w2], [w1, 1.0, w1], [w2, w1, w2]])
+    return k / (1.0 + 4.0 * (w1 + w2))
+
+
+def apply_gaborish(xyb, lf):
+    """Per-channel 3x3 blur with signaled weights."""
+    outs = []
+    for c, ch in enumerate("xyb"):
+        w1 = getattr(lf, f"gab_{ch}_weight1")
+        w2 = getattr(lf, f"gab_{ch}_weight2")
+        k = jnp.asarray(gaborish_kernel(w1, w2), dtype=xyb.dtype)
+        img = jnp.pad(xyb[c], 1, mode="edge")
+        out = jax.lax.conv_general_dilated(
+            img[None, None], k[None, None], (1, 1), "VALID")[0, 0]
+        outs.append(out)
+    return jnp.stack(outs)
+
+
+def compute_sigma(lf, quant_scale, raw_quant_field, epf_sharpness):
+    """epf.cc:39-85: per-block 1/sigma (negative; < MIN_SIGMA means skip)."""
+    sharp_lut = np.asarray(lf.epf_sharp_lut)
+    sigma_quant = lf.epf_quant_mul / (
+        quant_scale * raw_quant_field.astype(np.float64) * INV_SIGMA_NUM)
+    sigma = sigma_quant * sharp_lut[epf_sharpness]
+    sigma = np.minimum(-1e-4, sigma)
+    return (1.0 / sigma).astype(np.float32)
+
+
+def _sad_mul_map(h, w, border_mul):
+    """Per-pixel SAD multiplier: border rows/cols of each 8-block get
+    border_mul, others 1 (stage_epf.cc:85-106)."""
+    ys = np.ones(h)
+    xs = np.ones(w)
+    ys[0::BLOCK_DIM] = border_mul
+    ys[BLOCK_DIM - 1::BLOCK_DIM] = border_mul
+    xs[0::BLOCK_DIM] = border_mul
+    xs[BLOCK_DIM - 1::BLOCK_DIM] = border_mul
+    return np.maximum.outer(ys == border_mul, xs == border_mul) * (
+        border_mul - 1.0) + 1.0
+
+
+_PLUS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+_EPF0_NEIGHBORS = ((-2, 0), (-1, -1), (-1, 0), (-1, 1), (0, -2), (0, -1),
+                   (0, 1), (0, 2), (1, -1), (1, 0), (1, 1), (2, 0))
+_EPF12_NEIGHBORS = ((-1, 0), (0, -1), (0, 1), (1, 0))
+
+
+def _shift(img, dy, dx, pad):
+    """img: (3, H+2p, W+2p) padded; returns the (3, H, W) view shifted."""
+    h = img.shape[-2] - 2 * pad
+    w = img.shape[-1] - 2 * pad
+    return img[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+
+def _epf_pass(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
+              sad_pattern, sigma_scale):
+    """Generic EPF pass. inv_sigma_px: per-pixel 1/sigma; weights
+    w_d = max(0, 1 + SAD_d * sad_mul * sigma_scale * 1.65 * inv_sigma)."""
+    pad = 4
+    p = jnp.pad(xyb, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    cs = jnp.asarray(channel_scale, dtype=xyb.dtype)[:, None, None]
+    inv = inv_sigma_px * (sad_mul * sigma_scale * 1.65)
+    num = xyb.copy()
+    den = jnp.ones_like(xyb[0])
+    for (dy, dx) in neighbors:
+        if sad_pattern:
+            sad = jnp.zeros_like(xyb[0])
+            for (py, px) in sad_pattern:
+                a = _shift(p, py, px, pad)
+                b = _shift(p, dy + py, dx + px, pad)
+                sad = sad + jnp.sum(jnp.abs(a - b) * cs, axis=0)
+        else:
+            a = _shift(p, 0, 0, pad)
+            b = _shift(p, dy, dx, pad)
+            sad = jnp.sum(jnp.abs(a - b) * cs, axis=0)
+        weight = jnp.maximum(0.0, 1.0 + sad * inv)
+        num = num + weight[None] * _shift(p, dy, dx, pad)
+        den = den + weight
+    out = num / den[None]
+    # row_sigma < kMinSigma -> sigma negligible, copy input unfiltered
+    skip = (inv_sigma_px < MIN_SIGMA)
+    return jnp.where(skip[None], xyb, out)
+
+
+def apply_epf(xyb, lf, inv_sigma_blocks):
+    """EPF iterations per loop_filter.epf_iters (stage_epf.cc).
+
+    inv_sigma_blocks: (nby, nbx) per-block 1/sigma from compute_sigma.
+    """
+    h, w = xyb.shape[-2:]
+    nby, nbx = inv_sigma_blocks.shape
+    inv_px = jnp.repeat(jnp.repeat(
+        jnp.asarray(inv_sigma_blocks), BLOCK_DIM, 0), BLOCK_DIM, 1)[:h, :w]
+    sad_mul = jnp.asarray(
+        _sad_mul_map(h, w, lf.epf_border_sad_mul), dtype=xyb.dtype)
+    cs = lf.epf_channel_scale
+    if lf.epf_iters == 3:
+        xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF0_NEIGHBORS, _PLUS,
+                        lf.epf_pass0_sigma_scale)
+    if lf.epf_iters >= 1:
+        xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF12_NEIGHBORS, _PLUS, 1.0)
+    if lf.epf_iters >= 2:
+        xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF12_NEIGHBORS, None,
+                        lf.epf_pass2_sigma_scale)
+    return xyb
+
+
+def apply_restoration(xyb_np, fh, state):
+    """Numpy-in/numpy-out restoration used by the host decoder."""
+    lf = fh.loop_filter
+    xyb = jnp.asarray(xyb_np, dtype=jnp.float32)
+    if lf.gab:
+        xyb = apply_gaborish(xyb, lf)
+    if lf.epf_iters > 0:
+        inv_sigma = compute_sigma(lf, state.quantizer.global_scale_float,
+                                  state.raw_quant_field, state.epf_sharpness)
+        xyb = apply_epf(xyb, lf, inv_sigma)
+    return np.asarray(xyb)
