@@ -1,0 +1,76 @@
+"""cjxl — JPEG XL encoder CLI (tools/cjxl_main.cc analog).
+
+Usage: python -m libjxl_tpu.tools.cjxl INPUT OUTPUT.jxl [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="cjxl", description="TPU-native JPEG XL encoder")
+    p.add_argument("input", help="input image (png/pnm/npy/...)")
+    p.add_argument("output", help="output .jxl file")
+    p.add_argument("-d", "--distance", type=float, default=1.0,
+                   help="max butteraugli distance (0 = lossless); default 1.0")
+    p.add_argument("-q", "--quality", type=float, default=None,
+                   help="quality 0-100 (100 = lossless); maps onto distance")
+    p.add_argument("-e", "--effort", type=int, default=3,
+                   help="encode effort 1-10 (round-1: affects modular tree "
+                        "and quant choices)")
+    p.add_argument("-m", "--modular", type=int, choices=(0, 1), default=None,
+                   help="force modular (1) or VarDCT (0) mode")
+    p.add_argument("--container", action="store_true",
+                   help="wrap the codestream in an ISOBMFF container")
+    p.add_argument("--group-size-shift", type=int, default=1, choices=range(4))
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def quality_to_distance(quality: float) -> float:
+    """encode.cc JxlEncoderDistanceFromQuality mapping."""
+    if quality >= 100:
+        return 0.0
+    if quality >= 30:
+        return 0.1 + (100 - quality) * 0.09
+    return 53.0 / 3000.0 * quality * quality - 23.0 / 20.0 * quality + 25.0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..extras.io import load_image
+    from ..api.codestream import encode_lossless, encode_lossy
+    from ..io.container import wrap_codestream
+
+    image = load_image(args.input)
+    distance = args.distance
+    if args.quality is not None:
+        distance = quality_to_distance(args.quality)
+    lossless = distance == 0.0 or args.modular == 1
+    t0 = time.perf_counter()
+    if lossless:
+        data = encode_lossless(image, group_size_shift=args.group_size_shift)
+    else:
+        data = encode_lossy(image, distance=distance,
+                            group_size_shift=args.group_size_shift)
+    dt = time.perf_counter() - t0
+    if args.container:
+        data = wrap_codestream(data)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    if args.verbose:
+        h, w = image.shape[:2]
+        mp = h * w / 1e6
+        bpp = len(data) * 8 / (h * w)
+        print(f"Encoded {w}x{h} ({'lossless' if lossless else f'd{distance}'})"
+              f" to {len(data)} bytes ({bpp:.3f} bpp), "
+              f"{mp / dt:.3f} MP/s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

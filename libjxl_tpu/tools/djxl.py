@@ -1,0 +1,40 @@
+"""djxl — JPEG XL decoder CLI (tools/djxl_main.cc analog)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="djxl", description="TPU-native JPEG XL decoder")
+    p.add_argument("input", help="input .jxl file")
+    p.add_argument("output", help="output image (png/pnm/npy)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..api.codestream import decode
+    from ..extras.io import save_image
+    from ..io.container import extract_codestream
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    codestream = extract_codestream(data)
+    t0 = time.perf_counter()
+    image, meta = decode(codestream)
+    dt = time.perf_counter() - t0
+    save_image(args.output, image)
+    if args.verbose:
+        h, w = image.shape[:2]
+        print(f"Decoded {w}x{h} in {dt:.3f}s ({h * w / 1e6 / dt:.3f} MP/s)",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

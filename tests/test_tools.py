@@ -1,0 +1,97 @@
+"""CLI + container + metrics tests (reference analog: bash_test.sh flows)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.extras.io import load_image, save_image
+from libjxl_tpu.io.container import (
+    extract_codestream,
+    extract_metadata,
+    is_container,
+    wrap_codestream,
+)
+from libjxl_tpu.metrics import butteraugli_distance, compute_psnr, msssim_xyb
+
+RNG = np.random.default_rng(77)
+
+
+@pytest.fixture
+def png_image(tmp_path):
+    img = RNG.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    path = tmp_path / "in.png"
+    save_image(path, img)
+    return path, img
+
+
+def test_pnm_roundtrip(tmp_path):
+    img = RNG.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    path = tmp_path / "x.ppm"
+    save_image(path, img)
+    np.testing.assert_array_equal(load_image(path), img)
+
+
+def test_container_roundtrip():
+    cs = b"\xff\x0a" + bytes(100)
+    boxed = wrap_codestream(cs, exif=b"EXIFDATA", xml=b"<x/>")
+    assert is_container(boxed)
+    assert extract_codestream(boxed) == cs
+    meta = extract_metadata(boxed)
+    assert meta["exif"] == b"EXIFDATA"
+    assert meta["xml"] == [b"<x/>"]
+
+
+def test_cjxl_djxl_lossless_cli(tmp_path, png_image):
+    path, img = png_image
+    from libjxl_tpu.tools import cjxl, djxl, jxlinfo
+
+    out_jxl = tmp_path / "out.jxl"
+    out_png = tmp_path / "dec.png"
+    assert cjxl.main([str(path), str(out_jxl), "-q", "100", "-v"]) == 0
+    assert djxl.main([str(out_jxl), str(out_png), "-v"]) == 0
+    np.testing.assert_array_equal(load_image(out_png), img)
+    # jxlinfo on the file
+    info = jxlinfo.describe(out_jxl.read_bytes())
+    assert "56x40" in info
+    assert "Modular" in info
+
+
+def test_cjxl_lossy_container_cli(tmp_path):
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(xx * 3) % 256, (yy * 2 + 30) % 256,
+                    ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    img = (img // 4 + 96).astype(np.uint8)  # smooth, photo-like range
+    path = tmp_path / "in.png"
+    save_image(path, img)
+    from libjxl_tpu.tools import cjxl, djxl
+
+    out_jxl = tmp_path / "out.jxl"
+    out_png = tmp_path / "dec.png"
+    assert cjxl.main([str(path), str(out_jxl), "-d", "2.0",
+                      "--container"]) == 0
+    assert is_container(out_jxl.read_bytes())
+    assert djxl.main([str(out_jxl), str(out_png)]) == 0
+    out = load_image(out_png)
+    assert compute_psnr(img, out) > 30
+
+
+def test_metrics_sanity(png_image):
+    _, img = png_image
+    assert compute_psnr(img, img) == float("inf")
+    assert butteraugli_distance(img, img) == 0.0
+    assert msssim_xyb(img, img) > 99.0
+    noisy = np.clip(img.astype(int) + RNG.integers(-20, 20, img.shape),
+                    0, 255).astype(np.uint8)
+    assert butteraugli_distance(img, noisy) > 0.5
+    assert compute_psnr(img, noisy) < 40
+
+
+def test_quality_distance_mapping():
+    from libjxl_tpu.tools.cjxl import quality_to_distance
+
+    assert quality_to_distance(100) == 0.0
+    assert abs(quality_to_distance(90) - 1.0) < 0.01
+    assert quality_to_distance(50) > quality_to_distance(80)
