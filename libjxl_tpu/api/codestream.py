@@ -120,8 +120,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     fh.color_transform = CT_XYB
     fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
     fh.loop_filter.all_default = False
-    fh.loop_filter.gab = False
-    fh.loop_filter.epf_iters = 0
+    fh.loop_filter.gab = True  # decoder blurs; encoder pre-sharpens
+    fh.loop_filter.epf_iters = 2  # reference default (loop_filter.cc:56)
     rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
     rgb = np.moveaxis(rgb, -1, 0)
     encode_vardct_frame(writer, rgb, fh, distance=distance)

@@ -13,9 +13,6 @@ import functools
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 BLOCK_DIM = 8
 INV_SIGMA_NUM = -1.1715728752538099  # epf.h:19
 MIN_SIGMA = -3.90524291751269967465540850526868  # epf.h:22
@@ -29,18 +26,30 @@ def gaborish_kernel(w1: float, w2: float) -> np.ndarray:
     return k / (1.0 + 4.0 * (w1 + w2))
 
 
+def _conv2d_np(img: np.ndarray, kern: np.ndarray) -> np.ndarray:
+    """Small-kernel 2D convolution with edge padding (NumPy, host path)."""
+    kh, kw = kern.shape
+    py, px = kh // 2, kw // 2
+    p = np.pad(img, ((py, py), (px, px)), mode="edge")
+    out = np.zeros_like(img, dtype=np.float64)
+    for dy in range(kh):
+        for dx in range(kw):
+            w = kern[dy, dx]
+            if w != 0.0:
+                out += w * p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+    return out
+
+
 def apply_gaborish(xyb, lf):
-    """Per-channel 3x3 blur with signaled weights."""
+    """Per-channel 3x3 blur with signaled weights (host NumPy path; the
+    TPU path lives in parallel.sharding)."""
     outs = []
     for c, ch in enumerate("xyb"):
         w1 = getattr(lf, f"gab_{ch}_weight1")
         w2 = getattr(lf, f"gab_{ch}_weight2")
-        k = jnp.asarray(gaborish_kernel(w1, w2), dtype=xyb.dtype)
-        img = jnp.pad(xyb[c], 1, mode="edge")
-        out = jax.lax.conv_general_dilated(
-            img[None, None], k[None, None], (1, 1), "VALID")[0, 0]
-        outs.append(out)
-    return jnp.stack(outs)
+        outs.append(_conv2d_np(np.asarray(xyb[c], dtype=np.float64),
+                               gaborish_kernel(w1, w2)))
+    return np.stack(outs)
 
 
 def compute_sigma(lf, quant_scale, raw_quant_field, epf_sharpness):
@@ -79,34 +88,38 @@ def _shift(img, dy, dx, pad):
     return img[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
 
 
+def _np_pad_edge(x, pad):
+    return np.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+
 def _epf_pass(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
               sad_pattern, sigma_scale):
-    """Generic EPF pass. inv_sigma_px: per-pixel 1/sigma; weights
+    """Generic EPF pass (NumPy host path). weights
     w_d = max(0, 1 + SAD_d * sad_mul * sigma_scale * 1.65 * inv_sigma)."""
     pad = 4
-    p = jnp.pad(xyb, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
-    cs = jnp.asarray(channel_scale, dtype=xyb.dtype)[:, None, None]
+    p = _np_pad_edge(xyb, pad)
+    cs = np.asarray(channel_scale, dtype=np.float64)[:, None, None]
     inv = inv_sigma_px * (sad_mul * sigma_scale * 1.65)
     num = xyb.copy()
-    den = jnp.ones_like(xyb[0])
+    den = np.ones_like(xyb[0])
     for (dy, dx) in neighbors:
         if sad_pattern:
-            sad = jnp.zeros_like(xyb[0])
+            sad = np.zeros_like(xyb[0])
             for (py, px) in sad_pattern:
                 a = _shift(p, py, px, pad)
                 b = _shift(p, dy + py, dx + px, pad)
-                sad = sad + jnp.sum(jnp.abs(a - b) * cs, axis=0)
+                sad = sad + np.sum(np.abs(a - b) * cs, axis=0)
         else:
             a = _shift(p, 0, 0, pad)
             b = _shift(p, dy, dx, pad)
-            sad = jnp.sum(jnp.abs(a - b) * cs, axis=0)
-        weight = jnp.maximum(0.0, 1.0 + sad * inv)
+            sad = np.sum(np.abs(a - b) * cs, axis=0)
+        weight = np.maximum(0.0, 1.0 + sad * inv)
         num = num + weight[None] * _shift(p, dy, dx, pad)
         den = den + weight
     out = num / den[None]
     # row_sigma < kMinSigma -> sigma negligible, copy input unfiltered
     skip = (inv_sigma_px < MIN_SIGMA)
-    return jnp.where(skip[None], xyb, out)
+    return np.where(skip[None], xyb, out)
 
 
 def apply_epf(xyb, lf, inv_sigma_blocks):
@@ -116,10 +129,10 @@ def apply_epf(xyb, lf, inv_sigma_blocks):
     """
     h, w = xyb.shape[-2:]
     nby, nbx = inv_sigma_blocks.shape
-    inv_px = jnp.repeat(jnp.repeat(
-        jnp.asarray(inv_sigma_blocks), BLOCK_DIM, 0), BLOCK_DIM, 1)[:h, :w]
-    sad_mul = jnp.asarray(
-        _sad_mul_map(h, w, lf.epf_border_sad_mul), dtype=xyb.dtype)
+    inv_px = np.repeat(np.repeat(
+        np.asarray(inv_sigma_blocks, dtype=np.float64),
+        BLOCK_DIM, 0), BLOCK_DIM, 1)[:h, :w]
+    sad_mul = _sad_mul_map(h, w, lf.epf_border_sad_mul)
     cs = lf.epf_channel_scale
     if lf.epf_iters == 3:
         xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF0_NEIGHBORS, _PLUS,
@@ -133,13 +146,14 @@ def apply_epf(xyb, lf, inv_sigma_blocks):
 
 
 def apply_restoration(xyb_np, fh, state):
-    """Numpy-in/numpy-out restoration used by the host decoder."""
+    """NumPy-in/NumPy-out restoration used by the host decoder (no device
+    dependency; the TPU-resident variant lives in parallel.sharding)."""
     lf = fh.loop_filter
-    xyb = jnp.asarray(xyb_np, dtype=jnp.float32)
+    xyb = np.asarray(xyb_np, dtype=np.float64)
     if lf.gab:
         xyb = apply_gaborish(xyb, lf)
     if lf.epf_iters > 0:
         inv_sigma = compute_sigma(lf, state.quantizer.global_scale_float,
                                   state.raw_quant_field, state.epf_sharpness)
         xyb = apply_epf(xyb, lf, inv_sigma)
-    return np.asarray(xyb)
+    return xyb

@@ -592,11 +592,19 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
 
 
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
-                        fh: FrameHeader, distance: float = 1.0) -> None:
-    """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8, uniform quant)."""
+                        fh: FrameHeader, distance: float = 1.0,
+                        adaptive_quant: bool = True,
+                        cfl: bool = True) -> None:
+    """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
+
+    Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
+    header enables the decoder-side blur, per-block adaptive quant field,
+    per-tile chroma-from-luma fit — the round-1 subset of
+    LossyFrameHeuristics (enc_heuristics.cc:1011-1206)."""
     from ..api.frame import num_toc_entries
     from ..io.toc import write_group_offsets
     from ..ops.xyb import linear_rgb_to_xyb
+    from .heuristics import apply_gaborish_inverse, fit_cfl, initial_quant_field
 
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
@@ -606,19 +614,66 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     pad_x = fd.xsize_padded - w
     rgb = np.pad(rgb_linear, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
     xyb = linear_rgb_to_xyb(rgb)
+    if fh.loop_filter.gab:
+        xyb = apply_gaborish_inverse(xyb)
     # quantizer setup (SetQuant path, quantizer.cc:112-115)
     quant_ac = K_AC_QUANT / distance
     quant_dc = K_DC_QUANT / distance
     state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
     raw_qf = max(1, min(QUANT_MAX,
                         int(quant_ac * state.quantizer.global_scale_float + 0.5)))
-    state.raw_quant_field[:, :] = raw_qf
+    if adaptive_quant:
+        state.raw_quant_field = initial_quant_field(
+            xyb[1], fd.ysize_blocks, fd.xsize_blocks, distance, raw_qf)
+    else:
+        state.raw_quant_field[:, :] = raw_qf
     state.strategy[:, :] = acs.DCT
     state.is_origin[:, :] = True
+    if fh.loop_filter.epf_iters > 0:
+        # mid-LUT sharpness enables the decoder's edge-preserving filter
+        # (the reference picks per-block values in ComputeARHeuristics)
+        state.epf_sharpness[:, :] = 4
     # DC = DCT DC coefficients = 8x8 block means
     state.dc = xyb.reshape(3, fd.ysize_blocks, 8, fd.xsize_blocks, 8).mean(
         axis=(2, 4))
-    # global modular tree for the DC/metadata substreams
+    # quantize AC coefficients (vectorized over the whole block grid —
+    # mirrors enc_group.cc ComputeCoefficients, batched like the TPU path)
+    inv_gs = state.quantizer.inv_global_scale
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    kind = acs.QUANT_TABLE[acs.DCT]
+    dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
+                       for c in range(3)])  # (3, 8, 8), LLF zeroed
+    dm_y = state.matrices.dequant_matrix(kind, 1)
+    blocks = xyb.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
+    from ..ops.dct import fwd_matrix
+
+    f8 = fwd_matrix(8)
+    co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8)
+    scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
+        None, :, :, None, None]
+    qy = np.round(co[1] * dm_inv[1] / scaled[0])
+    dy = adjust_quant_bias(qy, 1) * dm_y * scaled[0]
+    if cfl:
+        state.ytox_map, state.ytob_map = fit_cfl(co[0], co[1], co[2],
+                                                 nby, nbx)
+    x_cc = (state.base_x + np.repeat(np.repeat(
+        state.ytox_map, 8, 0), 8, 1)[:nby, :nbx]
+        / state.color_factor)[:, :, None, None]
+    b_cc = (state.base_b + np.repeat(np.repeat(
+        state.ytob_map, 8, 0), 8, 1)[:nby, :nbx]
+        / state.color_factor)[:, :, None, None]
+    qx = np.round((co[0] - x_cc * dy) * dm_inv[0]
+                  / (scaled[0] * state.x_dm_mult))
+    qb = np.round((co[2] - b_cc * dy) * dm_inv[2]
+                  / (scaled[0] * state.b_dm_mult))
+    qall = np.stack([qx, qy, qb]).astype(np.int64)
+    qall[:, :, :, 0, 0] = 0  # LLF not coded
+    coeffs_q = {}
+    for by in range(nby):
+        for bx in range(nbx):
+            coeffs_q[(by, bx)] = qall[:, by, bx].reshape(3, 64)
+    # global modular tree for the DC/metadata substreams; tokenized AFTER
+    # the CfL fit so the AC-metadata stream carries the fitted tile maps
     tree = make_fixed_tree(P_GRADIENT)
     tree_writer = BitWriter()
     dec_tree = encode_tree(tree, tree_writer)
@@ -635,34 +690,6 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     codes, context_map = build_and_encode_histograms(
         modular_token_lists, num_tree_contexts(dec_tree), histo_writer)
 
-    # quantize AC coefficients per block
-    inv_gs = state.quantizer.inv_global_scale
-    coeffs_q = {}
-    dm_inv = {}
-    for by in range(fd.ysize_blocks):
-        for bx in range(fd.xsize_blocks):
-            strategy = acs.DCT
-            kind = acs.QUANT_TABLE[strategy]
-            if kind not in dm_inv:
-                dm_inv[kind] = [state.matrices.inv_matrix(kind, c).reshape(-1)
-                                for c in range(3)]
-            quant = int(state.raw_quant_field[by, bx])
-            scaled = inv_gs / quant
-            block = xyb[:, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            co = np.stack([transform_from_pixels(strategy, block[c])
-                           for c in range(3)]).reshape(3, 64)
-            qy = np.round(co[1] * dm_inv[kind][1] / scaled)
-            # dequantized Y for exact CfL subtraction (LLF-safe: use the
-            # dequant matrix, whose LLF entries are finite)
-            dm_full_y = state.matrices.dequant_matrix(kind, 1).reshape(-1)
-            dy = adjust_quant_bias(qy, 1) * dm_full_y * scaled
-            qx = np.round((co[0] - 0.0 * dy) * dm_inv[kind][0]
-                          / (scaled * state.x_dm_mult))
-            qb = np.round((co[2] - Y_TO_B_BASE * dy) * dm_inv[kind][2]
-                          / (scaled * state.b_dm_mult))
-            q = np.stack([qx, qy, qb]).astype(np.int64)
-            q[:, 0] = 0  # LLF not coded
-            coeffs_q[(by, bx)] = q
     ac_token_lists = []
     for g in range(fd.num_groups):
         ac_token_lists.append(tokenize_ac_group(state, g, coeffs_q))

@@ -1,0 +1,115 @@
+"""Encoder heuristics: inverse Gaborish, adaptive quant field, CfL fitting.
+
+- gaborish_inverse mirrors enc_gaborish.cc:21-49 (symmetric-5x5 sharpen
+  whose coefficients were butteraugli-optimized in the reference; they are
+  format-relevant only through rate/distortion, not bitstream legality).
+- initial_quant_field is a vectorized reformulation of
+  enc_adaptive_quantization.cc InitialQuantField: per-block masking from
+  local activity of the Y channel. The reference's full Butteraugli
+  feedback loop (FindBestQuantization) hooks in at higher efforts.
+- fit_cfl mirrors CfLHeuristics (enc_chroma_from_luma.cc): per 64x64 tile
+  least-squares of X (and B-Y) against Y in the DCT-coefficient domain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ctx import QUANT_MAX
+
+# kGaborish (enc_gaborish.cc:30-33)
+_K_GABORISH = (-0.09495815671340026, -0.041031725066768575,
+               0.013710004822696948, 0.006510206083837737,
+               -0.0014789063378272242)
+
+
+def gaborish_inverse_kernel(mul: float = 1.0) -> np.ndarray:
+    """5x5 sharpen kernel approximating the inverse of the decoder's 3x3
+    Gaborish blur."""
+    k0, k1, k2, k3, k4 = _K_GABORISH
+    s = 1.0 + mul * 4 * (k0 + k1 + k2 + k4 + 2 * k3)
+    s = max(s, 1e-5)
+    norm = 1.0 / s
+    m = mul * norm
+    kern = np.zeros((5, 5))
+    kern[2, 2] = norm
+    for (dy, dx), w in (
+        (((0, 1)), k0), ((1, 1), k1), ((0, 2), k2), ((1, 2), k3),
+            ((2, 2), k4)):
+        positions = set()
+        for sy in (-1, 1):
+            for sx in (-1, 1):
+                positions.add((2 + sy * dy, 2 + sx * dx))
+                positions.add((2 + sy * dx, 2 + sx * dy))
+        for (y, x) in positions:
+            kern[y, x] = m * w
+    return kern
+
+
+def apply_gaborish_inverse(xyb: np.ndarray) -> np.ndarray:
+    """Sharpen all three channels with the inverse kernel (edge padding)."""
+    kern = gaborish_inverse_kernel(1.0)
+    out = np.empty_like(xyb)
+    pad = 2
+    for c in range(3):
+        p = np.pad(xyb[c], pad, mode="edge")
+        acc = np.zeros_like(xyb[c])
+        for dy in range(5):
+            for dx in range(5):
+                w = kern[dy, dx]
+                if w == 0.0:
+                    continue
+                acc += w * p[dy:dy + xyb.shape[1], dx:dx + xyb.shape[2]]
+        out[c] = acc
+    return out
+
+
+def initial_quant_field(y: np.ndarray, nby: int, nbx: int, distance: float,
+                        base_quant: float) -> np.ndarray:
+    """Per-block quant multipliers from local Y-channel activity.
+
+    Smooth blocks (low gradient energy) get higher quant (finer steps are
+    perceptually needed there is inverted in JXL convention: raw_quant is a
+    *multiplier*, higher = finer). Busy blocks mask errors -> lower quant.
+    Returns int32 (nby, nbx) raw quant field values.
+    """
+    h, w = nby * 8, nbx * 8
+    yp = y[:h, :w]
+    gy = np.abs(np.diff(yp, axis=0, prepend=yp[:1]))
+    gx = np.abs(np.diff(yp, axis=1, prepend=yp[:, :1]))
+    grad = (gy + gx).reshape(nby, 8, nbx, 8).mean(axis=(1, 3))
+    # masking: log-domain modulation around the base quant
+    act = np.log1p(grad * 80.0)
+    mod = np.clip(1.6 - 0.35 * act, 0.55, 1.8)
+    qf = np.clip(np.round(base_quant * mod), 1, QUANT_MAX)
+    return qf.astype(np.int32)
+
+
+def fit_cfl(coeffs_x: np.ndarray, coeffs_y: np.ndarray, coeffs_b: np.ndarray,
+            nby: int, nbx: int, color_factor: int = 84,
+            base_b: float = 1.0):
+    """Least-squares per-64x64-tile CfL factors in the coefficient domain.
+
+    coeffs_*: (nby, nbx, 8, 8) dequantization-domain DCT coefficients (AC
+    only considered; LLF ignored). Returns (ytox_map, ytob_map) int32 maps
+    of shape (ceil(nby/8), ceil(nbx/8)) with values in [-128, 127].
+    """
+    tby, tbx = -(-nby // 8), -(-nbx // 8)
+    ytox = np.zeros((tby, tbx), dtype=np.int32)
+    ytob = np.zeros((tby, tbx), dtype=np.int32)
+    mask = np.ones((8, 8), dtype=bool)
+    mask[0, 0] = False  # exclude LLF
+    for ty in range(tby):
+        for tx in range(tbx):
+            sl = (slice(ty * 8, min((ty + 1) * 8, nby)),
+                  slice(tx * 8, min((tx + 1) * 8, nbx)))
+            ys = coeffs_y[sl][..., mask].reshape(-1)
+            xs = coeffs_x[sl][..., mask].reshape(-1)
+            bs = coeffs_b[sl][..., mask].reshape(-1)
+            denom = float(np.dot(ys, ys)) + 1e-9
+            rx = float(np.dot(xs, ys)) / denom
+            rb = float(np.dot(bs, ys)) / denom
+            ytox[ty, tx] = int(np.clip(round(rx * color_factor), -128, 127))
+            ytob[ty, tx] = int(np.clip(
+                round((rb - base_b) * color_factor), -128, 127))
+    return ytox, ytob
