@@ -88,7 +88,8 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
     if nc == 4:
         channels.append(image[:, :, 3].astype(np.int32))
     opts = ModularEncOptions(group_size_shift=group_size_shift,
-                             color_transform=6 if nc >= 3 else None)
+                             color_transform=6 if nc >= 3 else None,
+                             effort=effort)
     encode_modular_frame(writer, channels, fh, opts)
     return writer.get_bytes()
 

@@ -293,6 +293,8 @@ class ModularEncOptions:
     group_size_shift: int = 1
     color_transform: int = 6  # RCT type; None = keep raw channels
     predictor: int = P_GRADIENT
+    effort: int = 3  # >= 4 learns an MA tree (enc_ma analog)
+    tree_sample_step: int = 2
 
 
 def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
@@ -320,7 +322,14 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
         global_transforms.append(t)
     image.transform = global_transforms
 
-    tree = make_fixed_tree(options.predictor)
+    if options.effort >= 4:
+        from ..modular.learn import learn_tree
+
+        tree = learn_tree(
+            [(ch.data, i, 0) for i, ch in enumerate(image.channel)],
+            sample_step=options.tree_sample_step)
+    else:
+        tree = make_fixed_tree(options.predictor)
     # Tokenize all streams with the decoder-layout tree.
     tree_writer = BitWriter()
     dec_tree = encode_tree(tree, tree_writer)

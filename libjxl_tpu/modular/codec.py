@@ -174,10 +174,13 @@ def _decode_channel(r: BitReader, reader: ANSSymbolReader, context_map,
                 neighbors(plane, x, y, w)
             compute_properties(props, x, y, w, left, top, topleft, topright,
                                leftleft, toptop)
-            wp_pred, wp_prop = wp_state.predict(
-                x, y, w, top, left, topright, topleft, toptop,
-                compute_property=True)
-            props[NUM_NONREF_PROPERTIES - 1] = wp_prop
+            if uses_wp:
+                wp_pred, wp_prop = wp_state.predict(
+                    x, y, w, top, left, topright, topleft, toptop,
+                    compute_property=True)
+                props[NUM_NONREF_PROPERTIES - 1] = wp_prop
+            else:
+                wp_pred = 0
             for i in range(num_refs):
                 props[NUM_NONREF_PROPERTIES + i] = int(references[x][i])
             leaf = lookup_tree(tree, props)
@@ -188,7 +191,8 @@ def _decode_channel(r: BitReader, reader: ANSSymbolReader, context_map,
                 leftleft, trr, wp_pred)
             val = unpack_signed(v) * leaf.multiplier + guess
             row[x] = val
-            wp_state.update_errors(val, x, y, w)
+            if uses_wp:
+                wp_state.update_errors(val, x, y, w)
 
 
 def modular_decode(r: BitReader, image: ModularImage, group_id: int = 0,
@@ -271,6 +275,11 @@ def _tokenize_channel(image: ModularImage, chan: int, group_id: int,
         return
     ftree, uses_wp, max_prop = filter_tree(tree, (chan, group_id))
     plane = channel.data
+    if len(ftree) > 1 and not uses_wp and max_prop < NUM_NONREF_PROPERTIES - 1:
+        from .learn import tokenize_channel_vectorized
+
+        if tokenize_channel_vectorized(plane, chan, group_id, tree, tokens):
+            return
     if len(ftree) == 1 and not uses_wp:
         node = ftree[0]
         data = plane.astype(np.int64)
@@ -326,10 +335,13 @@ def _tokenize_channel(image: ModularImage, chan: int, group_id: int,
                 neighbors(plane, x, y, w)
             compute_properties(props, x, y, w, left, top, topleft, topright,
                                leftleft, toptop)
-            wp_pred, wp_prop = wp_state.predict(
-                x, y, w, top, left, topright, topleft, toptop,
-                compute_property=True)
-            props[NUM_NONREF_PROPERTIES - 1] = wp_prop
+            if uses_wp:
+                wp_pred, wp_prop = wp_state.predict(
+                    x, y, w, top, left, topright, topleft, toptop,
+                    compute_property=True)
+                props[NUM_NONREF_PROPERTIES - 1] = wp_prop
+            else:
+                wp_pred = 0
             for i in range(num_refs):
                 props[NUM_NONREF_PROPERTIES + i] = int(references[x][i])
             leaf = lookup_tree(ftree, props)
@@ -343,7 +355,8 @@ def _tokenize_channel(image: ModularImage, chan: int, group_id: int,
                     raise JXLError("residual not divisible by multiplier")
                 residual //= leaf.multiplier
             tokens.append(Token(leaf.context, pack_signed(residual)))
-            wp_state.update_errors(val, x, y, w)
+            if uses_wp:
+                wp_state.update_errors(val, x, y, w)
 
 
 def modular_encode(image: ModularImage, w: BitWriter, group_id: int = 0,

@@ -1,0 +1,258 @@
+"""MA tree learning (CART) + vectorized channel tokenization.
+
+Vectorized reformulation of enc_ma.cc ComputeBestTree: all local
+properties and all static-predictor residuals are shift-arithmetic on the
+channel plane, so property extraction and tree evaluation run as NumPy
+array ops instead of the reference's per-pixel sample loop. The weighted
+predictor (sequential state) is excluded from learned trees
+(ModularOptions::TreeMode::kNoWP analog).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..entropy.encode import Token
+from .predict import (
+    NUM_NONREF_PROPERTIES,
+    P_GRADIENT,
+    P_LEFT,
+    P_SELECT,
+    P_TOP,
+    P_ZERO,
+    P_AVG0,
+)
+from .tree import Tree, TreeNode
+
+
+def neighbor_planes(data: np.ndarray):
+    """Edge-case-correct neighbor arrays (context_predict.h:493-500)."""
+    d = data.astype(np.int64)
+    h, w = d.shape
+    left = np.zeros_like(d)
+    left[:, 1:] = d[:, :-1]
+    left[1:, 0] = d[:-1, 0]
+    top = np.empty_like(d)
+    top[1:] = d[:-1]
+    top[0] = left[0]
+    topleft = np.zeros_like(d)
+    topleft[1:, 1:] = d[:-1, :-1]
+    topleft[:, 0] = left[:, 0]
+    topleft[0, 1:] = left[0, 1:]
+    topright = np.empty_like(d)
+    topright[1:, :-1] = d[:-1, 1:]
+    topright[:, -1] = top[:, -1]
+    topright[0, :] = top[0, :]
+    leftleft = np.empty_like(d)
+    leftleft[:, 2:] = d[:, :-2]
+    leftleft[:, :2] = left[:, :2]
+    toptop = np.empty_like(d)
+    toptop[2:] = d[:-2]
+    toptop[:2] = top[:2]
+    return left, top, topleft, topright, leftleft, toptop
+
+
+def property_planes(data: np.ndarray, chan: int, group_id: int):
+    """(NUM_NONREF_PROPERTIES, H, W) int64 property arrays; WP property
+    (index 15) is left as zeros (NoWP trees only)."""
+    h, w = data.shape
+    left, top, topleft, topright, leftleft, toptop = neighbor_planes(data)
+    props = np.zeros((NUM_NONREF_PROPERTIES, h, w), dtype=np.int64)
+    props[0] = chan
+    props[1] = group_id
+    props[2] = np.arange(h)[:, None]
+    props[3] = np.arange(w)[None, :]
+    props[4] = np.abs(top)
+    props[5] = np.abs(left)
+    props[6] = top
+    props[7] = left
+    p9 = left + top - topleft
+    prev9 = np.zeros_like(p9)
+    prev9[:, 1:] = p9[:, :-1]  # props[9] of the previous pixel; 0 at x=0
+    props[8] = left - prev9
+    props[9] = p9
+    props[10] = left - topleft
+    props[11] = topleft - top
+    props[12] = top - topright
+    props[13] = top - toptop
+    props[14] = left - leftleft
+    return props
+
+
+_CG_PREDICTORS = (P_ZERO, P_LEFT, P_TOP, P_AVG0, P_GRADIENT, P_SELECT)
+
+
+def predictor_planes(data: np.ndarray):
+    """Residual plane per static predictor id (vectorized PredictOne)."""
+    d = data.astype(np.int64)
+    left, top, topleft, topright, leftleft, toptop = neighbor_planes(d)
+    m = np.minimum(top, left)
+    M = np.maximum(top, left)
+    grad = np.where(topleft < m, M,
+                    np.where(topleft > M, m, top + left - topleft))
+    p = top + left - topleft
+    select = np.where(np.abs(p - left) < np.abs(p - top), left, top)
+    avg0 = _trunc_div2(left + top)
+    return {
+        P_ZERO: np.zeros_like(d),
+        P_LEFT: left,
+        P_TOP: top,
+        P_AVG0: avg0,
+        P_GRADIENT: grad,
+        P_SELECT: select,
+    }
+
+
+def _trunc_div2(v):
+    return np.where(v >= 0, v // 2, -((-v) // 2))
+
+
+def _token_entropy_bits(values: np.ndarray) -> float:
+    """Estimated bits to code zigzagged residuals as hybrid-uint tokens."""
+    u = np.where(values >= 0, values * 2, -values * 2 - 1).astype(np.uint64)
+    # token id + raw bit count for config (4, 2, 0)
+    nbits = np.zeros_like(u, dtype=np.int64)
+    big = u >= 16
+    if big.any():
+        n = np.floor(np.log2(u[big].astype(np.float64))).astype(np.int64)
+        nbits[big] = n - 2
+    tokens = np.where(big, 16 + nbits * 4, u).astype(np.int64)
+    counts = np.bincount(tokens)
+    counts = counts[counts > 0]
+    total = counts.sum()
+    ent = float(-(counts * (np.log2(counts) - math.log2(total))).sum())
+    return ent + float(nbits.sum())
+
+
+def _best_predictor(residuals: dict, idx: np.ndarray):
+    best_p, best_cost = P_GRADIENT, float("inf")
+    for p, res in residuals.items():
+        cost = _token_entropy_bits(res[idx])
+        if cost < best_cost:
+            best_p, best_cost = p, cost
+    return best_p, best_cost
+
+
+# properties considered for splits (reference default set,
+# options.h:80-82, minus WP)
+SPLIT_PROPERTIES = (9, 10, 11, 12, 13, 14, 6, 7, 4, 5, 2, 3)
+
+
+def learn_tree(channels, max_nodes: int = 127, sample_step: int = 1,
+               threshold_bits: float = 120.0) -> Tree:
+    """Greedy CART over (properties, residuals) samples.
+
+    channels: list of (data, chan_index, group_id) to learn jointly.
+    Returns an encoder-layout Tree (lchild = property > splitval branch).
+    """
+    prop_samples = []
+    res_samples = {p: [] for p in _CG_PREDICTORS}
+    for (data, chan, gid) in channels:
+        if data.size == 0:
+            continue
+        props = property_planes(data, chan, gid)
+        preds = predictor_planes(data)
+        sl = (slice(None, None, sample_step), slice(None, None, sample_step))
+        prop_samples.append(
+            props[:, sl[0], sl[1]].reshape(NUM_NONREF_PROPERTIES, -1))
+        d = data.astype(np.int64)[sl]
+        for p in _CG_PREDICTORS:
+            res_samples[p].append((d - preds[p][sl]).reshape(-1))
+    if not prop_samples:
+        return [TreeNode(-1, 0, 0, 0, P_GRADIENT, 0, 1)]
+    props = np.concatenate(prop_samples, axis=1)
+    residuals = {p: np.concatenate(v) for p, v in res_samples.items()}
+    n = props.shape[1]
+
+    tree: Tree = []
+
+    def build(idx: np.ndarray) -> int:
+        """Returns node index in `tree`."""
+        node_pos = len(tree)
+        tree.append(None)  # placeholder
+        best_p, base_cost = _best_predictor(residuals, idx)
+        best = None
+        if len(tree) + 2 <= max_nodes and len(idx) > 64:
+            for prop in SPLIT_PROPERTIES:
+                vals = props[prop][idx]
+                # candidate thresholds: a few quantiles
+                qs = np.unique(np.percentile(
+                    vals, [12.5, 25, 37.5, 50, 62.5, 75, 87.5]).astype(np.int64))
+                for t in qs:
+                    right = vals <= t
+                    nr = int(right.sum())
+                    if nr == 0 or nr == len(vals):
+                        continue
+                    idx_l = idx[~right]
+                    idx_r = idx[right]
+                    _, cl = _best_predictor(residuals, idx_l)
+                    _, cr = _best_predictor(residuals, idx_r)
+                    gain = base_cost - (cl + cr)
+                    if gain > threshold_bits and (
+                            best is None or gain > best[0]):
+                        best = (gain, prop, int(t))
+        if best is None:
+            tree[node_pos] = TreeNode(-1, 0, 0, 0, best_p, 0, 1)
+            return node_pos
+        _, prop, t = best
+        vals = props[prop][idx]
+        lpos = build(idx[vals > t])
+        rpos = build(idx[vals <= t])
+        tree[node_pos] = TreeNode(prop, t, lpos, rpos, 0, 0, 1)
+        return node_pos
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        build(np.arange(n))
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return tree
+
+
+def tokenize_channel_vectorized(data: np.ndarray, chan: int, group_id: int,
+                                dec_tree: Tree, tokens: list) -> bool:
+    """Vectorized tokenization for WP-free trees with static predictors.
+
+    Returns False (caller must fall back to the scalar path) if the tree
+    needs the weighted predictor or reference properties."""
+    from .tree import filter_tree
+
+    ftree, uses_wp, max_prop = filter_tree(dec_tree, (chan, group_id))
+    if uses_wp or max_prop >= NUM_NONREF_PROPERTIES - 1:
+        return False
+    for node in ftree:
+        if node.property == -1 and node.predictor not in _CG_PREDICTORS:
+            return False
+    h, w = data.shape
+    if h == 0 or w == 0:
+        return True
+    props = property_planes(data, chan, group_id)
+    preds = predictor_planes(data)
+    d = data.astype(np.int64)
+    ctx_plane = np.zeros((h, w), dtype=np.int32)
+    res_plane = np.zeros((h, w), dtype=np.int64)
+    # evaluate the tree with masks
+    stack = [(0, np.ones((h, w), dtype=bool))]
+    while stack:
+        pos, mask = stack.pop()
+        node = ftree[pos]
+        if node.property == -1:
+            ctx_plane[mask] = node.context
+            res = d - preds[node.predictor] - node.predictor_offset
+            if node.multiplier != 1:
+                res = res // node.multiplier
+            res_plane[mask] = res[mask]
+            continue
+        go_left = props[node.property] > node.splitval
+        stack.append((node.lchild, mask & go_left))
+        stack.append((node.rchild, mask & ~go_left))
+    flat_ctx = ctx_plane.reshape(-1)
+    flat_res = res_plane.reshape(-1)
+    packed = np.where(flat_res >= 0, flat_res * 2, -flat_res * 2 - 1)
+    tokens.extend(Token(int(c), int(v)) for c, v in zip(flat_ctx, packed))
+    return True

@@ -1,0 +1,80 @@
+"""Learned MA tree tests (reference analog: enc_ma + modular_test.cc)."""
+
+import numpy as np
+
+from libjxl_tpu.api.codestream import decode, encode_lossless
+from libjxl_tpu.entropy.encode import Token
+from libjxl_tpu.modular.learn import (
+    learn_tree,
+    property_planes,
+    tokenize_channel_vectorized,
+)
+from libjxl_tpu.modular.codec import _tokenize_channel, GroupHeader
+from libjxl_tpu.modular.image import Channel, ModularImage
+from libjxl_tpu.modular.predict import (
+    NUM_NONREF_PROPERTIES,
+    compute_properties,
+    neighbors,
+)
+from libjxl_tpu.modular.tree import TreeNode, tokenize_tree
+
+RNG = np.random.default_rng(11)
+
+
+def test_property_planes_match_scalar():
+    data = RNG.integers(-100, 100, (9, 11)).astype(np.int32)
+    planes = property_planes(data, chan=2, group_id=5)
+    props = [0] * NUM_NONREF_PROPERTIES
+    for y in range(9):
+        props[0], props[1], props[2], props[9] = 2, 5, y, 0
+        for x in range(11):
+            left, top, topleft, topright, leftleft, toptop, _ = \
+                neighbors(data, x, y, 11)
+            compute_properties(props, x, y, 11, left, top, topleft,
+                               topright, leftleft, toptop)
+            for p in range(NUM_NONREF_PROPERTIES - 1):  # skip WP prop
+                assert planes[p, y, x] == props[p], (p, y, x)
+
+
+def test_vectorized_tokenizer_matches_scalar():
+    data = RNG.integers(0, 256, (12, 14)).astype(np.int32)
+    # small learned tree over this data
+    tree = learn_tree([(data, 0, 0)], max_nodes=15, threshold_bits=10.0)
+    _, dec_tree = tokenize_tree(tree)
+    tokens_vec = []
+    assert tokenize_channel_vectorized(data, 0, 0, dec_tree, tokens_vec)
+    img = ModularImage(14, 12, 8, 0)
+    img.channel = [Channel(14, 12, data=data.copy())]
+    tokens_scalar = []
+    # scalar path: bypass the vectorized branch by calling the general loop
+    from libjxl_tpu.modular import codec as mcodec
+
+    gh = GroupHeader()
+    # force scalar by monkeypatching the vectorized helper to decline
+    orig = mcodec._tokenize_channel
+    import libjxl_tpu.modular.learn as learn_mod
+
+    real = learn_mod.tokenize_channel_vectorized
+    learn_mod.tokenize_channel_vectorized = lambda *a, **k: False
+    try:
+        mcodec._tokenize_channel(img, 0, 0, dec_tree, gh.wp_header,
+                                 tokens_scalar)
+    finally:
+        learn_mod.tokenize_channel_vectorized = real
+    assert tokens_vec == tokens_scalar
+
+
+def test_learned_tree_improves_compression_and_roundtrips():
+    yy, xx = np.mgrid[0:96, 0:96]
+    img = np.stack([
+        ((xx // 3 + yy // 2) % 200 + 20),
+        ((xx ^ yy) % 64 + 50),
+        (np.minimum(xx, yy) % 150),
+    ], axis=-1).astype(np.uint8)
+    d3 = encode_lossless(img, effort=3)
+    d5 = encode_lossless(img, effort=5)
+    out3, _ = decode(d3)
+    out5, _ = decode(d5)
+    np.testing.assert_array_equal(out3, img)
+    np.testing.assert_array_equal(out5, img)
+    assert len(d5) < len(d3)
