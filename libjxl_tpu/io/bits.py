@@ -81,6 +81,14 @@ class BitReader:
             if pad != 0:
                 raise JXLError("nonzero padding at byte boundary")
 
+    def seek_bits(self, bitpos: int) -> None:
+        """Reposition to an absolute bit offset (used after native decode)."""
+        self.pos = bitpos // 8
+        self.buf = 0
+        self.bits_in_buf = 0
+        if bitpos % 8:
+            self.read_bits(bitpos % 8)
+
     def close(self) -> None:
         if not self.all_reads_within_bounds():
             raise NotEnoughBytes(

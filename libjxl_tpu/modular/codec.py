@@ -122,6 +122,33 @@ def _decode_channel(r: BitReader, reader: ANSSymbolReader, context_map,
         return
     tree, uses_wp, max_prop = filter_tree(global_tree, (chan, group_id))
 
+    # Native C fast path: WP-free trees without reference properties or
+    # LZ77 (native/modular_decode.c).
+    if (not uses_wp and max_prop < NUM_NONREF_PROPERTIES - 1
+            and not reader.use_prefix_code
+            and getattr(reader, "lz77_window", None) is None
+            and all(n.predictor != P_WEIGHTED for n in tree if n.property == -1)):
+        from ..native_ext import (
+            NativeCodes,
+            NativeTree,
+            decode_channel_native,
+            get_lib,
+        )
+
+        lib = get_lib()
+        if lib is not None:
+            ncodes = getattr(reader, "_native_codes", None)
+            if ncodes is None:
+                ncodes = NativeCodes(reader.code, context_map)
+                reader._native_codes = ncodes
+            out, bitpos, state = decode_channel_native(
+                lib, r.data, r.total_bits_consumed(), reader.state,
+                ncodes, NativeTree(tree), chan, group_id, w, h)
+            channel.data[:, :] = out
+            r.seek_bits(bitpos)
+            reader.state = state
+            return
+
     def make_pixel(v, multiplier, offset):
         return unpack_signed(v) * multiplier + offset
 

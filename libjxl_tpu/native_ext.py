@@ -1,0 +1,135 @@
+"""ctypes loader for the native C hot loops (native/modular_decode.c).
+
+Compiled on demand with the system C compiler; decoding falls back to the
+pure-Python path when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "native" / "modular_decode.c"
+_SO = _ROOT / "native" / "_jxl_native.so"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    lib.decode_channel_nowp.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def _u16(a):
+    return np.ascontiguousarray(a, dtype=np.uint16)
+
+
+class NativeCodes:
+    """Preprocessed ANS tables for the C decoder; built once per stream."""
+
+    def __init__(self, code, context_map):
+        tables = code.alias_tables
+        n = len(tables)
+        size = 1 << code.log_alpha_size
+        self.cutoff = np.zeros((n, size), dtype=np.uint16)
+        self.right = np.zeros((n, size), dtype=np.uint16)
+        self.freq0 = np.zeros((n, size), dtype=np.uint16)
+        self.offsets1 = np.zeros((n, size), dtype=np.uint16)
+        self.freq1 = np.zeros((n, size), dtype=np.uint16)
+        for i, t in enumerate(tables):
+            self.cutoff[i] = t.cutoff
+            self.right[i] = t.right_value
+            self.freq0[i] = t.freq0
+            self.offsets1[i] = t.offsets1
+            self.freq1[i] = t.freq1
+        self.log_alpha_size = code.log_alpha_size
+        self.context_map = np.ascontiguousarray(context_map, dtype=np.uint8)
+        self.cfg_split = np.array(
+            [c.split_exponent for c in code.uint_config], dtype=np.uint32)
+        self.cfg_msb = np.array(
+            [c.msb_in_token for c in code.uint_config], dtype=np.uint32)
+        self.cfg_lsb = np.array(
+            [c.lsb_in_token for c in code.uint_config], dtype=np.uint32)
+
+
+class NativeTree:
+    def __init__(self, tree):
+        n = len(tree)
+        self.property = np.array([t.property for t in tree], dtype=np.int32)
+        self.splitval = np.array([t.splitval for t in tree], dtype=np.int32)
+        self.lchild = np.array([t.lchild for t in tree], dtype=np.int32)
+        self.rchild = np.array([t.rchild for t in tree], dtype=np.int32)
+        self.predictor = np.array([t.predictor for t in tree], dtype=np.int32)
+        self.offset = np.array([t.predictor_offset for t in tree],
+                               dtype=np.int64)
+        self.multiplier = np.array([t.multiplier for t in tree],
+                                   dtype=np.int32)
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def decode_channel_native(lib, data: bytes, bitpos: int, state: int,
+                          ncodes: NativeCodes, ntree: NativeTree,
+                          chan: int, group_id: int, w: int, h: int):
+    """Returns (out int32 (h, w), new_bitpos, new_state)."""
+    out = np.zeros((h, w), dtype=np.int32)
+    bp = ctypes.c_uint64(bitpos)
+    st = ctypes.c_uint32(state)
+    buf = ctypes.create_string_buffer(data, len(data))
+    rc = lib.decode_channel_nowp(
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_size_t(len(data)),
+        ctypes.byref(bp), ctypes.byref(st),
+        _ptr(ncodes.cutoff, ctypes.c_uint16),
+        _ptr(ncodes.right, ctypes.c_uint16),
+        _ptr(ncodes.freq0, ctypes.c_uint16),
+        _ptr(ncodes.offsets1, ctypes.c_uint16),
+        _ptr(ncodes.freq1, ctypes.c_uint16),
+        ctypes.c_int(ncodes.log_alpha_size),
+        _ptr(ncodes.context_map, ctypes.c_uint8),
+        _ptr(ncodes.cfg_split, ctypes.c_uint32),
+        _ptr(ncodes.cfg_msb, ctypes.c_uint32),
+        _ptr(ncodes.cfg_lsb, ctypes.c_uint32),
+        _ptr(ntree.property, ctypes.c_int32),
+        _ptr(ntree.splitval, ctypes.c_int32),
+        _ptr(ntree.lchild, ctypes.c_int32),
+        _ptr(ntree.rchild, ctypes.c_int32),
+        _ptr(ntree.predictor, ctypes.c_int32),
+        _ptr(ntree.offset, ctypes.c_int64),
+        _ptr(ntree.multiplier, ctypes.c_int32),
+        ctypes.c_int(chan), ctypes.c_int(group_id),
+        ctypes.c_int(w), ctypes.c_int(h),
+        _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError("native decode failed")
+    return out, bp.value, st.value
