@@ -203,6 +203,38 @@ class VarDCTState:
         return (self.ytox(self.ytox_dc), self.ytob(self.ytob_dc))
 
 
+def adaptive_dc_smoothing(dc: np.ndarray, dc_factors) -> np.ndarray:
+    """AdaptiveDCSmoothing (compressed_dc.cc:46-196), vectorized.
+
+    dc: (3, nby, nbx); dc_factors: per-channel DC quantization step.
+    Smooths DC values toward a 3x3 weighted average where the change stays
+    below ~0.5 DC quantization steps (gap-gated blend)."""
+    _, h, w = dc.shape
+    if h <= 2 or w <= 2:
+        return dc
+    w1 = 0.20345139757231578
+    w2 = 0.0334829185968739
+    w0 = 1.0 - 4.0 * (w1 + w2)
+    p = np.pad(dc, ((0, 0), (1, 1), (1, 1)), mode="edge")
+
+    def sh(dy, dx):
+        return p[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    corner = sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)
+    side = sh(0, -1) + sh(0, 1) + sh(-1, 0) + sh(1, 0)
+    sm = corner * w2 + side * w1 + dc * w0
+    fac = np.asarray(dc_factors, dtype=np.float64)[:, None, None]
+    gap = np.maximum(0.5, np.abs((dc - sm) / fac).max(axis=0))
+    factor = np.maximum(0.0, -4.0 * gap + 3.0)
+    out = dc + (sm - dc) * factor[None]
+    # borders are copied unsmoothed (compressed_dc.cc:139-170)
+    out[:, 0, :] = dc[:, 0, :]
+    out[:, -1, :] = dc[:, -1, :]
+    out[:, :, 0] = dc[:, :, 0]
+    out[:, :, -1] = dc[:, :, -1]
+    return out
+
+
 def decode_cmap_dc(r: BitReader, state: VarDCTState) -> None:
     """ColorCorrelation::DecodeDC (chroma_from_luma.cc:20-40)."""
     if r.read_bits(1):
@@ -560,6 +592,9 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
                              modular_dc_stream_id(fd, g))
 
     def ac_global(sr):
+        if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
+            fac = [state.quantizer.mul_dc(c) for c in range(3)]
+            state.dc = adaptive_dc_smoothing(state.dc, fac)
         state.matrices.decode(sr)
         nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
         state.num_histograms = 1 + (sr.read_bits(nbits) if nbits else 0)
@@ -577,8 +612,6 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
         decode_ac_group(sr, state, g)
 
     decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group)
-    if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
-        raise JXLError("adaptive DC smoothing not yet implemented")
     # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
     # when enabled; round-1 encoder disables them)
     if fh.loop_filter.gab or fh.loop_filter.epf_iters > 0:
