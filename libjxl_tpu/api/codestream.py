@@ -157,3 +157,99 @@ def decode(data: bytes):
     if bits <= 8:
         return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta
     return srgb, meta
+
+
+# ------------------------------------------------------------------ animation
+def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
+                     num_loops: int = 0, lossless: bool = True,
+                     distance: float = 1.0) -> bytes:
+    """Encode a list of (H, W, C) uint8 frames as an animated codestream.
+
+    Each frame is a kReplace full frame with duration 1 tick
+    (frame_header.cc AnimationFrame)."""
+    from ..io.frame_header import (
+        CT_NONE,
+        CT_XYB,
+        ENC_MODULAR,
+        ENC_VARDCT,
+        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FT_REGULAR,
+        FrameHeader,
+    )
+    from ..ops.xyb import srgb_to_linear
+    from ..vardct.frame import encode_vardct_frame
+
+    first = frames[0]
+    if first.ndim == 2:
+        frames = [f[:, :, None] for f in frames]
+        first = frames[0]
+    h, w, nc = first.shape
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(w, h)
+    meta.m.all_default = False
+    meta.m.have_animation = True
+    meta.m.animation.tps_numerator = fps_numerator
+    meta.m.animation.tps_denominator = fps_denominator
+    meta.m.animation.num_loops = num_loops
+    if lossless:
+        meta.m.xyb_encoded = False
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+    for i, frame in enumerate(frames):
+        last = i == len(frames) - 1
+        if lossless:
+            fh = make_modular_frame_header(meta, is_last=last)
+            fh.animation_frame.nonserialized_metadata = meta
+            fh.animation_frame.duration = 1
+            channels = [frame[:, :, c].astype(np.int32)
+                        for c in range(frame.shape[2])]
+            opts = ModularEncOptions(
+                color_transform=6 if frame.shape[2] >= 3 else None)
+            encode_modular_frame(writer, channels, fh, opts)
+        else:
+            fh = FrameHeader(meta)
+            fh.all_default = False
+            fh.frame_type = FT_REGULAR
+            fh.encoding = ENC_VARDCT
+            fh.color_transform = CT_XYB
+            fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+            fh.is_last = last
+            fh.animation_frame.nonserialized_metadata = meta
+            fh.animation_frame.duration = 1
+            fh.loop_filter.all_default = False
+            fh.loop_filter.gab = True
+            fh.loop_filter.epf_iters = 2
+            rgb = np.moveaxis(srgb_to_linear(frame.astype(np.float64) / 255.0),
+                              -1, 0)
+            encode_vardct_frame(writer, rgb, fh, distance=distance)
+        writer.zero_pad_to_byte()
+    return writer.get_bytes()
+
+
+def decode_frames(data: bytes):
+    """Generator yielding (image, duration_ticks) for every frame."""
+    from ..ops.xyb import linear_to_srgb
+    from ..vardct.frame import decode_vardct_frame
+
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    bits = meta.m.bit_depth.bits_per_sample
+    while True:
+        fh = FrameHeader(meta)
+        fh.read(r)
+        if fh.encoding == ENC_MODULAR:
+            img = decode_modular_frame(r, fh)
+            stacked = np.stack([c.data for c in img.channel], axis=-1)
+            if bits <= 8:
+                stacked = stacked.astype(np.uint8)
+            elif bits <= 16:
+                stacked = stacked.astype(np.uint16)
+        else:
+            chans = decode_vardct_frame(r, fh)
+            srgb = linear_to_srgb(np.stack(chans, axis=-1))
+            stacked = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8) \
+                if bits <= 8 else srgb
+        r.jump_to_byte_boundary()
+        yield stacked, fh.animation_frame.duration
+        if fh.is_last:
+            return
