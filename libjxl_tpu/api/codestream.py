@@ -95,9 +95,13 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
 
 
 def encode_lossy(image: np.ndarray, distance: float = 1.0,
-                 group_size_shift: int = 1) -> bytes:
-    """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode)."""
+                 group_size_shift: int = 1,
+                 photon_noise_iso: float = None) -> bytes:
+    """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode).
+
+    photon_noise_iso: if set, signal synthetic photon noise (kNoise flag)."""
     from ..io.frame_header import (
+        FLAG_NOISE,
         FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
         FT_REGULAR,
         ENC_VARDCT,
@@ -120,12 +124,19 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     fh.encoding = ENC_VARDCT
     fh.color_transform = CT_XYB
     fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    noise_lut = None
+    if photon_noise_iso is not None:
+        from ..render.noise import photon_noise_lut
+
+        noise_lut = photon_noise_lut(photon_noise_iso)
+        fh.flags |= FLAG_NOISE
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True  # decoder blurs; encoder pre-sharpens
     fh.loop_filter.epf_iters = 2  # reference default (loop_filter.cc:56)
     rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
     rgb = np.moveaxis(rgb, -1, 0)
-    encode_vardct_frame(writer, rgb, fh, distance=distance)
+    encode_vardct_frame(writer, rgb, fh, distance=distance,
+                        noise_lut=noise_lut)
     return writer.get_bytes()
 
 

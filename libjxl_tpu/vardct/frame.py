@@ -192,6 +192,7 @@ class VarDCTState:
         self.num_histograms = 1
         self.ac_code = None
         self.ac_context_map = None
+        self.noise_lut = None
 
     def ytox(self, tile_val: int) -> float:
         return self.base_x + tile_val / self.color_factor
@@ -568,10 +569,14 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
     mstate = ModularFrameState()
-    if fh.flags & (FLAG_NOISE | FLAG_PATCHES | FLAG_SPLINES):
-        raise JXLError("noise/patches/splines not yet supported in VarDCT")
+    if fh.flags & (FLAG_PATCHES | FLAG_SPLINES):
+        raise JXLError("patches/splines not yet supported in VarDCT")
 
     def dc_global(sr):
+        if fh.flags & FLAG_NOISE:
+            from ..render.noise import decode_noise
+
+            state.noise_lut = decode_noise(sr)
         state.matrices.decode_dc(sr)
         state.quantizer.decode(sr)
         state.block_ctx_map = decode_block_ctx_map(sr)
@@ -618,6 +623,20 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
         from ..render.pipeline import apply_restoration
 
         state.xyb = apply_restoration(state.xyb, fh, state)
+    if state.noise_lut is not None:
+        from ..render.noise import add_noise, random_3planes
+
+        # per-AC-group noise fields (PrepareNoiseInput seeds by group origin)
+        planes = [np.zeros((fd.ysize_padded, fd.xsize_padded),
+                           dtype=np.float32) for _ in range(3)]
+        for g in range(fd.num_groups):
+            gx0, gy0, gw, gh = fd.group_rect(g)
+            ps = random_3planes(1, 0, gx0, gy0, gw, gh)
+            for c in range(3):
+                planes[c][gy0:gy0 + gh, gx0:gx0 + gw] = ps[c]
+        state.xyb = add_noise(state.xyb, planes, state.noise_lut,
+                              state.ytox(state.ytox_dc),
+                              state.ytob(state.ytob_dc))
     from ..ops.xyb import xyb_to_linear_rgb
 
     rgb = xyb_to_linear_rgb(state.xyb[:, :fd.ysize, :fd.xsize])
@@ -627,7 +646,7 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         fh: FrameHeader, distance: float = 1.0,
                         adaptive_quant: bool = True,
-                        cfl: bool = True) -> None:
+                        cfl: bool = True, noise_lut=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -733,6 +752,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
     # --- assemble sections
     def write_dc_global(w):
+        if fh.flags & FLAG_NOISE:
+            from ..render.noise import encode_noise
+
+            encode_noise(noise_lut, w)
         state.matrices.encode_dc(w)
         state.quantizer.encode(w)
         w.write(1, 1)  # default block ctx map
