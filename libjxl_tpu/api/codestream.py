@@ -96,7 +96,8 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
 
 def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  group_size_shift: int = 1,
-                 photon_noise_iso: float = None) -> bytes:
+                 photon_noise_iso: float = None,
+                 resampling: int = 1) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode).
 
     photon_noise_iso: if set, signal synthetic photon noise (kNoise flag)."""
@@ -133,8 +134,13 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True  # decoder blurs; encoder pre-sharpens
     fh.loop_filter.epf_iters = 2  # reference default (loop_filter.cc:56)
+    fh.upsampling = resampling
     rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
     rgb = np.moveaxis(rgb, -1, 0)
+    if resampling > 1:
+        from ..render.upsample import downsample_box
+
+        rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         noise_lut=noise_lut)
     return writer.get_bytes()

@@ -639,7 +639,13 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
                               state.ytob(state.ytob_dc))
     from ..ops.xyb import xyb_to_linear_rgb
 
-    rgb = xyb_to_linear_rgb(state.xyb[:, :fd.ysize, :fd.xsize])
+    xyb = state.xyb[:, :fd.ysize, :fd.xsize]
+    if fh.upsampling > 1:
+        from ..render.upsample import upsample
+
+        xyb = np.stack([upsample(xyb[c], fh.upsampling) for c in range(3)])
+        xyb = xyb[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
+    rgb = xyb_to_linear_rgb(xyb)
     return [rgb[c] for c in range(3)]
 
 
