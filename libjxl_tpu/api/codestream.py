@@ -97,7 +97,8 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
 def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  group_size_shift: int = 1,
                  photon_noise_iso: float = None,
-                 resampling: int = 1) -> bytes:
+                 resampling: int = 1,
+                 progressive: int = 1) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode).
 
     photon_noise_iso: if set, signal synthetic photon noise (kNoise flag)."""
@@ -135,6 +136,10 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     fh.loop_filter.gab = True  # decoder blurs; encoder pre-sharpens
     fh.loop_filter.epf_iters = 2  # reference default (loop_filter.cc:56)
     fh.upsampling = resampling
+    if progressive > 1:
+        fh.passes.num_passes = progressive
+        fh.passes.shift = [progressive - 1 - i for i in range(progressive)] \
+            + [0] * (11 - progressive)
     rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
     rgb = np.moveaxis(rgb, -1, 0)
     if resampling > 1:

@@ -190,9 +190,10 @@ class VarDCTState:
         self.code = None
         self.context_map = None
         self.num_histograms = 1
-        self.ac_code = None
-        self.ac_context_map = None
+        self.ac_code = []       # per pass
+        self.ac_context_map = []
         self.noise_lut = None
+        self.qblocks = {}       # (by, bx) -> (3, cb*64) accumulated ints
 
     def ytox(self, tile_val: int) -> float:
         return self.base_x + tile_val / self.color_factor
@@ -272,8 +273,10 @@ def _block_list(state: VarDCTState, gx: int, gy: int):
     return out, bx0, by0, bw, bh
 
 
-def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int) -> None:
-    """DecodeGroupImpl + DecodeACVarBlock, single pass."""
+def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
+                    pass_idx: int = 0) -> None:
+    """Read one group x pass section: accumulate quantized coefficients
+    (DecodeACVarBlock, dec_group.cc:453-530)."""
     fd = state.fd
     gx = group_idx % fd.xsize_groups
     gy = group_idx // fd.xsize_groups
@@ -282,11 +285,15 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int) -> None:
         if state.num_histograms > 1 else 0
     ctx_offset = 0
     if histo_bits:
-        ctx_offset = r.read_bits(histo_bits) * state.block_ctx_map.num_ac_contexts()
-    reader = ANSSymbolReader(state.ac_code, r)
+        ctx_offset = r.read_bits(histo_bits) \
+            * state.block_ctx_map.num_ac_contexts()
+    code = state.ac_code[pass_idx]
+    cmap = state.ac_context_map[pass_idx]
+    shift = state.fh.passes.shift[pass_idx] \
+        if state.fh.passes.num_passes > 1 else 0
+    reader = ANSSymbolReader(code, r)
     nzeros_map = np.zeros((3, bh, bw), dtype=np.int32)
     bcm = state.block_ctx_map
-    inv_gs = state.quantizer.inv_global_scale
     for (bx, by, strategy) in blocks:
         cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
         cb = cx * cy
@@ -295,63 +302,76 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int) -> None:
         order = acs.natural_coeff_order(strategy)
         ord_ = acs.STRATEGY_ORDER[strategy]
         quant = int(state.raw_quant_field[by0 + by, bx0 + bx])
-        kind = acs.QUANT_TABLE[strategy]
-        tile_x = (bx0 + bx) // COLOR_TILE_DIM_IN_BLOCKS
-        tile_y = (by0 + by) // COLOR_TILE_DIM_IN_BLOCKS
-        x_cc = state.ytox(int(state.ytox_map[tile_y, tile_x]))
-        b_cc = state.ytob(int(state.ytob_map[tile_y, tile_x]))
-        dequant = {}
+        key = (by0 + by, bx0 + bx)
+        if key not in state.qblocks:
+            state.qblocks[key] = np.zeros((3, size), dtype=np.int64)
+        acc = state.qblocks[key]
         for c in (1, 0, 2):
-            qblock = np.zeros(size, dtype=np.int64)
+            qblock = acc[c]
             pred = predict_nzeros(nzeros_map, c, by, bx)
             block_ctx = bcm.context(0, quant, ord_, c)
             nz_ctx = ctx_offset + bcm.nonzero_context(pred, block_ctx)
-            nzeros = reader.read_hybrid_uint(nz_ctx, r, state.ac_context_map)
+            nzeros = reader.read_hybrid_uint(nz_ctx, r, cmap)
             if nzeros > size - cb:
                 raise JXLError("invalid AC nzeros")
             nzeros_map[c, by:by + cy, bx:bx + cx] = \
                 (nzeros + cb - 1) >> log2_cb
-            histo_offset = ctx_offset + bcm.zero_density_contexts_offset(block_ctx)
+            histo_offset = ctx_offset + bcm.zero_density_contexts_offset(
+                block_ctx)
             prev = 0 if nzeros > size // 16 else 1
             k = cb
             remaining = nzeros
             while k < size and remaining != 0:
                 ctx = histo_offset + zero_density_context(
                     remaining, k, cb, log2_cb, prev)
-                u = reader.read_hybrid_uint(ctx, r, state.ac_context_map)
+                u = reader.read_hybrid_uint(ctx, r, cmap)
                 # UnpackSigned: even -> u/2, odd -> -((u+1)/2)
                 coeff = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
-                qblock[order[k]] += coeff
+                qblock[order[k]] += coeff << shift if coeff >= 0 \
+                    else -((-coeff) << shift)
                 prev = 1 if u else 0
                 remaining -= prev
                 k += 1
             if remaining != 0:
                 raise JXLError("invalid AC block: leftover nzeros")
-            dequant[c] = qblock
-        # DequantBlock (dec_group.cc:96-165)
+    if not reader.check_final_state():
+        raise JXLError("AC group ANS final state mismatch")
+
+
+def render_groups(state: VarDCTState) -> None:
+    """Dequant + LLF-from-DC + inverse transform for every block
+    (DequantBlock + TransformToPixels, dec_group.cc:96-165, 380-440)."""
+    fd = state.fd
+    inv_gs = state.quantizer.inv_global_scale
+    for (aby, abx), qblocks in state.qblocks.items():
+        strategy = int(state.strategy[aby, abx])
+        cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+        kind = acs.QUANT_TABLE[strategy]
+        quant = int(state.raw_quant_field[aby, abx])
+        tile_x = abx // COLOR_TILE_DIM_IN_BLOCKS
+        tile_y = aby // COLOR_TILE_DIM_IN_BLOCKS
+        x_cc = state.ytox(int(state.ytox_map[tile_y, tile_x]))
+        b_cc = state.ytob(int(state.ytob_map[tile_y, tile_x]))
         scaled = inv_gs / quant
         rows = min(cy, cx) * 8
         cols = max(cy, cx) * 8
         dm = [state.matrices.dequant_matrix(kind, c).reshape(-1)
               for c in range(3)]
-        dq_y = adjust_quant_bias(dequant[1], 1) * dm[1] * scaled
-        dq_x = adjust_quant_bias(dequant[0], 0) * dm[0] * (
+        dq_y = adjust_quant_bias(qblocks[1], 1) * dm[1] * scaled
+        dq_x = adjust_quant_bias(qblocks[0], 0) * dm[0] * (
             scaled * state.x_dm_mult) + x_cc * dq_y
-        dq_b = adjust_quant_bias(dequant[2], 2) * dm[2] * (
+        dq_b = adjust_quant_bias(qblocks[2], 2) * dm[2] * (
             scaled * state.b_dm_mult) + b_cc * dq_y
         coeffs = np.stack([dq_x, dq_y, dq_b]).reshape(3, rows, cols)
-        # LLF from DC
-        dc_block = state.dc[:, by0 + by:by0 + by + cy, bx0 + bx:bx0 + bx + cx]
+        dc_block = state.dc[:, aby:aby + cy, abx:abx + cx]
         for c in range(3):
             llf = lowest_frequencies_from_dc(strategy, dc_block[c])
             coeffs[c, :llf.shape[0], :llf.shape[1]] = llf
         for c in range(3):
             pix = transform_to_pixels(strategy, coeffs[c])
-            y0 = (by0 + by) * 8
-            x0 = (bx0 + bx) * 8
+            y0 = aby * 8
+            x0 = abx * 8
             state.xyb[c, y0:y0 + cy * 8, x0:x0 + cx * 8] = pix
-    if not reader.check_final_state():
-        raise JXLError("AC group ANS final state mismatch")
 
 
 def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q):
@@ -610,13 +630,15 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
                 raise JXLError("custom coefficient orders not yet supported")
             num_contexts = (state.num_histograms
                             * state.block_ctx_map.num_ac_contexts())
-            state.ac_code, state.ac_context_map = decode_histograms(
-                sr, num_contexts)
+            code, cmap = decode_histograms(sr, num_contexts)
+            state.ac_code.append(code)
+            state.ac_context_map.append(cmap)
 
     def ac_group(g, p, sr):
-        decode_ac_group(sr, state, g)
+        decode_ac_group(sr, state, g, p)
 
     decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group)
+    render_groups(state)
     # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
     # when enabled; round-1 encoder disables them)
     if fh.loop_filter.gab or fh.loop_filter.epf_iters > 0:
@@ -647,6 +669,28 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
         xyb = xyb[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
     rgb = xyb_to_linear_rgb(xyb)
     return [rgb[c] for c in range(3)]
+
+
+def shift_right_round0(v: np.ndarray, shift: int) -> np.ndarray:
+    """Arithmetic shift truncating toward zero (enc_progressive_split.cc:24-28)."""
+    neg = v < 0
+    add = np.where(neg, (1 << shift) - 1, 0)
+    return (v + add) >> shift
+
+
+def split_progressive(qall: np.ndarray, shifts) -> list:
+    """SplitACCoefficients, shift-only progressive
+    (enc_progressive_split.cc:20-70): per pass p, code
+    trunc(remaining / 2^shift_p); decoder accumulates v_p << shift_p."""
+    outputs = []
+    prev_shift = 0
+    v = qall
+    for i, shift in enumerate(shifts):
+        if i > 0 and prev_shift != 0:
+            v = v - (shift_right_round0(v, prev_shift) << prev_shift)
+        outputs.append(shift_right_round0(v, shift))
+        prev_shift = shift
+    return outputs
 
 
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
@@ -748,13 +792,36 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     codes, context_map = build_and_encode_histograms(
         modular_token_lists, num_tree_contexts(dec_tree), histo_writer)
 
-    ac_token_lists = []
-    for g in range(fd.num_groups):
-        ac_token_lists.append(tokenize_ac_group(state, g, coeffs_q))
+    num_passes = fh.passes.num_passes
+    shifts = [fh.passes.shift[p] for p in range(num_passes)] \
+        if num_passes > 1 else [0]
+    qall_flat = np.stack([coeffs_q[(by, bx)]
+                          for by in range(nby) for bx in range(nbx)])
+    pass_splits = split_progressive(qall_flat, shifts)
+    pass_coeffs = []
+    for p in range(num_passes):
+        d = {}
+        i = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                d[(by, bx)] = pass_splits[p][i]
+                i += 1
+        pass_coeffs.append(d)
     num_contexts = state.block_ctx_map.num_ac_contexts()
-    ac_histo_writer = BitWriter()
-    ac_codes, ac_context_map = build_and_encode_histograms(
-        ac_token_lists, num_contexts, ac_histo_writer)
+    ac_token_lists = []  # [pass][group]
+    ac_codes = []
+    ac_context_maps = []
+    ac_histo_writers = []
+    for p in range(num_passes):
+        group_tokens = [tokenize_ac_group(state, g, pass_coeffs[p])
+                        for g in range(fd.num_groups)]
+        hw = BitWriter()
+        codes_p, cmap_p = build_and_encode_histograms(
+            group_tokens, num_contexts, hw)
+        ac_token_lists.append(group_tokens)
+        ac_codes.append(codes_p)
+        ac_context_maps.append(cmap_p)
+        ac_histo_writers.append(hw)
 
     # --- assemble sections
     def write_dc_global(w):
@@ -798,11 +865,12 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
         if nbits:
             w.write(nbits, 0)  # num_histograms - 1
-        u32_write(ORDER_ENC, 0, w)  # default orders
-        w.append_bits_from(ac_histo_writer)
+        for p in range(num_passes):
+            u32_write(ORDER_ENC, 0, w)  # default orders
+            w.append_bits_from(ac_histo_writers[p])
 
-    def write_ac_group(w, g):
-        write_tokens(ac_token_lists[g], ac_codes, ac_context_map, w)
+    def write_ac_group(w, g, p=0):
+        write_tokens(ac_token_lists[p][g], ac_codes[p], ac_context_maps[p], w)
 
     single = fd.num_groups == 1 and fh.passes.num_passes == 1
     sections = []
@@ -824,10 +892,11 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         w = BitWriter()
         write_ac_global(w)
         sections.append(w.get_bytes())
-        for g in range(fd.num_groups):
-            w = BitWriter()
-            write_ac_group(w, g)
-            sections.append(w.get_bytes())
+        for p in range(num_passes):
+            for g in range(fd.num_groups):
+                w = BitWriter()
+                write_ac_group(w, g, p)
+                sections.append(w.get_bytes())
     fh.write(writer)
     write_group_offsets([len(s) for s in sections], None, writer)
     writer.zero_pad_to_byte()
