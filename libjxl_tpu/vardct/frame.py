@@ -693,10 +693,53 @@ def split_progressive(qall: np.ndarray, shifts) -> list:
     return outputs
 
 
+def _est_token_bits(q: np.ndarray, cb: int) -> float:
+    """Rough cost of coding quantized AC coefficients (EstimateEntropy
+    spirit, enc_ac_strategy.cc:361): ~2 bits per nonzero + magnitude bits +
+    nzeros overhead."""
+    a = np.abs(q[..., cb:])
+    nz = a > 0
+    bits = float(nz.sum()) * 2.0 + float(np.log2(1.0 + a[nz]).sum())
+    return bits + 8.0  # per-channel nzeros token overhead
+
+
+def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
+    """Per-16x16 tile: pick DCT16X16 over 4x DCT8 when the estimated
+    token cost is lower (simplified FindBest8x8Transform/TryMergeAcs,
+    enc_ac_strategy.cc:496-700)."""
+    fd = state.fd
+    inv_gs = state.quantizer.inv_global_scale
+    dm8 = state.matrices.inv_matrix(acs.QUANT_TABLE[acs.DCT], 1)
+    dm16 = state.matrices.inv_matrix(acs.QUANT_TABLE[acs.DCT16X16], 1)
+    from ..ops.dct import fwd_matrix
+
+    f8 = fwd_matrix(8)
+    for ty in range(fd.ysize_blocks // 2):
+        for tx in range(fd.xsize_blocks // 2):
+            by, bx = ty * 2, tx * 2
+            quant = int(state.raw_quant_field[by, bx])
+            scaled = inv_gs / quant
+            block = xyb[1, by * 8:by * 8 + 16, bx * 8:bx * 8 + 16]
+            # 4x DCT8 cost (Y channel as proxy)
+            b8 = block.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3)
+            co8 = np.einsum("ur,nmrk,vk->nmuv", f8, b8, f8)
+            q8 = np.round(co8 * dm8 / scaled).reshape(4, 64)
+            cost8 = sum(_est_token_bits(q8[i], 1) for i in range(4))
+            # 1x DCT16 cost
+            co16 = transform_from_pixels(acs.DCT16X16, block)
+            q16 = np.round(co16.reshape(-1) * dm16.reshape(-1) / scaled)
+            cost16 = _est_token_bits(q16, 4)
+            if cost16 < cost8 * 0.98:
+                state.strategy[by:by + 2, bx:bx + 2] = acs.DCT16X16
+                state.is_origin[by:by + 2, bx:bx + 2] = False
+                state.is_origin[by, bx] = True
+
+
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         fh: FrameHeader, distance: float = 1.0,
                         adaptive_quant: bool = True,
-                        cfl: bool = True, noise_lut=None) -> None:
+                        cfl: bool = True, noise_lut=None,
+                        ac_strategy_search: bool = True) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -731,6 +774,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         state.raw_quant_field[:, :] = raw_qf
     state.strategy[:, :] = acs.DCT
     state.is_origin[:, :] = True
+    if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
+        _choose_ac_strategies(state, xyb)
     if fh.loop_filter.epf_iters > 0:
         # mid-LUT sharpness enables the decoder's edge-preserving filter
         # (the reference picks per-block values in ComputeARHeuristics)
@@ -773,7 +818,48 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     coeffs_q = {}
     for by in range(nby):
         for bx in range(nbx):
-            coeffs_q[(by, bx)] = qall[:, by, bx].reshape(3, 64)
+            if not state.is_origin[by, bx]:
+                continue
+            strategy = int(state.strategy[by, bx])
+            if strategy == acs.DCT:
+                coeffs_q[(by, bx)] = qall[:, by, bx].reshape(3, 64)
+                continue
+            # multi-block / special transform: recompute coefficients
+            cx_, cy_ = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+            cb = cx_ * cy_
+            kind2 = acs.QUANT_TABLE[strategy]
+            dmi = np.stack([state.matrices.inv_matrix(kind2, c).reshape(-1)
+                            for c in range(3)])
+            dm_y2 = state.matrices.dequant_matrix(kind2, 1).reshape(-1)
+            quant = int(state.raw_quant_field[by, bx])
+            sc = inv_gs / quant
+            block = xyb[:, by * 8:(by + cy_) * 8, bx * 8:(bx + cx_) * 8]
+            co2 = np.stack([
+                transform_from_pixels(strategy, block[c]).reshape(-1)
+                for c in range(3)])
+            qy2 = np.round(co2[1] * dmi[1] / sc)
+            dy2 = adjust_quant_bias(qy2, 1) * dm_y2 * sc
+            xcc = float(x_cc[by, bx, 0, 0])
+            bcc = float(b_cc[by, bx, 0, 0])
+            qx2 = np.round((co2[0] - xcc * dy2) * dmi[0]
+                           / (sc * state.x_dm_mult))
+            qb2 = np.round((co2[2] - bcc * dy2) * dmi[2]
+                           / (sc * state.b_dm_mult))
+            q2 = np.stack([qx2, qy2, qb2]).astype(np.int64)
+            # LLF positions (wide layout [:min, :max]) are not coded; also
+            # update the DC image from the transform's LLF so the decoder
+            # reconstructs the same low frequencies
+            rows2 = min(cy_, cx_) * 8
+            cols2 = max(cy_, cx_) * 8
+            llf_mask = np.zeros((rows2, cols2), dtype=bool)
+            llf_mask[:min(cy_, cx_), :max(cy_, cx_)] = True
+            q2[:, llf_mask.reshape(-1)] = 0
+            for c in range(3):
+                llf = co2[c].reshape(rows2, cols2)[
+                    :min(cy_, cx_), :max(cy_, cx_)]
+                state.dc[c, by:by + cy_, bx:bx + cx_] = \
+                    dc_from_lowest_frequencies(strategy, llf)
+            coeffs_q[(by, bx)] = q2
     # global modular tree for the DC/metadata substreams; tokenized AFTER
     # the CfL fit so the AC-metadata stream carries the fitted tile maps
     tree = make_fixed_tree(P_GRADIENT)
@@ -795,18 +881,11 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     num_passes = fh.passes.num_passes
     shifts = [fh.passes.shift[p] for p in range(num_passes)] \
         if num_passes > 1 else [0]
-    qall_flat = np.stack([coeffs_q[(by, bx)]
-                          for by in range(nby) for bx in range(nbx)])
-    pass_splits = split_progressive(qall_flat, shifts)
-    pass_coeffs = []
-    for p in range(num_passes):
-        d = {}
-        i = 0
-        for by in range(nby):
-            for bx in range(nbx):
-                d[(by, bx)] = pass_splits[p][i]
-                i += 1
-        pass_coeffs.append(d)
+    pass_coeffs = [dict() for _ in range(num_passes)]
+    for key, q in coeffs_q.items():
+        parts = split_progressive(q, shifts)
+        for p in range(num_passes):
+            pass_coeffs[p][key] = parts[p]
     num_contexts = state.block_ctx_map.num_ac_contexts()
     ac_token_lists = []  # [pass][group]
     ac_codes = []

@@ -73,3 +73,38 @@ def test_vardct_flat_image_tiny():
     out, _ = decode(data)
     assert psnr(img, out) > 40
     assert len(data) < 400
+
+
+def test_ac_strategy_search_uses_dct16():
+    """Smooth content should trigger DCT16X16 selection and still decode."""
+    yy, xx = np.mgrid[0:96, 0:96]
+    img = np.stack([100 + 40 * np.sin(xx / 40), 120 + 30 * np.cos(yy / 50),
+                    90 + 20 * np.sin((xx + yy) / 60)],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, distance=1.0)
+    out, _ = decode(data)
+    assert psnr(img, out) > 38
+    # verify the stream actually contains non-DCT8 strategies
+    from libjxl_tpu.api.codestream import parse_codestream_header
+    from libjxl_tpu.io.bits import BitReader
+    from libjxl_tpu.io.frame_header import FrameHeader
+    from libjxl_tpu.vardct import ac_strategy as acs
+    from libjxl_tpu.vardct import frame as vf
+
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    strategies = []
+    orig = vf.decode_dc_group
+
+    def spy(sr, state, g):
+        orig(sr, state, g)
+        strategies.append(state.strategy.copy())
+
+    vf.decode_dc_group = spy
+    try:
+        vf.decode_vardct_frame(r, fh)
+    finally:
+        vf.decode_dc_group = orig
+    assert (strategies[0] == acs.DCT16X16).any()
