@@ -34,7 +34,7 @@ from ..modular.codec import (
 )
 from ..modular.image import Channel, ModularImage
 from ..modular.predict import P_GRADIENT
-from ..modular.transforms import Transform, T_RCT, fwd_rct
+from ..modular.transforms import Transform, T_RCT, fwd_palette, fwd_rct
 from ..modular.tree import (
     decode_tree,
     encode_tree,
@@ -295,6 +295,8 @@ class ModularEncOptions:
     predictor: int = P_GRADIENT
     effort: int = 3  # >= 4 learns an MA tree (enc_ma analog)
     tree_sample_step: int = 2
+    try_palette: bool = True
+    max_palette_colors: int = 256
 
 
 def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
@@ -313,7 +315,13 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
     image.channel = [Channel(a.shape[1], a.shape[0], data=a.astype(np.int32))
                      for a in channels]
     global_transforms = []
-    if options.color_transform is not None and len(channels) >= 3:
+    palette_t = None
+    if options.try_palette and len(channels) >= 1:
+        palette_t = fwd_palette(image, 0, len(channels),
+                                options.max_palette_colors)
+    if palette_t is not None:
+        global_transforms.append(palette_t)
+    elif options.color_transform is not None and len(channels) >= 3:
         t = Transform()
         t.id = T_RCT
         t.begin_c = 0

@@ -595,3 +595,50 @@ def inv_palette(image: ModularImage, begin_c: int, nb_colors: int,
     else:
         image.nb_meta_channels -= 2 - nb
     del image.channel[0]
+
+
+def fwd_palette(image: ModularImage, begin_c: int, num_c: int,
+                max_colors: int = 256) -> "Transform | None":
+    """Forward palette (simplified FwdPalette, enc_palette.cc:164-520):
+    exact (non-lossy, non-delta) palettization when the channel tuple count
+    fits. Returns the Transform to signal, or None if not applicable.
+
+    Channels are replaced by one index channel; a meta palette channel of
+    shape (num_c, nb_colors) is prepended and nb_meta_channels bumped
+    (mirror of meta_palette)."""
+    end_c = begin_c + num_c - 1
+    if end_c >= len(image.channel):
+        return None
+    chans = [image.channel[begin_c + i].data for i in range(num_c)]
+    h, w = chans[0].shape
+    stacked = np.stack([c.reshape(-1) for c in chans], axis=1)
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > max_colors:
+        return None
+    # sort palette on luma-ish sum for better index locality (the
+    # reference sorts on luma, enc_palette.cc:409-420)
+    order = np.argsort(colors.sum(axis=1), kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    colors = colors[order]
+    indices = rank[inverse].reshape(h, w).astype(np.int32)
+    # build transformed image: palette meta channel + index channel
+    pch = Channel(len(colors), num_c, -1, -1,
+                  colors.T.astype(np.int32).copy())
+    idx_ch = Channel(w, h, image.channel[begin_c].hshift,
+                     image.channel[begin_c].vshift, indices)
+    del image.channel[begin_c + 1:end_c + 1]
+    image.channel[begin_c] = idx_ch
+    image.channel.insert(0, pch)
+    if begin_c >= image.nb_meta_channels:
+        image.nb_meta_channels += 1
+    else:
+        image.nb_meta_channels += 2 - num_c
+    t = Transform()
+    t.id = T_PALETTE
+    t.begin_c = begin_c
+    t.num_c = num_c
+    t.nb_colors = len(colors)
+    t.nb_deltas = 0
+    t.predictor = P_ZERO
+    return t
