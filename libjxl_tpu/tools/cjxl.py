@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--container", action="store_true",
                    help="wrap the codestream in an ISOBMFF container")
     p.add_argument("--group-size-shift", type=int, default=1, choices=range(4))
+    p.add_argument("--lossless_jpeg", type=int, default=1,
+                   help="1 (default): JPEG input is recompressed losslessly "
+                        "(bit-exact reconstruction); 0: re-encode pixels")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -45,6 +48,21 @@ def main(argv=None):
     from ..extras.io import load_image
     from ..api.codestream import encode_lossless, encode_lossy
     from ..io.container import wrap_codestream
+
+    if args.input.lower().endswith((".jpg", ".jpeg")) and args.lossless_jpeg:
+        from ..jpeg.recompress import recompress_jpeg
+
+        with open(args.input, "rb") as f:
+            jpg = f.read()
+        t0 = time.perf_counter()
+        data = recompress_jpeg(jpg)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        if args.verbose:
+            print(f"Recompressed JPEG {len(jpg)} -> {len(data)} bytes "
+                  f"({len(data) / len(jpg):.3f}x) in "
+                  f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        return 0
 
     image = load_image(args.input)
     distance = args.distance

@@ -20,10 +20,28 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from ..api.codestream import decode
     from ..extras.io import save_image
-    from ..io.container import extract_codestream
+    from ..io.container import extract_codestream, is_container, parse_boxes
 
     with open(args.input, "rb") as f:
         data = f.read()
+    # JPEG reconstruction path: container with a jbrd box
+    if is_container(data):
+        boxes = {t: p for t, p, _ in parse_boxes(data[12:])}
+        if b"jbrd" in boxes:
+            from ..jpeg.recompress import reconstruct_jpeg
+
+            jpg = reconstruct_jpeg(data)
+            if args.output.lower().endswith((".jpg", ".jpeg")):
+                with open(args.output, "wb") as f:
+                    f.write(jpg)
+                if args.verbose:
+                    print(f"Reconstructed original JPEG ({len(jpg)} bytes)",
+                          file=sys.stderr)
+                return 0
+            from ..jpeg import jpeg_to_pixels, parse_jpeg
+
+            save_image(args.output, jpeg_to_pixels(parse_jpeg(jpg)).squeeze())
+            return 0
     codestream = extract_codestream(data)
     t0 = time.perf_counter()
     image, meta = decode(codestream)
