@@ -1,0 +1,114 @@
+"""Pallas TPU kernels for the VarDCT hot ops.
+
+Design note (measured, not assumed): the batched 8x8 IDCT is best left to
+XLA — Mosaic's vector layout requires >=128 lanes on the minor dimension,
+so per-block (8, 8) matmul batches don't lower, while the XLA einsum path
+picks MXU-friendly layouts automatically (~140k MP/s on one v5e chip, see
+bench.py). Pallas is used where explicit tiling pays: the element-wise
+dequant + quant-bias + chroma-from-luma stage below operates on
+coefficient-IMAGE layout (3, H, W) tensors with W = nbx*8 lanes, and is
+the template for the EPF gather stages.
+
+Equivalent to the first half of DequantBlock (dec_group.cc:96-140); the
+IDCT half stays in ops/pipeline.idct8_blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..io.headers import DEFAULT_QUANT_BIAS
+
+ROWS_PER_PROGRAM = 64  # 8 block-rows of 8 px
+
+
+def _adjust_bias(q, c):
+    b = DEFAULT_QUANT_BIAS
+    safe = jnp.where(q == 0, 1.0, q)
+    general = q - np.float32(b[3]) / safe
+    return jnp.where(q == 0, 0.0,
+                     jnp.where(q == 1, np.float32(b[c]),
+                               jnp.where(q == -1, np.float32(-b[c]),
+                                         general)))
+
+
+def _dequant_kernel(q_ref, scale_ref, dm_ref, xcc_ref, bcc_ref, out_ref):
+    """All inputs in coefficient-image layout (rows = block rows * 8):
+    q: i32[3, R, W]; scale: f32[R, W] (inv_gs/qf prebroadcast);
+    dm: f32[3, R, W] (dequant matrix tiled); xcc/bcc: f32[R, W]."""
+    qx = q_ref[0].astype(jnp.float32)
+    qy = q_ref[1].astype(jnp.float32)
+    qb = q_ref[2].astype(jnp.float32)
+    scale = scale_ref[:]
+    dq_y = _adjust_bias(qy, 1) * dm_ref[1] * scale
+    dq_x = _adjust_bias(qx, 0) * dm_ref[0] * scale + xcc_ref[:] * dq_y
+    dq_b = _adjust_bias(qb, 2) * dm_ref[2] * scale + bcc_ref[:] * dq_y
+    out_ref[0] = dq_x
+    out_ref[1] = dq_y
+    out_ref[2] = dq_b
+
+
+def dequant_cfl_pallas(q_img, scale_img, dm_img, xcc_img, bcc_img,
+                       interpret: bool = False):
+    """q_img: i32[3, H, W]; everything else f32[...] prebroadcast.
+    Returns dequantized coefficient image f32[3, H, W]."""
+    _, h, w = q_img.shape
+    rows = min(ROWS_PER_PROGRAM, h)
+    while h % rows:
+        rows -= 1
+    grid = (h // rows,)
+    spec3 = pl.BlockSpec((3, rows, w), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _dequant_kernel,
+        grid=grid,
+        in_specs=[spec3, spec1, spec3, spec1, spec1],
+        out_specs=spec3,
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        interpret=interpret,
+    )(q_img, scale_img, dm_img, xcc_img, bcc_img)
+
+
+def decode_pixels_hybrid(qcoeffs, qf, dc, ytox_map, ytob_map, dm,
+                         inv_global_scale, x_dm_mult=1.0, b_dm_mult=1.0,
+                         color_factor=84.0, base_x=0.0, base_b=1.0,
+                         interpret: bool = False):
+    """Full decode compute path: Pallas dequant+CfL stage, XLA IDCT + color.
+
+    Same contract as ops.pipeline.decode_pixels."""
+    from .pipeline import (
+        _tile_to_blocks,
+        blocks_to_image,
+        idct8_blocks,
+        image_to_blocks,
+        xyb_to_rgb_jax,
+    )
+
+    _, nby, nbx, _, _ = qcoeffs.shape
+    h, w = nby * 8, nbx * 8
+    # coefficient-image layout
+    q_img = qcoeffs.transpose(0, 1, 3, 2, 4).reshape(3, h, w)
+    scale = inv_global_scale / qf.astype(jnp.float32)
+    scale_img = jnp.repeat(jnp.repeat(scale, 8, 0), 8, 1)
+    dm_scaled = dm * jnp.asarray([x_dm_mult, 1.0, b_dm_mult],
+                                 dtype=jnp.float32)[:, None, None]
+    dm_img = jnp.tile(dm_scaled, (1, nby, nbx))
+    x_cc = base_x + _tile_to_blocks(ytox_map, nby, nbx).astype(jnp.float32) \
+        / color_factor
+    b_cc = base_b + _tile_to_blocks(ytob_map, nby, nbx).astype(jnp.float32) \
+        / color_factor
+    xcc_img = jnp.repeat(jnp.repeat(x_cc, 8, 0), 8, 1)
+    bcc_img = jnp.repeat(jnp.repeat(b_cc, 8, 0), 8, 1)
+    coeff_img = dequant_cfl_pallas(q_img, scale_img, dm_img, xcc_img,
+                                   bcc_img, interpret=interpret)
+    coeffs = image_to_blocks(coeff_img)
+    coeffs = coeffs.at[:, :, :, 0, 0].set(dc)
+    pixels = idct8_blocks(coeffs)
+    return xyb_to_rgb_jax(blocks_to_image(pixels))
