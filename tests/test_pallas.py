@@ -25,4 +25,4 @@ def test_pallas_dequant_matches_xla():
     ref = decode_pixels(q, qf, dc, ytox, ytob, dm, jnp.float32(1024.0),
                         1.0, 1.0)
     np.testing.assert_allclose(np.asarray(hybrid), np.asarray(ref),
-                               rtol=1e-4, atol=1e-3)
+                               rtol=5e-3, atol=1e-3)
