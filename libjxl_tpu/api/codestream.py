@@ -57,10 +57,12 @@ def write_codestream_header(w: BitWriter, meta: CodecMetadata) -> None:
 
 # ----------------------------------------------------------------- image API
 def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
-                    effort: int = 3, group_size_shift: int = 1) -> bytes:
+                    effort: int = 3, group_size_shift: int = 1,
+                    icc: bytes = None) -> bytes:
     """Encode an image losslessly (modular mode).
 
     image: (H, W) or (H, W, C) uint8/uint16/int array.
+    icc: optional raw ICC profile to embed (signals want_icc).
     Returns a bare JPEG XL codestream.
     """
     if image.ndim == 2:
@@ -81,6 +83,10 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
         meta.m.color_encoding.all_default = False
     if nc == 4:
         meta.m.set_alpha_bits(bits_per_sample)
+    if icc is not None:
+        meta.m.color_encoding.all_default = False
+        meta.m.color_encoding.want_icc = True
+        meta.m.color_encoding.icc = icc
     writer = BitWriter()
     write_codestream_header(writer, meta)
     fh = make_modular_frame_header(meta, group_size_shift=group_size_shift)
@@ -98,10 +104,13 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  group_size_shift: int = 1,
                  photon_noise_iso: float = None,
                  resampling: int = 1,
-                 progressive: int = 1) -> bytes:
+                 progressive: int = 1,
+                 icc: bytes = None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode).
 
-    photon_noise_iso: if set, signal synthetic photon noise (kNoise flag)."""
+    photon_noise_iso: if set, signal synthetic photon noise (kNoise flag).
+    icc: optional raw ICC profile to embed (signals want_icc; the pixel
+    data is still XYB-coded, the profile describes the decode target)."""
     from ..io.frame_header import (
         FLAG_NOISE,
         FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
@@ -118,6 +127,11 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     h, w, _ = image.shape
     meta = CodecMetadata()
     meta.size = SizeHeader().set(w, h)
+    if icc is not None:
+        meta.m.all_default = False
+        meta.m.color_encoding.all_default = False
+        meta.m.color_encoding.want_icc = True
+        meta.m.color_encoding.icc = icc
     writer = BitWriter()
     write_codestream_header(writer, meta)
     fh = FrameHeader(meta)

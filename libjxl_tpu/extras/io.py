@@ -14,14 +14,17 @@ import numpy as np
 from ..base.status import JXLError
 
 
-def load_image(path) -> np.ndarray:
-    """Returns (H, W, C) uint8/uint16 array."""
+def load_image(path, return_icc: bool = False):
+    """Returns (H, W, C) uint8/uint16 array; with return_icc=True returns
+    (array, icc_bytes_or_None) — the embedded ICC profile if present."""
     path = pathlib.Path(path)
     suffix = path.suffix.lower()
     if suffix in (".pnm", ".ppm", ".pgm"):
-        return _load_pnm(path.read_bytes())
+        arr = _load_pnm(path.read_bytes())
+        return (arr, None) if return_icc else arr
     if suffix == ".npy":
-        return np.load(path)
+        arr = np.load(path)
+        return (arr, None) if return_icc else arr
     try:
         from PIL import Image
 
@@ -29,12 +32,14 @@ def load_image(path) -> np.ndarray:
         arr = np.asarray(img)
         if arr.ndim == 2:
             arr = arr[:, :, None]
+        if return_icc:
+            return arr, img.info.get("icc_profile")
         return arr
     except ImportError as e:  # pragma: no cover
         raise JXLError(f"cannot load {path}: PIL unavailable") from e
 
 
-def save_image(path, image: np.ndarray) -> None:
+def save_image(path, image: np.ndarray, icc: bytes = None) -> None:
     path = pathlib.Path(path)
     suffix = path.suffix.lower()
     if suffix in (".pnm", ".ppm", ".pgm"):
@@ -47,7 +52,8 @@ def save_image(path, image: np.ndarray) -> None:
 
     if image.ndim == 3 and image.shape[2] == 1:
         image = image[:, :, 0]
-    Image.fromarray(image).save(path)
+    kw = {"icc_profile": icc} if icc else {}
+    Image.fromarray(image).save(path, **kw)
 
 
 def _load_pnm(data: bytes) -> np.ndarray:

@@ -64,17 +64,18 @@ def main(argv=None):
                   f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
         return 0
 
-    image = load_image(args.input)
+    image, icc = load_image(args.input, return_icc=True)
     distance = args.distance
     if args.quality is not None:
         distance = quality_to_distance(args.quality)
     lossless = distance == 0.0 or args.modular == 1
     t0 = time.perf_counter()
     if lossless:
-        data = encode_lossless(image, group_size_shift=args.group_size_shift)
+        data = encode_lossless(image, group_size_shift=args.group_size_shift,
+                               icc=icc)
     else:
         data = encode_lossy(image, distance=distance,
-                            group_size_shift=args.group_size_shift)
+                            group_size_shift=args.group_size_shift, icc=icc)
     dt = time.perf_counter() - t0
     if args.container:
         data = wrap_codestream(data)

@@ -46,7 +46,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     image, meta = decode(codestream)
     dt = time.perf_counter() - t0
-    save_image(args.output, image)
+    icc = meta.m.color_encoding.icc if meta.m.color_encoding.want_icc else None
+    save_image(args.output, image, icc=icc)
     if args.verbose:
         h, w = image.shape[:2]
         print(f"Decoded {w}x{h} in {dt:.3f}s ({h * w / 1e6 / dt:.3f} MP/s)",
