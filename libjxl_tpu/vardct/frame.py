@@ -192,6 +192,7 @@ class VarDCTState:
         self.num_histograms = 1
         self.ac_code = []       # per pass
         self.ac_context_map = []
+        self.orders = []        # per pass: {(ord, c): order} (custom only)
         self.noise_lut = None
         self.qblocks = {}       # (by, bx) -> (3, cb*64) accumulated ints
 
@@ -294,12 +295,13 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
     reader = ANSSymbolReader(code, r)
     nzeros_map = np.zeros((3, bh, bw), dtype=np.int32)
     bcm = state.block_ctx_map
+    pass_orders = state.orders[pass_idx] if pass_idx < len(state.orders) \
+        else {}
     for (bx, by, strategy) in blocks:
         cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
         cb = cx * cy
         log2_cb = acs.LOG2_COVERED[strategy]
         size = cb * 64
-        order = acs.natural_coeff_order(strategy)
         ord_ = acs.STRATEGY_ORDER[strategy]
         quant = int(state.raw_quant_field[by0 + by, bx0 + bx])
         key = (by0 + by, bx0 + bx)
@@ -307,6 +309,9 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
             state.qblocks[key] = np.zeros((3, size), dtype=np.int64)
         acc = state.qblocks[key]
         for c in (1, 0, 2):
+            order = pass_orders.get((ord_, c))
+            if order is None:
+                order = acs.natural_coeff_order(strategy)
             qblock = acc[c]
             pred = predict_nzeros(nzeros_map, c, by, bx)
             block_ctx = bcm.context(0, quant, ord_, c)
@@ -374,11 +379,13 @@ def render_groups(state: VarDCTState) -> None:
             state.xyb[c, y0:y0 + cy * 8, x0:x0 + cx * 8] = pix
 
 
-def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q):
+def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q,
+                      orders: dict = None):
     """Encoder counterpart of decode_ac_group: produces tokens.
 
     coeffs_q: dict (by_abs, bx_abs) -> (3, size) quantized int arrays in
     coefficient (wide raster) layout.
+    orders: optional {(ord, c): order} custom coefficient orders.
     """
     fd = state.fd
     gx = group_idx % fd.xsize_groups
@@ -386,17 +393,20 @@ def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q):
     blocks, bx0, by0, bw, bh = _block_list(state, gx, gy)
     bcm = state.block_ctx_map
     nzeros_map = np.zeros((3, bh, bw), dtype=np.int32)
+    orders = orders or {}
     tokens = []
     for (bx, by, strategy) in blocks:
         cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
         cb = cx * cy
         log2_cb = acs.LOG2_COVERED[strategy]
         size = cb * 64
-        order = acs.natural_coeff_order(strategy)
         ord_ = acs.STRATEGY_ORDER[strategy]
         quant = int(state.raw_quant_field[by0 + by, bx0 + bx])
         qblocks = coeffs_q[(by0 + by, bx0 + bx)]
         for c in (1, 0, 2):
+            order = orders.get((ord_, c))
+            if order is None:
+                order = acs.natural_coeff_order(strategy)
             qblock = qblocks[c]
             nzeros = int(np.count_nonzero(qblock.reshape(-1)[order[cb:]]))
             pred = predict_nzeros(nzeros_map, c, by, bx)
@@ -625,9 +635,9 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
         state.num_histograms = 1 + (sr.read_bits(nbits) if nbits else 0)
         for _ in range(fh.passes.num_passes):
             used_orders = u32_read(ORDER_ENC, sr)
-            if used_orders:
-                from ..entropy.permutation import decode_permutation
-                raise JXLError("custom coefficient orders not yet supported")
+            from .coeff_order import decode_coeff_orders
+
+            state.orders.append(decode_coeff_orders(used_orders, sr))
             num_contexts = (state.num_histograms
                             * state.block_ctx_map.num_ac_contexts())
             code, cmap = decode_histograms(sr, num_contexts)
@@ -739,7 +749,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         fh: FrameHeader, distance: float = 1.0,
                         adaptive_quant: bool = True,
                         cfl: bool = True, noise_lut=None,
-                        ac_strategy_search: bool = True) -> None:
+                        ac_strategy_search: bool = True,
+                        custom_orders: bool = True) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -886,13 +897,37 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         parts = split_progressive(q, shifts)
         for p in range(num_passes):
             pass_coeffs[p][key] = parts[p]
+    # custom coefficient orders per pass (ComputeCoeffOrder analog): count
+    # zeros per position over all blocks of each order class
+    from .coeff_order import compute_coeff_orders, encode_coeff_orders
+
+    used_strategies = {int(state.strategy[by, bx]) for (by, bx) in coeffs_q}
+    # use default orders for small images (enc_coeff_order.cc:71-72)
+    customize = custom_orders and (fd.xsize_blocks >= 5
+                                   or fd.ysize_blocks >= 5)
+    pass_orders = []
+    for p in range(num_passes):
+        num_zeros = {}
+        for (by, bx), q in pass_coeffs[p].items():
+            s = int(state.strategy[by, bx])
+            ord_ = acs.STRATEGY_ORDER[s]
+            for c in range(3):
+                key = (ord_, c)
+                if key not in num_zeros:
+                    num_zeros[key] = np.zeros(q.shape[1], dtype=np.int64)
+                num_zeros[key] += (q[c] == 0)
+        used_p, orders_p = compute_coeff_orders(
+            num_zeros, used_strategies, customize=customize)
+        pass_orders.append((used_p, orders_p))
+
     num_contexts = state.block_ctx_map.num_ac_contexts()
     ac_token_lists = []  # [pass][group]
     ac_codes = []
     ac_context_maps = []
     ac_histo_writers = []
     for p in range(num_passes):
-        group_tokens = [tokenize_ac_group(state, g, pass_coeffs[p])
+        group_tokens = [tokenize_ac_group(state, g, pass_coeffs[p],
+                                          pass_orders[p][1])
                         for g in range(fd.num_groups)]
         hw = BitWriter()
         codes_p, cmap_p = build_and_encode_histograms(
@@ -945,7 +980,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         if nbits:
             w.write(nbits, 0)  # num_histograms - 1
         for p in range(num_passes):
-            u32_write(ORDER_ENC, 0, w)  # default orders
+            used_p, orders_p = pass_orders[p]
+            u32_write(ORDER_ENC, used_p, w)
+            encode_coeff_orders(used_p, orders_p, w)
             w.append_bits_from(ac_histo_writers[p])
 
     def write_ac_group(w, g, p=0):

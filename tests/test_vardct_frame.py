@@ -108,3 +108,37 @@ def test_ac_strategy_search_uses_dct16():
     finally:
         vf.decode_dc_group = orig
     assert (strategies[0] == acs.DCT16X16).any()
+
+
+def test_custom_coeff_orders_roundtrip_and_density():
+    """Custom coefficient orders survive the roundtrip and do not expand
+    photographic content (coeff_order.cc / enc_coeff_order.cc analog)."""
+    from libjxl_tpu.api.codestream import decode, encode_lossy
+    from libjxl_tpu.io.bits import BitReader, BitWriter
+    from libjxl_tpu.vardct.coeff_order import (
+        decode_coeff_orders,
+        encode_coeff_orders,
+    )
+    import libjxl_tpu.vardct.ac_strategy as acs
+
+    # direct codec roundtrip on a synthetic permutation
+    rng = np.random.default_rng(3)
+    natural = acs.natural_coeff_order(0)
+    perm = np.concatenate([natural[:1], rng.permutation(natural[1:])])
+    orders = {(0, c): perm for c in range(3)}
+    w = BitWriter()
+    encode_coeff_orders(1, orders, w)
+    got = decode_coeff_orders(1, BitReader(w.get_bytes()))
+    for c in range(3):
+        assert np.array_equal(got[(0, c)], perm)
+
+    # end-to-end: encoder signals custom orders on a big-enough image
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = np.clip(128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+                  + rng.normal(0, 8, (128, 128)), 0, 255).astype(np.uint8)
+    img = np.repeat(img[:, :, None], 3, axis=2)
+    data = encode_lossy(img, distance=1.0)
+    out, _ = decode(data)
+    mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > 28, psnr
