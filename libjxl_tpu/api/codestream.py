@@ -105,7 +105,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  photon_noise_iso: float = None,
                  resampling: int = 1,
                  progressive: int = 1,
-                 icc: bytes = None) -> bytes:
+                 icc: bytes = None,
+                 splines=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode).
 
     photon_noise_iso: if set, signal synthetic photon noise (kNoise flag).
@@ -161,7 +162,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
 
         rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
     encode_vardct_frame(writer, rgb, fh, distance=distance,
-                        noise_lut=noise_lut)
+                        noise_lut=noise_lut, splines=splines)
     return writer.get_bytes()
 
 

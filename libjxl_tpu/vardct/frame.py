@@ -194,6 +194,7 @@ class VarDCTState:
         self.ac_context_map = []
         self.orders = []        # per pass: {(ord, c): order} (custom only)
         self.noise_lut = None
+        self.splines = None
         self.qblocks = {}       # (by, bx) -> (3, cb*64) accumulated ints
 
     def ytox(self, tile_val: int) -> float:
@@ -599,10 +600,17 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
     mstate = ModularFrameState()
-    if fh.flags & (FLAG_PATCHES | FLAG_SPLINES):
-        raise JXLError("patches/splines not yet supported in VarDCT")
+    if fh.flags & FLAG_PATCHES:
+        raise JXLError("patches not yet supported in VarDCT")
 
     def dc_global(sr):
+        # image features, in reference order: patches, splines, noise
+        # (dec_frame.cc:269-292)
+        if fh.flags & FLAG_SPLINES:
+            from ..render.splines import decode_splines
+
+            state.splines = decode_splines(
+                sr, fd.xsize_padded * fd.ysize_padded)
         if fh.flags & FLAG_NOISE:
             from ..render.noise import decode_noise
 
@@ -655,6 +663,13 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
         from ..render.pipeline import apply_restoration
 
         state.xyb = apply_restoration(state.xyb, fh, state)
+    if state.splines is not None:
+        from ..render.splines import compute_segments, draw_segments
+
+        segs = compute_segments(state.splines, fd.xsize_padded,
+                                fd.ysize_padded,
+                                y_to_x=state.ytox(0), y_to_b=state.ytob(0))
+        draw_segments(state.xyb, segs, add=True)
     if state.noise_lut is not None:
         from ..render.noise import add_noise, random_3planes
 
@@ -750,7 +765,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         adaptive_quant: bool = True,
                         cfl: bool = True, noise_lut=None,
                         ac_strategy_search: bool = True,
-                        custom_orders: bool = True) -> None:
+                        custom_orders: bool = True,
+                        splines=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -770,6 +786,28 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     pad_x = fd.xsize_padded - w
     rgb = np.pad(rgb_linear, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
     xyb = linear_rgb_to_xyb(rgb)
+    splines_state = None
+    if splines is not None:
+        # quantize splines and subtract their (decoder-visible) rendering
+        # from the opsin image before the transform (enc_frame.cc analog:
+        # splines.SubtractFrom happens ahead of gaborish inverse)
+        from ..render.splines import (SplinesState, Spline, compute_segments,
+                                      draw_segments, quantize_spline)
+
+        if isinstance(splines, SplinesState):
+            splines_state = splines
+        else:
+            splines_state = SplinesState()
+            for sp in splines:
+                start = np.round(sp.control_points[0]).astype(int)
+                splines_state.starting_points.append(
+                    (int(start[0]), int(start[1])))
+                splines_state.splines.append(
+                    quantize_spline(sp, 0, 0.0, 1.0))
+        segs = compute_segments(splines_state, fd.xsize_padded,
+                                fd.ysize_padded)
+        draw_segments(xyb, segs, add=False)
+        fh.flags |= FLAG_SPLINES
     if fh.loop_filter.gab:
         xyb = apply_gaborish_inverse(xyb)
     # quantizer setup (SetQuant path, quantizer.cc:112-115)
@@ -939,6 +977,12 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
     # --- assemble sections
     def write_dc_global(w):
+        # image features, in reference order: patches, splines, noise
+        # (dec_frame.cc:269-292)
+        if fh.flags & FLAG_SPLINES:
+            from ..render.splines import encode_splines
+
+            encode_splines(splines_state, w)
         if fh.flags & FLAG_NOISE:
             from ..render.noise import encode_noise
 
