@@ -171,11 +171,25 @@ def decode(data: bytes):
 
     Only the first frame is returned; animation frames via decode_frames.
     """
+    from ..io.frame_header import FT_REFERENCE_ONLY
+    from ..ops.xyb import linear_to_srgb
+    from ..vardct.frame import decode_vardct_frame
+
     r = BitReader(data)
     meta = parse_codestream_header(r)
-    fh = FrameHeader(meta)
-    fh.read(r)
     bits = meta.m.bit_depth.bits_per_sample
+    reference_frames = [None] * 4
+    while True:
+        fh = FrameHeader(meta)
+        fh.read(r)
+        if fh.frame_type == FT_REFERENCE_ONLY:
+            # decode and stash pre-color-transform; not displayed
+            xyb = decode_vardct_frame(r, fh, reference_frames,
+                                      return_xyb=True)
+            reference_frames[fh.save_as_reference] = xyb
+            r.jump_to_byte_boundary()
+            continue
+        break
     if fh.encoding == ENC_MODULAR:
         img = decode_modular_frame(r, fh)
         chans = [c.data for c in img.channel]
@@ -185,15 +199,111 @@ def decode(data: bytes):
         if bits <= 16:
             return stacked.astype(np.uint16), meta
         return stacked, meta
-    from ..ops.xyb import linear_to_srgb
-    from ..vardct.frame import decode_vardct_frame
-
-    chans = decode_vardct_frame(r, fh)
+    chans = decode_vardct_frame(r, fh, reference_frames)
     rgb = np.stack(chans, axis=-1)
     srgb = linear_to_srgb(rgb)
     if bits <= 8:
         return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta
     return srgb, meta
+
+
+def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
+                        placements, distance: float = 1.0,
+                        sheet_distance: float = None,
+                        blend_mode: int = None) -> bytes:
+    """Encode with a patch dictionary (kPatches image feature).
+
+    patch_sheet: (Hs, Ws, 3) uint8 image holding the patch contents; it is
+    coded as a kReferenceOnly frame, roundtripped (like the reference's
+    RoundtripPatchFrame, enc_patch_dictionary.cc) so the encoder subtracts
+    exactly what the decoder will add.
+    placements: list of (sheet_x0, sheet_y0, w, h, [(x, y), ...]) — each
+    rect of the sheet is blitted (kAdd blending) at the given positions of
+    the final image. `image` is the intended final image (patch content
+    included).
+    """
+    from ..io.frame_header import (
+        CT_XYB,
+        ENC_VARDCT,
+        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FT_REFERENCE_ONLY,
+        FT_REGULAR,
+        FrameHeader,
+    )
+    from ..ops.xyb import srgb_to_linear
+    from ..render.patches import (
+        BLEND_ADD,
+        PatchBlending,
+        PatchPosition,
+        PatchReferencePosition,
+        PatchesState,
+    )
+    from ..vardct.frame import decode_vardct_frame, encode_vardct_frame
+
+    if blend_mode is None:
+        blend_mode = BLEND_ADD
+    h, w, _ = image.shape
+    sh, sw, _ = patch_sheet.shape
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(w, h)
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+
+    # --- reference-only patch frame, roundtripped
+    def make_ref_header():
+        fh = FrameHeader(meta)
+        fh.all_default = False
+        fh.frame_type = FT_REFERENCE_ONLY
+        fh.encoding = ENC_VARDCT
+        fh.color_transform = CT_XYB
+        fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+        fh.loop_filter.all_default = False
+        fh.loop_filter.gab = False
+        fh.loop_filter.epf_iters = 0
+        if (sw, sh) != (w, h):
+            fh.custom_size_or_origin = True
+            fh.frame_xsize = sw
+            fh.frame_ysize = sh
+        fh.save_as_reference = 0
+        fh.save_before_color_transform = True
+        return fh
+
+    sheet_rgb = np.moveaxis(
+        srgb_to_linear(patch_sheet.astype(np.float64) / 255.0), -1, 0)
+    tmp = BitWriter()
+    encode_vardct_frame(tmp, sheet_rgb, make_ref_header(),
+                        distance=sheet_distance or min(distance, 1.0))
+    ref_bytes = tmp.get_bytes()
+    rr = BitReader(ref_bytes)
+    fh2 = FrameHeader(meta)
+    fh2.read(rr)
+    xyb_sheet = decode_vardct_frame(rr, fh2, return_xyb=True)
+    writer.append_bytes(ref_bytes)
+
+    # --- patch dictionary
+    st = PatchesState()
+    st.blendings_stride = 1
+    for (sx, sy, pw, ph, poses) in placements:
+        rp_idx = len(st.ref_positions)
+        st.ref_positions.append(PatchReferencePosition(0, sx, sy, pw, ph))
+        for (x, y) in poses:
+            st.positions.append(PatchPosition(x, y, rp_idx))
+            st.blendings.append([PatchBlending(blend_mode)])
+
+    # --- main frame
+    fh = FrameHeader(meta)
+    fh.all_default = False
+    fh.frame_type = FT_REGULAR
+    fh.encoding = ENC_VARDCT
+    fh.color_transform = CT_XYB
+    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = True
+    fh.loop_filter.epf_iters = 2
+    rgb = np.moveaxis(srgb_to_linear(image.astype(np.float64) / 255.0), -1, 0)
+    encode_vardct_frame(writer, rgb, fh, distance=distance, patches=st,
+                        reference_frames=[xyb_sheet, None, None, None])
+    return writer.get_bytes()
 
 
 # ------------------------------------------------------------------ animation

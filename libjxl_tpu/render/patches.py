@@ -1,0 +1,253 @@
+"""Patch dictionary: rectangles blitted from saved reference frames.
+
+Codec + blitter for the kPatches image feature. Mirrors
+dec_patch_dictionary.cc:29-176 (Decode), enc_patch_dictionary.cc
+(TokenizePatch ordering), and the blend-mode semantics of
+dec_patch_dictionary.h:35-69 / blending.cc.
+
+Context numbers per spec C.4.5 Listing C.2 (patch_dictionary_internal.h).
+The reference encoder finds patches with a text-like detector
+(FindTextLikePatches); this framework takes patches as explicit encoder
+inputs and focuses on exact codec + rendering parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..base.status import JXLError
+from ..io.bits import BitReader, BitWriter
+from ..io.fields import pack_signed, unpack_signed
+
+CTX_NUM_REF_PATCH = 0
+CTX_REFERENCE_FRAME = 1
+CTX_PATCH_SIZE = 2
+CTX_PATCH_REFERENCE_POSITION = 3
+CTX_PATCH_POSITION = 4
+CTX_PATCH_BLEND_MODE = 5
+CTX_PATCH_OFFSET = 6
+CTX_PATCH_COUNT = 7
+CTX_PATCH_ALPHA_CHANNEL = 8
+CTX_PATCH_CLAMP = 9
+NUM_PATCH_CONTEXTS = 10
+
+# PatchBlendMode (dec_patch_dictionary.h:35-69)
+BLEND_NONE = 0
+BLEND_REPLACE = 1
+BLEND_ADD = 2
+BLEND_MUL = 3
+BLEND_BLEND_ABOVE = 4
+BLEND_BLEND_BELOW = 5
+BLEND_ALPHA_WEIGHTED_ADD_ABOVE = 6
+BLEND_ALPHA_WEIGHTED_ADD_BELOW = 7
+NUM_BLEND_MODES = 8
+
+MAX_NUM_REFERENCE_FRAMES = 4
+
+
+def uses_alpha(mode: int) -> bool:
+    return mode in (BLEND_BLEND_ABOVE, BLEND_BLEND_BELOW,
+                    BLEND_ALPHA_WEIGHTED_ADD_ABOVE,
+                    BLEND_ALPHA_WEIGHTED_ADD_BELOW)
+
+
+def uses_clamp(mode: int) -> bool:
+    return uses_alpha(mode) or mode == BLEND_MUL
+
+
+@dataclass
+class PatchReferencePosition:
+    ref: int
+    x0: int
+    y0: int
+    xsize: int
+    ysize: int
+
+
+@dataclass
+class PatchPosition:
+    x: int
+    y: int
+    ref_pos_idx: int
+
+
+@dataclass
+class PatchBlending:
+    mode: int = BLEND_NONE
+    alpha_channel: int = 0
+    clamp: bool = False
+
+
+@dataclass
+class PatchesState:
+    ref_positions: list = field(default_factory=list)
+    positions: list = field(default_factory=list)
+    blendings: list = field(default_factory=list)  # [patch][channel-group]
+    blendings_stride: int = 1
+
+
+def decode_patches(r: BitReader, xsize: int, ysize: int,
+                   num_extra_channels: int,
+                   reference_frames) -> PatchesState:
+    """PatchDictionary::Decode (dec_patch_dictionary.cc:29-176).
+
+    reference_frames: list of (3, H, W) arrays or None per slot."""
+    from ..entropy.decode import ANSSymbolReader, decode_histograms
+
+    st = PatchesState()
+    st.blendings_stride = num_extra_channels + 1
+    code, cmap = decode_histograms(r, NUM_PATCH_CONTEXTS)
+    reader = ANSSymbolReader(code, r)
+
+    def read_num(ctx):
+        return reader.read_hybrid_uint(ctx, r, cmap)
+
+    num_ref_patch = read_num(CTX_NUM_REF_PATCH)
+    num_pixels = xsize * ysize
+    max_ref_patches = 1024 + num_pixels // 4
+    max_patches = max_ref_patches * 4
+    if num_ref_patch > max_ref_patches:
+        raise JXLError("too many patches in dictionary")
+    total_patches = 0
+    for _ in range(num_ref_patch):
+        ref = read_num(CTX_REFERENCE_FRAME)
+        if ref >= MAX_NUM_REFERENCE_FRAMES or reference_frames is None \
+                or ref >= len(reference_frames) \
+                or reference_frames[ref] is None:
+            raise JXLError("invalid reference frame ID in patches")
+        ref_img = reference_frames[ref]
+        x0 = read_num(CTX_PATCH_REFERENCE_POSITION)
+        y0 = read_num(CTX_PATCH_REFERENCE_POSITION)
+        w = read_num(CTX_PATCH_SIZE) + 1
+        h = read_num(CTX_PATCH_SIZE) + 1
+        if x0 + w > ref_img.shape[-1] or y0 + h > ref_img.shape[-2]:
+            raise JXLError("invalid position in reference frame")
+        ref_pos = PatchReferencePosition(ref, x0, y0, w, h)
+        id_count = read_num(CTX_PATCH_COUNT) + 1
+        total_patches += id_count
+        if total_patches > max_patches:
+            raise JXLError("too many patches in dictionary")
+        choose_alpha = num_extra_channels > 1
+        for i in range(id_count):
+            if i == 0:
+                x = read_num(CTX_PATCH_POSITION)
+                y = read_num(CTX_PATCH_POSITION)
+            else:
+                dx = unpack_signed(read_num(CTX_PATCH_OFFSET))
+                dy = unpack_signed(read_num(CTX_PATCH_OFFSET))
+                x = st.positions[-1].x + dx
+                y = st.positions[-1].y + dy
+                if x < 0 or y < 0:
+                    raise JXLError("invalid patch: negative coordinate")
+            if x + w > xsize or y + h > ysize:
+                raise JXLError("invalid patch position")
+            blend = []
+            for _j in range(st.blendings_stride):
+                mode = read_num(CTX_PATCH_BLEND_MODE)
+                if mode >= NUM_BLEND_MODES:
+                    raise JXLError("invalid patch blend mode")
+                info = PatchBlending(mode)
+                if uses_alpha(mode) and choose_alpha:
+                    info.alpha_channel = read_num(CTX_PATCH_ALPHA_CHANNEL)
+                    if info.alpha_channel >= num_extra_channels:
+                        raise JXLError("invalid alpha channel for blending")
+                if uses_clamp(mode):
+                    info.clamp = bool(read_num(CTX_PATCH_CLAMP))
+                blend.append(info)
+            st.positions.append(
+                PatchPosition(x, y, len(st.ref_positions)))
+            st.blendings.append(blend)
+        st.ref_positions.append(ref_pos)
+    if not reader.check_final_state():
+        raise JXLError("patches ANS final state mismatch")
+    return st
+
+
+def encode_patches(st: PatchesState, w: BitWriter) -> None:
+    """PatchDictionaryEncoder::Encode (enc_patch_dictionary.cc)."""
+    from ..entropy.encode import Token, build_and_encode_histograms, \
+        write_tokens
+
+    tokens = [Token(CTX_NUM_REF_PATCH, len(st.ref_positions))]
+    # group positions by ref_pos_idx, preserving order
+    by_ref = [[] for _ in st.ref_positions]
+    for idx, pos in enumerate(st.positions):
+        by_ref[pos.ref_pos_idx].append(idx)
+    for rp_idx, rp in enumerate(st.ref_positions):
+        tokens.append(Token(CTX_REFERENCE_FRAME, rp.ref))
+        tokens.append(Token(CTX_PATCH_REFERENCE_POSITION, rp.x0))
+        tokens.append(Token(CTX_PATCH_REFERENCE_POSITION, rp.y0))
+        tokens.append(Token(CTX_PATCH_SIZE, rp.xsize - 1))
+        tokens.append(Token(CTX_PATCH_SIZE, rp.ysize - 1))
+        idxs = by_ref[rp_idx]
+        tokens.append(Token(CTX_PATCH_COUNT, len(idxs) - 1))
+        for i, idx in enumerate(idxs):
+            pos = st.positions[idx]
+            if i == 0:
+                tokens.append(Token(CTX_PATCH_POSITION, pos.x))
+                tokens.append(Token(CTX_PATCH_POSITION, pos.y))
+            else:
+                prev = st.positions[idxs[i - 1]]
+                tokens.append(Token(CTX_PATCH_OFFSET,
+                                    pack_signed(pos.x - prev.x)))
+                tokens.append(Token(CTX_PATCH_OFFSET,
+                                    pack_signed(pos.y - prev.y)))
+            for info in st.blendings[idx]:
+                tokens.append(Token(CTX_PATCH_BLEND_MODE, info.mode))
+                if uses_alpha(info.mode) and st.blendings_stride > 2:
+                    tokens.append(Token(CTX_PATCH_ALPHA_CHANNEL,
+                                        info.alpha_channel))
+                if uses_clamp(info.mode):
+                    tokens.append(Token(CTX_PATCH_CLAMP, int(info.clamp)))
+    codes, cmap = build_and_encode_histograms(
+        [tokens], NUM_PATCH_CONTEXTS, w)
+    write_tokens(tokens, codes, cmap, w)
+
+
+def apply_patches(img: np.ndarray, st: PatchesState, reference_frames,
+                  add: bool = True) -> None:
+    """Blit all patches into img (3, H, W) in place (AddOneRow analog,
+    vectorized over whole patch rectangles).
+
+    Color-channel blend modes kNone/kReplace/kAdd/kMul are supported;
+    alpha-dependent modes need extra channels (not yet in the VarDCT
+    path) and are rejected at decode time by callers that lack them."""
+    for pos, blend in zip(st.positions, st.blendings):
+        rp = st.ref_positions[pos.ref_pos_idx]
+        fg = reference_frames[rp.ref][:, rp.y0:rp.y0 + rp.ysize,
+                                      rp.x0:rp.x0 + rp.xsize]
+        sl = (slice(None), slice(pos.y, pos.y + rp.ysize),
+              slice(pos.x, pos.x + rp.xsize))
+        mode = blend[0].mode
+        if mode == BLEND_NONE:
+            continue
+        if mode == BLEND_REPLACE:
+            if add:
+                img[sl] = fg
+            else:
+                img[sl] = 0.0
+        elif mode == BLEND_ADD:
+            if add:
+                img[sl] += fg
+            else:
+                img[sl] -= fg
+        elif mode == BLEND_MUL:
+            f = np.clip(fg, 0.0, 1.0) if blend[0].clamp else fg
+            if add:
+                img[sl] *= f
+            else:
+                safe = np.where(f == 0.0, 1.0, f)
+                img[sl] /= safe
+        else:
+            raise JXLError(
+                "alpha-blend patch modes need extra channels "
+                "(not yet supported in this path)")
+
+
+def get_references(st: PatchesState) -> int:
+    mask = 0
+    for rp in st.ref_positions:
+        mask |= 1 << rp.ref
+    return mask

@@ -195,6 +195,7 @@ class VarDCTState:
         self.orders = []        # per pass: {(ord, c): order} (custom only)
         self.noise_lut = None
         self.splines = None
+        self.patches = None
         self.qblocks = {}       # (by, bx) -> (3, cb*64) accumulated ints
 
     def ytox(self, tile_val: int) -> float:
@@ -590,9 +591,12 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 
 
 # ------------------------------------------------------------ frame orchestr.
-def decode_vardct_frame(r: BitReader, fh: FrameHeader):
+def decode_vardct_frame(r: BitReader, fh: FrameHeader,
+                        reference_frames=None, return_xyb: bool = False):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
-    linear RGB channels list."""
+    linear RGB channels list (or the final XYB image if return_xyb).
+
+    reference_frames: up to 4 saved (3, H, W) XYB frames for patches."""
     from ..api.frame import decode_frame_sections, get_downsampling_bracket
     from ..api.frame import decode_global_info, decode_modular_group
     from ..api.frame import ModularFrameState, modular_dc_stream_id
@@ -600,17 +604,19 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
     mstate = ModularFrameState()
-    if fh.flags & FLAG_PATCHES:
-        raise JXLError("patches not yet supported in VarDCT")
 
     def dc_global(sr):
         # image features, in reference order: patches, splines, noise
         # (dec_frame.cc:269-292)
+        if fh.flags & FLAG_PATCHES:
+            from ..render.patches import decode_patches
+
+            state.patches = decode_patches(
+                sr, fd.xsize_padded, fd.ysize_padded, 0, reference_frames)
         if fh.flags & FLAG_SPLINES:
             from ..render.splines import decode_splines
 
-            state.splines = decode_splines(
-                sr, fd.xsize_padded * fd.ysize_padded)
+            state.splines = decode_splines(sr, fd.xsize * fd.ysize)
         if fh.flags & FLAG_NOISE:
             from ..render.noise import decode_noise
 
@@ -663,6 +669,10 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
         from ..render.pipeline import apply_restoration
 
         state.xyb = apply_restoration(state.xyb, fh, state)
+    if state.patches is not None:
+        from ..render.patches import apply_patches
+
+        apply_patches(state.xyb, state.patches, reference_frames, add=True)
     if state.splines is not None:
         from ..render.splines import compute_segments, draw_segments
 
@@ -692,6 +702,10 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader):
 
         xyb = np.stack([upsample(xyb[c], fh.upsampling) for c in range(3)])
         xyb = xyb[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
+    if return_xyb:
+        # save_before_color_transform path: fully rendered XYB (dec_cache.cc
+        # WriteToImageBundleStage sits after all feature stages)
+        return xyb
     rgb = xyb_to_linear_rgb(xyb)
     return [rgb[c] for c in range(3)]
 
@@ -766,7 +780,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         cfl: bool = True, noise_lut=None,
                         ac_strategy_search: bool = True,
                         custom_orders: bool = True,
-                        splines=None) -> None:
+                        splines=None, patches=None,
+                        reference_frames=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -808,6 +823,13 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                 fd.ysize_padded)
         draw_segments(xyb, segs, add=False)
         fh.flags |= FLAG_SPLINES
+    if patches is not None:
+        # inverse of the decoder's patches stage (which runs before the
+        # splines stage, so the encoder subtracts after splines)
+        from ..render.patches import apply_patches
+
+        apply_patches(xyb, patches, reference_frames, add=False)
+        fh.flags |= FLAG_PATCHES
     if fh.loop_filter.gab:
         xyb = apply_gaborish_inverse(xyb)
     # quantizer setup (SetQuant path, quantizer.cc:112-115)
@@ -979,6 +1001,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     def write_dc_global(w):
         # image features, in reference order: patches, splines, noise
         # (dec_frame.cc:269-292)
+        if fh.flags & FLAG_PATCHES:
+            from ..render.patches import encode_patches
+
+            encode_patches(patches, w)
         if fh.flags & FLAG_SPLINES:
             from ..render.splines import encode_splines
 
