@@ -107,8 +107,10 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  progressive: int = 1,
                  icc: bytes = None,
                  splines=None) -> bytes:
-    """Encode an sRGB uint8 (H, W, 3) image lossily (VarDCT mode).
+    """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
+    A 4th channel is coded losslessly as an alpha extra channel
+    (modular sub-streams, enc_modular.cc do_color=false path).
     photon_noise_iso: if set, signal synthetic photon noise (kNoise flag).
     icc: optional raw ICC profile to embed (signals want_icc; the pixel
     data is still XYB-coded, the profile describes the decode target)."""
@@ -125,9 +127,15 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
 
     if image.ndim == 2:
         image = np.repeat(image[:, :, None], 3, axis=2)
-    h, w, _ = image.shape
+    h, w, nc = image.shape
+    extra_channels = None
     meta = CodecMetadata()
     meta.size = SizeHeader().set(w, h)
+    if nc == 4:
+        meta.m.all_default = False
+        meta.m.set_alpha_bits(8 if image.dtype == np.uint8 else 16)
+        extra_channels = [image[:, :, 3].astype(np.int32)]
+        image = image[:, :, :3]
     if icc is not None:
         meta.m.all_default = False
         meta.m.color_encoding.all_default = False
@@ -162,7 +170,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
 
         rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
     encode_vardct_frame(writer, rgb, fh, distance=distance,
-                        noise_lut=noise_lut, splines=splines)
+                        noise_lut=noise_lut, splines=splines,
+                        extra_channels=extra_channels)
     return writer.get_bytes()
 
 
@@ -179,14 +188,26 @@ def decode(data: bytes):
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
     reference_frames = [None] * 4
+    reference_extra = [None] * 4
     while True:
         fh = FrameHeader(meta)
         fh.read(r)
         if fh.frame_type == FT_REFERENCE_ONLY:
             # decode and stash pre-color-transform; not displayed
+            ref_ec = []
             xyb = decode_vardct_frame(r, fh, reference_frames,
-                                      return_xyb=True)
+                                      return_xyb=True, extra_out=ref_ec)
             reference_frames[fh.save_as_reference] = xyb
+            if ref_ec:
+                # normalized [0, 1] planes for alpha-blend sources
+                maxvals = [
+                    (1 << (meta.m.extra_channel_info[k]
+                           .bit_depth.bits_per_sample
+                           if k < len(meta.m.extra_channel_info) else 8)) - 1
+                    for k in range(len(ref_ec))]
+                reference_extra[fh.save_as_reference] = [
+                    np.asarray(e, dtype=np.float64) / mv
+                    for e, mv in zip(ref_ec, maxvals)]
             r.jump_to_byte_boundary()
             continue
         break
@@ -199,11 +220,22 @@ def decode(data: bytes):
         if bits <= 16:
             return stacked.astype(np.uint16), meta
         return stacked, meta
-    chans = decode_vardct_frame(r, fh, reference_frames)
+    extra = []
+    chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
+                                reference_extra=reference_extra)
     rgb = np.stack(chans, axis=-1)
     srgb = linear_to_srgb(rgb)
     if bits <= 8:
-        return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta
+        out = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+        if extra:
+            ec = np.stack([np.clip(np.round(e), 0, 255).astype(np.uint8)
+                           for e in extra], axis=-1)
+            out = np.concatenate([out, ec], axis=-1)
+        return out, meta
+    if extra:
+        srgb = np.concatenate(
+            [srgb] + [e[:, :, None].astype(srgb.dtype) for e in extra],
+            axis=-1)
     return srgb, meta
 
 
@@ -213,14 +245,16 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
                         blend_mode: int = None) -> bytes:
     """Encode with a patch dictionary (kPatches image feature).
 
-    patch_sheet: (Hs, Ws, 3) uint8 image holding the patch contents; it is
-    coded as a kReferenceOnly frame, roundtripped (like the reference's
+    patch_sheet: (Hs, Ws, 3|4) uint8 image holding the patch contents; it
+    is coded as a kReferenceOnly frame, roundtripped (like the reference's
     RoundtripPatchFrame, enc_patch_dictionary.cc) so the encoder subtracts
     exactly what the decoder will add.
     placements: list of (sheet_x0, sheet_y0, w, h, [(x, y), ...]) — each
-    rect of the sheet is blitted (kAdd blending) at the given positions of
-    the final image. `image` is the intended final image (patch content
-    included).
+    rect of the sheet is blitted at the given positions.
+    For kAdd (default), `image` is the intended final image (patch content
+    included). With a 4-channel sheet (or blend_mode kBlendAbove), the
+    sheet is alpha-composited over `image` at decode time
+    (PerformAlphaBlending, blending.cc:50-76): `image` is the background.
     """
     from ..io.frame_header import (
         CT_XYB,
@@ -233,6 +267,7 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
     from ..ops.xyb import srgb_to_linear
     from ..render.patches import (
         BLEND_ADD,
+        BLEND_BLEND_ABOVE,
         PatchBlending,
         PatchPosition,
         PatchReferencePosition,
@@ -240,12 +275,25 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
     )
     from ..vardct.frame import decode_vardct_frame, encode_vardct_frame
 
+    sheet_alpha = None
+    if patch_sheet.ndim == 3 and patch_sheet.shape[2] == 4:
+        sheet_alpha = patch_sheet[:, :, 3].astype(np.int32)
+        patch_sheet = patch_sheet[:, :, :3]
+        if blend_mode is None:
+            blend_mode = BLEND_BLEND_ABOVE
     if blend_mode is None:
         blend_mode = BLEND_ADD
+    if blend_mode == BLEND_BLEND_ABOVE and sheet_alpha is None:
+        sheet_alpha = np.full(patch_sheet.shape[:2], 255, dtype=np.int32)
     h, w, _ = image.shape
     sh, sw, _ = patch_sheet.shape
     meta = CodecMetadata()
     meta.size = SizeHeader().set(w, h)
+    num_extra = 0
+    if sheet_alpha is not None:
+        meta.m.all_default = False
+        meta.m.set_alpha_bits(8)
+        num_extra = 1
     writer = BitWriter()
     write_codestream_header(writer, meta)
 
@@ -272,23 +320,28 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
         srgb_to_linear(patch_sheet.astype(np.float64) / 255.0), -1, 0)
     tmp = BitWriter()
     encode_vardct_frame(tmp, sheet_rgb, make_ref_header(),
-                        distance=sheet_distance or min(distance, 1.0))
+                        distance=sheet_distance or min(distance, 1.0),
+                        extra_channels=[sheet_alpha]
+                        if sheet_alpha is not None else None)
     ref_bytes = tmp.get_bytes()
     rr = BitReader(ref_bytes)
     fh2 = FrameHeader(meta)
     fh2.read(rr)
-    xyb_sheet = decode_vardct_frame(rr, fh2, return_xyb=True)
+    ref_ec = []
+    xyb_sheet = decode_vardct_frame(rr, fh2, return_xyb=True,
+                                    extra_out=ref_ec)
     writer.append_bytes(ref_bytes)
 
     # --- patch dictionary
     st = PatchesState()
-    st.blendings_stride = 1
+    st.blendings_stride = 1 + num_extra
     for (sx, sy, pw, ph, poses) in placements:
         rp_idx = len(st.ref_positions)
         st.ref_positions.append(PatchReferencePosition(0, sx, sy, pw, ph))
         for (x, y) in poses:
             st.positions.append(PatchPosition(x, y, rp_idx))
-            st.blendings.append([PatchBlending(blend_mode)])
+            st.blendings.append([PatchBlending(blend_mode)
+                                 for _ in range(1 + num_extra)])
 
     # --- main frame
     fh = FrameHeader(meta)
@@ -301,8 +354,13 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
     rgb = np.moveaxis(srgb_to_linear(image.astype(np.float64) / 255.0), -1, 0)
+    main_extra = None
+    if num_extra:
+        # background is fully opaque unless the caller's image has alpha
+        main_extra = [np.full((h, w), 255, dtype=np.int32)]
     encode_vardct_frame(writer, rgb, fh, distance=distance, patches=st,
-                        reference_frames=[xyb_sheet, None, None, None])
+                        reference_frames=[xyb_sheet, None, None, None],
+                        extra_channels=main_extra)
     return writer.get_bytes()
 
 

@@ -207,22 +207,35 @@ def encode_patches(st: PatchesState, w: BitWriter) -> None:
 
 
 def apply_patches(img: np.ndarray, st: PatchesState, reference_frames,
-                  add: bool = True) -> None:
+                  add: bool = True, extra=None, ref_extra=None,
+                  alpha_is_premultiplied: bool = False) -> None:
     """Blit all patches into img (3, H, W) in place (AddOneRow analog,
     vectorized over whole patch rectangles).
 
-    Color-channel blend modes kNone/kReplace/kAdd/kMul are supported;
-    alpha-dependent modes need extra channels (not yet in the VarDCT
-    path) and are rejected at decode time by callers that lack them."""
+    Color blend modes kNone/kReplace/kAdd/kMul and the alpha-dependent
+    kBlendAbove/Below + kAlphaWeightedAddAbove/Below
+    (PerformAlphaBlending / PerformAlphaWeightedAdd, blending.cc:21-119).
+    extra: list of (H, W) float planes — the frame's extra channels,
+    blended in place per blend[1+k]. ref_extra: per reference slot, list
+    of extra-channel planes of that reference frame (alpha source).
+    Alpha planes are in [0, 1] units."""
     for pos, blend in zip(st.positions, st.blendings):
         rp = st.ref_positions[pos.ref_pos_idx]
         fg = reference_frames[rp.ref][:, rp.y0:rp.y0 + rp.ysize,
                                       rp.x0:rp.x0 + rp.xsize]
         sl = (slice(None), slice(pos.y, pos.y + rp.ysize),
               slice(pos.x, pos.x + rp.xsize))
+        sl2 = (sl[1], sl[2])
+        rsl2 = (slice(rp.y0, rp.y0 + rp.ysize), slice(rp.x0, rp.x0 + rp.xsize))
+
+        def fg_alpha(info):
+            planes = ref_extra[rp.ref] if ref_extra else None
+            if planes is None or info.alpha_channel >= len(planes):
+                raise JXLError("alpha-blend patch without alpha channel")
+            a = planes[info.alpha_channel][rsl2]
+            return np.clip(a, 0.0, 1.0) if info.clamp else a
+
         mode = blend[0].mode
-        if mode == BLEND_NONE:
-            continue
         if mode == BLEND_REPLACE:
             if add:
                 img[sl] = fg
@@ -240,10 +253,70 @@ def apply_patches(img: np.ndarray, st: PatchesState, reference_frames,
             else:
                 safe = np.where(f == 0.0, 1.0, f)
                 img[sl] /= safe
-        else:
-            raise JXLError(
-                "alpha-blend patch modes need extra channels "
-                "(not yet supported in this path)")
+        elif mode in (BLEND_BLEND_ABOVE, BLEND_BLEND_BELOW):
+            if not add:
+                # encoder semantics: the input image IS the background;
+                # alpha-blend patches are composited only at decode time
+                continue
+            fa = fg_alpha(blend[0])
+            bg = img[sl]
+            if extra is None or blend[0].alpha_channel >= len(extra):
+                raise JXLError("alpha-blend patch without frame alpha")
+            ba_full = extra[blend[0].alpha_channel]
+            ba = ba_full[sl2]
+            if alpha_is_premultiplied:
+                # premultiplied (blending.cc:33-48)
+                if mode == BLEND_BLEND_ABOVE:
+                    img[sl] = fg + bg * (1.0 - fa)[None]
+                    ba_full[sl2] = fa + ba * (1.0 - fa)
+                else:
+                    img[sl] = bg + fg * (1.0 - ba)[None]
+                    ba_full[sl2] = ba + fa * (1.0 - ba)
+            else:
+                # non-premultiplied (blending.cc:50-76)
+                if mode == BLEND_BLEND_ABOVE:
+                    new_a = fa + ba * (1.0 - fa)
+                    safe = np.where(new_a == 0.0, 1.0, new_a)
+                    img[sl] = (fg * fa[None]
+                               + bg * (ba * (1.0 - fa))[None]) / safe[None]
+                else:
+                    new_a = ba + fa * (1.0 - ba)
+                    safe = np.where(new_a == 0.0, 1.0, new_a)
+                    img[sl] = (bg * ba[None]
+                               + fg * (fa * (1.0 - ba))[None]) / safe[None]
+                ba_full[sl2] = new_a
+        elif mode in (BLEND_ALPHA_WEIGHTED_ADD_ABOVE,
+                      BLEND_ALPHA_WEIGHTED_ADD_BELOW):
+            fa = fg_alpha(blend[0])
+            if mode == BLEND_ALPHA_WEIGHTED_ADD_BELOW:
+                if extra is None or blend[0].alpha_channel >= len(extra):
+                    raise JXLError("alpha-weighted-add needs frame alpha")
+                fa = extra[blend[0].alpha_channel][sl2]
+            if add:
+                img[sl] += fg * fa[None]
+            else:
+                img[sl] -= fg * fa[None]
+        # extra-channel blending per channel group (blend[1 + k])
+        if extra is not None and len(blend) > 1:
+            for k, info in enumerate(blend[1:]):
+                if k >= len(extra) or info.mode in (BLEND_NONE,
+                                                    BLEND_BLEND_ABOVE,
+                                                    BLEND_BLEND_BELOW):
+                    continue  # blend modes handled with color above
+                planes = ref_extra[rp.ref] if ref_extra else None
+                if planes is None or k >= len(planes):
+                    continue
+                fg_e = planes[k][rsl2]
+                if info.mode == BLEND_REPLACE:
+                    extra[k][sl2] = fg_e if add else 0.0
+                elif info.mode == BLEND_ADD:
+                    extra[k][sl2] += fg_e if add else -fg_e
+                elif info.mode == BLEND_MUL:
+                    f = np.clip(fg_e, 0.0, 1.0) if info.clamp else fg_e
+                    if add:
+                        extra[k][sl2] *= f
+                    else:
+                        extra[k][sl2] /= np.where(f == 0.0, 1.0, f)
 
 
 def get_references(st: PatchesState) -> int:

@@ -592,14 +592,19 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 
 # ------------------------------------------------------------ frame orchestr.
 def decode_vardct_frame(r: BitReader, fh: FrameHeader,
-                        reference_frames=None, return_xyb: bool = False):
+                        reference_frames=None, return_xyb: bool = False,
+                        extra_out: list = None, reference_extra=None):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
-    reference_frames: up to 4 saved (3, H, W) XYB frames for patches."""
+    reference_frames: up to 4 saved (3, H, W) XYB frames for patches.
+    extra_out: if a list is passed, decoded extra channels (modular-coded
+    sub-streams, dec_modular.cc:301-410) are appended as int32 (H, W)."""
     from ..api.frame import decode_frame_sections, get_downsampling_bracket
     from ..api.frame import decode_global_info, decode_modular_group
-    from ..api.frame import ModularFrameState, modular_dc_stream_id
+    from ..api.frame import finalize_modular_frame
+    from ..api.frame import ModularFrameState, modular_ac_stream_id
+    from ..api.frame import modular_dc_stream_id
 
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
@@ -612,7 +617,9 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
             from ..render.patches import decode_patches
 
             state.patches = decode_patches(
-                sr, fd.xsize_padded, fd.ysize_padded, 0, reference_frames)
+                sr, fd.xsize_padded, fd.ysize_padded,
+                len(fh.nonserialized_metadata.m.extra_channel_info),
+                reference_frames)
         if fh.flags & FLAG_SPLINES:
             from ..render.splines import decode_splines
 
@@ -660,8 +667,21 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
 
     def ac_group(g, p, sr):
         decode_ac_group(sr, state, g, p)
+        # extra channels ride per-group modular AC streams
+        # (dec_frame.cc:478-540 ProcessACGroup modular part)
+        gx = g % fd.xsize_groups
+        gy = g // fd.xsize_groups
+        rect = (gx * fd.group_dim, gy * fd.group_dim, fd.group_dim,
+                fd.group_dim)
+        min_shift, max_shift = get_downsampling_bracket(fh.passes, p)
+        decode_modular_group(sr, fh, fd, mstate, rect, min_shift, max_shift,
+                             modular_ac_stream_id(fd, g, p))
 
     decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group)
+    extra_planes = None
+    if mstate.full_image is not None and mstate.full_image.channel:
+        img = finalize_modular_frame(fh, mstate)
+        extra_planes = [ch.data[:fd.ysize, :fd.xsize] for ch in img.channel]
     render_groups(state)
     # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
     # when enabled; round-1 encoder disables them)
@@ -670,9 +690,32 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
 
         state.xyb = apply_restoration(state.xyb, fh, state)
     if state.patches is not None:
-        from ..render.patches import apply_patches
+        from ..render.patches import apply_patches, uses_alpha
 
-        apply_patches(state.xyb, state.patches, reference_frames, add=True)
+        m = fh.nonserialized_metadata.m
+        touches_extra = any(
+            uses_alpha(info.mode)
+            or (i > 0 and info.mode != 0)
+            for blend in state.patches.blendings
+            for i, info in enumerate(blend))
+        norm_extras = None
+        maxvals = []
+        if extra_planes is not None and touches_extra:
+            maxvals = [
+                (1 << (m.extra_channel_info[k].bit_depth.bits_per_sample
+                       if k < len(m.extra_channel_info) else 8)) - 1
+                for k in range(len(extra_planes))]
+            norm_extras = [p.astype(np.float64) / mv
+                           for p, mv in zip(extra_planes, maxvals)]
+        premul = bool(m.extra_channel_info
+                      and getattr(m.extra_channel_info[0],
+                                  "alpha_associated", False))
+        apply_patches(state.xyb, state.patches, reference_frames, add=True,
+                      extra=norm_extras, ref_extra=reference_extra,
+                      alpha_is_premultiplied=premul)
+        if norm_extras is not None:
+            extra_planes = [p * mv
+                            for p, mv in zip(norm_extras, maxvals)]
     if state.splines is not None:
         from ..render.splines import compute_segments, draw_segments
 
@@ -696,6 +739,8 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                               state.ytob(state.ytob_dc))
     from ..ops.xyb import xyb_to_linear_rgb
 
+    if extra_out is not None and extra_planes is not None:
+        extra_out.extend(extra_planes)
     xyb = state.xyb[:, :fd.ysize, :fd.xsize]
     if fh.upsampling > 1:
         from ..render.upsample import upsample
@@ -781,7 +826,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         ac_strategy_search: bool = True,
                         custom_orders: bool = True,
                         splines=None, patches=None,
-                        reference_frames=None) -> None:
+                        reference_frames=None,
+                        extra_channels=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -941,10 +987,63 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     dc_streams = []
     for g in range(fd.num_dc_groups):
         dc_streams.append(tokenize_dc_group(state, g, dec_tree, wp_header))
-    modular_token_lists = [[]]  # global stream (empty channels)
+    # --- extra channels: modular-coded sub-streams of the VarDCT frame
+    # (enc_modular.cc ComputeEncodingData with do_color=false)
+    from ..api.frame import (
+        ModularFrameState,
+        _channel_brackets,
+        _group_channel_list,
+        get_downsampling_bracket,
+        modular_ac_stream_id,
+    )
+
+    ec_global_tokens = []
+    ec_ac_tokens = {}  # (pass, group) -> tokens
+    ec_image = None
+    if extra_channels:
+        ec_image = ModularImage(
+            fd.xsize, fd.ysize,
+            fh.nonserialized_metadata.m.bit_depth.bits_per_sample, 0)
+        from ..modular.image import Channel as MChannel
+
+        ec_image.channel = [
+            MChannel(a.shape[1], a.shape[0], 0, 0, a.astype(np.int32))
+            for a in extra_channels]
+        beginc = _channel_brackets(ec_image, fd.group_dim)
+        gtmp = ModularImage(fd.xsize, fd.ysize, ec_image.bitdepth, 0)
+        gtmp.channel = ec_image.channel[:beginc]
+        for i in range(len(gtmp.channel)):
+            _tokenize_channel(gtmp, i, 0, dec_tree, wp_header,
+                              ec_global_tokens)
+        ec_state = ModularFrameState()
+        ec_state.full_image = ec_image
+        for p in range(fh.passes.num_passes):
+            min_shift, max_shift = get_downsampling_bracket(fh.passes, p)
+            for g in range(fd.num_groups):
+                gx, gy = g % fd.xsize_groups, g // fd.xsize_groups
+                rect = (gx * fd.group_dim, gy * fd.group_dim, fd.group_dim,
+                        fd.group_dim)
+                chans = _group_channel_list(ec_state, fd, rect, min_shift,
+                                            max_shift)
+                if not chans:
+                    continue
+                sid = modular_ac_stream_id(fd, g, p)
+                gi = ModularImage(1, 1, ec_image.bitdepth, 0)
+                for (c, rx0, ry0, rw, rh) in chans:
+                    fc = ec_image.channel[c]
+                    gi.channel.append(MChannel(
+                        rw, rh, fc.hshift, fc.vshift,
+                        fc.data[ry0:ry0 + rh, rx0:rx0 + rw].copy()))
+                toks = []
+                for i in range(len(gi.channel)):
+                    _tokenize_channel(gi, i, sid, dec_tree, wp_header, toks)
+                ec_ac_tokens[(p, g)] = toks
+
+    modular_token_lists = [ec_global_tokens]  # global stream
     for dc_tokens, meta_tokens, _ in dc_streams:
         modular_token_lists.append(dc_tokens)
         modular_token_lists.append(meta_tokens)
+    modular_token_lists.extend(ec_ac_tokens.values())
     histo_writer = BitWriter()
     codes, context_map = build_and_encode_histograms(
         modular_token_lists, num_tree_contexts(dec_tree), histo_writer)
@@ -1017,14 +1116,21 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         state.quantizer.encode(w)
         w.write(1, 1)  # default block ctx map
         encode_cmap_dc_default(w)
-        # modular global info: has_tree=1, tree, histograms, empty global
+        # modular global info: has_tree=1, tree, histograms, global image
         w.write(1, 1)
         w.append_bits_from(tree_writer)
         w.append_bits_from(histo_writer)
-        # VarDCT frame: the global modular image has zero channels (no
-        # color, no extra channels in round 1), and ModularEncode writes
-        # NOTHING for a zero-channel image (enc_encoding.cc:562-564) —
-        # not even the GroupHeader.
+        # Without extra channels the global modular image has zero
+        # channels and ModularEncode writes NOTHING (enc_encoding.cc:
+        # 562-564) — not even the GroupHeader. With extra channels, the
+        # GroupHeader is always present; channels <= group_dim are coded
+        # here, larger ones per AC group.
+        if ec_image is not None:
+            gh = GroupHeader()
+            gh.use_global_tree = True
+            gh.write(w)
+            if ec_global_tokens:
+                write_tokens(ec_global_tokens, codes, context_map, w)
 
     def write_dc_group(w, g):
         dc_tokens, meta_tokens, count = dc_streams[g]
@@ -1057,6 +1163,11 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
     def write_ac_group(w, g, p=0):
         write_tokens(ac_token_lists[p][g], ac_codes[p], ac_context_maps[p], w)
+        if (p, g) in ec_ac_tokens:
+            gh = GroupHeader()
+            gh.use_global_tree = True
+            gh.write(w)
+            write_tokens(ec_ac_tokens[(p, g)], codes, context_map, w)
 
     single = fd.num_groups == 1 and fh.passes.num_passes == 1
     sections = []
