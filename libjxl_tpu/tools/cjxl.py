@@ -44,6 +44,18 @@ def quality_to_distance(quality: float) -> float:
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except Exception as e:  # clean CLI error like cjxl_main.cc
+        from ..base.status import JXLError
+
+        if isinstance(e, (JXLError, OSError)):
+            print(f"cjxl: error: {e}", file=sys.stderr)
+            return 1
+        raise
+
+
+def _main(argv=None):
     args = build_parser().parse_args(argv)
     from ..extras.io import load_image
     from ..api.codestream import encode_lossless, encode_lossy

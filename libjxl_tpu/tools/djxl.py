@@ -17,6 +17,18 @@ def build_parser():
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except Exception as e:  # clean CLI error like djxl_main.cc
+        from ..base.status import JXLError
+
+        if isinstance(e, (JXLError, OSError)):
+            print(f"djxl: error: {e}", file=sys.stderr)
+            return 1
+        raise
+
+
+def _main(argv=None):
     args = build_parser().parse_args(argv)
     from ..api.codestream import decode
     from ..extras.io import save_image
