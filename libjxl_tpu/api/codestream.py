@@ -106,7 +106,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  resampling: int = 1,
                  progressive: int = 1,
                  icc: bytes = None,
-                 splines=None) -> bytes:
+                 splines=None,
+                 custom_quant: dict = None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
     A 4th channel is coded losslessly as an alpha extra channel
@@ -171,7 +172,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         noise_lut=noise_lut, splines=splines,
-                        extra_channels=extra_channels)
+                        extra_channels=extra_channels,
+                        custom_quant=custom_quant)
     return writer.get_bytes()
 
 

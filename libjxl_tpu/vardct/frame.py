@@ -651,7 +651,10 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
             fac = [state.quantizer.mul_dc(c) for c in range(3)]
             state.dc = adaptive_dc_smoothing(state.dc, fac)
-        state.matrices.decode(sr)
+        state.matrices.decode(sr, num_dc_groups=fd.num_dc_groups,
+                              global_tree=state.tree,
+                              global_code=state.code,
+                              global_ctx_map=state.context_map)
         nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
         state.num_histograms = 1 + (sr.read_bits(nbits) if nbits else 0)
         for _ in range(fh.passes.num_passes):
@@ -827,7 +830,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         custom_orders: bool = True,
                         splines=None, patches=None,
                         reference_frames=None,
-                        extra_channels=None) -> None:
+                        extra_channels=None,
+                        custom_quant: dict = None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -841,6 +845,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
+    if custom_quant:
+        # signaled (non-library) dequant matrices (enc_quant_weights.cc)
+        for kind, entry in custom_quant.items():
+            state.matrices.set_custom(kind, entry)
     h, w = rgb_linear.shape[-2:]
     # pad to block multiple by edge replication
     pad_y = fd.ysize_padded - h
@@ -1151,7 +1159,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         write_tokens(meta_tokens, codes, context_map, w)
 
     def write_ac_global(w):
-        state.matrices.encode(w)
+        state.matrices.encode(w, num_dc_groups=fd.num_dc_groups)
         nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
         if nbits:
             w.write(nbits, 0)  # num_histograms - 1

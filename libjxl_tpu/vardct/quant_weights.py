@@ -187,14 +187,84 @@ def library_tables():
     return out
 
 
+# QuantEncoding::Mode (quant_weights.h:59-67)
+MODE_LIBRARY = 0
+MODE_ID = 1
+MODE_DCT2 = 2
+MODE_DCT4 = 3
+MODE_DCT4X8 = 4
+MODE_AFV = 5
+MODE_DCT = 6
+MODE_RAW = 7
+
+LOG2_NUM_QUANT_MODES = 3
+LOG2_MAX_DISTANCE_BANDS = 4
+
+
+def _f16(v):
+    """Round through binary16 like F16Coder so encoder matrices match the
+    decoder's bit-for-bit."""
+    return float(np.float16(v))
+
+
+def _decode_dct_params(r):
+    """DecodeDctParams (quant_weights.cc:367-380)."""
+    from ..io.fields import f16_read
+
+    n = r.read_bits(LOG2_MAX_DISTANCE_BANDS) + 1
+    bands = []
+    for _c in range(3):
+        row = [f16_read(r) for _ in range(n)]
+        if row[0] < ALMOST_ZERO:
+            raise JXLError("distance band seed too small")
+        row[0] *= 64.0
+        bands.append(row)
+    return bands
+
+
+def _encode_dct_params(bands, w):
+    """EncodeDctParams (enc_quant_weights.cc:26-37)."""
+    from ..io.fields import f16_write
+
+    n = len(bands[0])
+    w.write(LOG2_MAX_DISTANCE_BANDS, n - 1)
+    for c in range(3):
+        for i, v in enumerate(bands[c]):
+            f16_write(v / 64.0 if i == 0 else v, w)
+
+
+def quant_table_stream_id(num_dc_groups: int, idx: int) -> int:
+    """ModularStreamId::QuantTable (dec_modular.h:56-60)."""
+    return 1 + 3 * num_dc_groups + idx
+
+
+def compute_custom_table(entry, kind: int):
+    """-> (dequant, inv_dequant) like one element of library_tables()."""
+    if entry[0] == "raw":
+        den, qtable = entry[1], np.asarray(entry[2], dtype=np.float64)
+        if np.any(qtable <= 0):
+            raise JXLError("invalid raw quantization table")
+        dequant = (den * qtable).astype(np.float32)
+        inv = (1.0 / (den * qtable)).astype(np.float32).copy()
+    else:
+        weights = compute_quant_table(entry, kind)
+        dequant = (1.0 / weights).astype(np.float32)
+        inv = weights.astype(np.float32).copy()
+    xs, ys = QUANT_REQUIRED_X[kind], QUANT_REQUIRED_Y[kind]
+    ys2, xs2 = coefficient_layout(ys, xs)
+    inv[:, :ys2, :xs2] = 0
+    return dequant, inv
+
+
 class DequantMatrices:
-    """Runtime dequant matrix set (library defaults in round 1; signaled
-    custom tables hook in via `decode`)."""
+    """Runtime dequant matrix set: library defaults or signaled custom
+    encodings per table kind (quant_weights.cc:382-505)."""
 
     def __init__(self):
-        self.tables = library_tables()
+        self.tables = list(library_tables())
         self.dc_quant = DC_QUANT.copy()
         self.inv_dc_quant = INV_DC_QUANT.copy()
+        self.encodings = [None] * NUM_QUANT_TABLES  # None = library
 
     def dequant_matrix(self, kind: int, c: int) -> np.ndarray:
         return self.tables[kind][0][c]
@@ -204,6 +274,45 @@ class DequantMatrices:
 
     def table_for_strategy(self, strategy: int) -> int:
         return QUANT_TABLE[strategy]
+
+    def set_custom(self, kind: int, entry) -> None:
+        """Install a custom encoding for one table kind. entry formats:
+        library-defaults style ("dct"/"id"/"dct2"/"dct4"/"dct4x8"/"afv",
+        params...) or ("raw", den, qtable (3, rows, cols) ints).
+        Float params are rounded through f16 exactly as the decoder will
+        reconstruct them, so encoder and decoder matrices match."""
+
+        def bands64(bands):
+            # stored band0 must equal f16(b0/64)*64 (the decoder's value)
+            return [[_f16(row[0] / 64.0) * 64.0] + [_f16(v)
+                                                    for v in row[1:]]
+                    for row in bands]
+
+        def w64(rows):
+            return [[_f16(v / 64.0) * 64.0 for v in row] for row in rows]
+
+        mode = entry[0]
+        if mode == "raw":
+            entry = ("raw", _f16(entry[1]),
+                     np.asarray(entry[2], dtype=np.int32))
+        elif mode == "dct":
+            entry = ("dct", bands64(entry[1]))
+        elif mode in ("id", "dct2"):
+            entry = (mode, w64(entry[1]))
+        elif mode == "dct4":
+            entry = ("dct4", bands64(entry[1]),
+                     [[_f16(v) for v in row] for row in entry[2]])
+        elif mode == "dct4x8":
+            entry = ("dct4x8", bands64(entry[1]),
+                     [_f16(v) for v in entry[2]])
+        elif mode == "afv":
+            ws = [[_f16(v / 64.0) * 64.0 if i < 6 else _f16(v)
+                   for i, v in enumerate(row)] for row in entry[3]]
+            entry = ("afv", bands64(entry[1]), bands64(entry[2]), ws)
+        else:
+            raise JXLError(f"unknown quant mode {mode}")
+        self.encodings[kind] = entry
+        self.tables[kind] = compute_custom_table(entry, kind)
 
     def decode_dc(self, r) -> None:
         """quant_weights.cc:507-522."""
@@ -220,11 +329,162 @@ class DequantMatrices:
     def encode_dc(self, w) -> None:
         w.write(1, 1)  # all_default
 
-    def decode(self, r) -> None:
-        """DequantMatrices::Decode (quant_weights.cc:491-505); only the
-        all-default (library) path is supported in round 1."""
-        if r.read_bits(1) != 1:
-            raise JXLError("custom dequant tables not yet supported")
+    def decode(self, r, num_dc_groups: int = 1, global_tree=None,
+               global_code=None, global_ctx_map=None) -> None:
+        """DequantMatrices::Decode (quant_weights.cc:382-505)."""
+        from ..io.fields import f16_read
 
-    def encode(self, w) -> None:
-        w.write(1, 1)  # all_default
+        if r.read_bits(1) == 1:
+            return  # all default
+        for kind in range(NUM_QUANT_TABLES):
+            mode = r.read_bits(LOG2_NUM_QUANT_MODES)
+            size_ok = QUANT_REQUIRED_X[kind] * QUANT_REQUIRED_Y[kind] == 1
+            if mode == MODE_LIBRARY:
+                # kCeilLog2NumPredefinedTables == 0: no bits
+                self.encodings[kind] = None
+                self.tables[kind] = library_tables()[kind]
+                continue
+            if mode == MODE_ID:
+                if not size_ok:
+                    raise JXLError("invalid quant mode for table size")
+                ws = [[f16_read(r) * 64.0 for _ in range(3)]
+                      for _c in range(3)]
+                if any(abs(v) < ALMOST_ZERO for row in ws for v in row):
+                    raise JXLError("ID quantizer too small")
+                entry = ("id", ws)
+            elif mode == MODE_DCT2:
+                if not size_ok:
+                    raise JXLError("invalid quant mode for table size")
+                ws = [[f16_read(r) * 64.0 for _ in range(6)]
+                      for _c in range(3)]
+                if any(abs(v) < ALMOST_ZERO for row in ws for v in row):
+                    raise JXLError("DCT2 quantizer too small")
+                entry = ("dct2", ws)
+            elif mode == MODE_DCT4:
+                if not size_ok:
+                    raise JXLError("invalid quant mode for table size")
+                muls = [[f16_read(r) for _ in range(2)] for _c in range(3)]
+                if any(abs(v) < ALMOST_ZERO for row in muls for v in row):
+                    raise JXLError("DCT4 multiplier too small")
+                entry = ("dct4", _decode_dct_params(r), muls)
+            elif mode == MODE_DCT4X8:
+                if not size_ok:
+                    raise JXLError("invalid quant mode for table size")
+                muls = [f16_read(r) for _c in range(3)]
+                if any(abs(v) < ALMOST_ZERO for v in muls):
+                    raise JXLError("DCT4X8 multiplier too small")
+                entry = ("dct4x8", _decode_dct_params(r), muls)
+            elif mode == MODE_AFV:
+                if not size_ok:
+                    raise JXLError("invalid quant mode for table size")
+                ws = []
+                for _c in range(3):
+                    row = [f16_read(r) for _ in range(9)]
+                    for i in range(6):
+                        row[i] *= 64.0
+                    ws.append(row)
+                entry = ("afv", _decode_dct_params(r),
+                         _decode_dct_params(r), ws)
+            elif mode == MODE_DCT:
+                entry = ("dct", _decode_dct_params(r))
+            elif mode == MODE_RAW:
+                den = f16_read(r)
+                if den < ALMOST_ZERO:
+                    raise JXLError("invalid qtable_den")
+                from ..modular.codec import ModularOptions, modular_decode
+                from ..modular.image import Channel, ModularImage
+
+                rows = 8 * QUANT_REQUIRED_X[kind]
+                cols = 8 * QUANT_REQUIRED_Y[kind]
+                img = ModularImage(cols, rows, 8, 0)
+                img.channel = [Channel(cols, rows, 0, 0) for _ in range(3)]
+                modular_decode(
+                    r, img, quant_table_stream_id(num_dc_groups, kind),
+                    ModularOptions(), global_tree=global_tree,
+                    global_code=global_code, global_ctx_map=global_ctx_map,
+                    undo_transforms=True)
+                qtable = np.stack([ch.data for ch in img.channel])
+                entry = ("raw", den, qtable)
+            else:
+                raise JXLError("invalid quantization table encoding")
+            self.encodings[kind] = entry
+            self.tables[kind] = compute_custom_table(entry, kind)
+
+    def encode(self, w, num_dc_groups: int = 1) -> None:
+        """DequantMatricesEncode (enc_quant_weights.cc:39-135)."""
+        from ..io.fields import f16_write
+
+        if all(e is None for e in self.encodings):
+            w.write(1, 1)  # all_default
+            return
+        w.write(1, 0)
+        for kind in range(NUM_QUANT_TABLES):
+            entry = self.encodings[kind]
+            if entry is None:
+                w.write(LOG2_NUM_QUANT_MODES, MODE_LIBRARY)
+                continue
+            mode = {"id": MODE_ID, "dct2": MODE_DCT2, "dct4": MODE_DCT4,
+                    "dct4x8": MODE_DCT4X8, "afv": MODE_AFV,
+                    "dct": MODE_DCT, "raw": MODE_RAW}[entry[0]]
+            w.write(LOG2_NUM_QUANT_MODES, mode)
+            if mode == MODE_ID:
+                for c in range(3):
+                    for i in range(3):
+                        f16_write(entry[1][c][i] / 64.0, w)
+            elif mode == MODE_DCT2:
+                for c in range(3):
+                    for i in range(6):
+                        f16_write(entry[1][c][i] / 64.0, w)
+            elif mode == MODE_DCT4:
+                for c in range(3):
+                    for i in range(2):
+                        f16_write(entry[2][c][i], w)
+                _encode_dct_params(entry[1], w)
+            elif mode == MODE_DCT4X8:
+                for c in range(3):
+                    f16_write(entry[2][c], w)
+                _encode_dct_params(entry[1], w)
+            elif mode == MODE_AFV:
+                for c in range(3):
+                    for i in range(9):
+                        v = entry[3][c][i]
+                        f16_write(v / 64.0 if i < 6 else v, w)
+                _encode_dct_params(entry[1], w)
+                _encode_dct_params(entry[2], w)
+            elif mode == MODE_DCT:
+                _encode_dct_params(entry[1], w)
+            else:  # RAW
+                den, qtable = entry[1], entry[2]
+                f16_write(den, w)
+                from ..io.bits import BitWriter
+                from ..modular.codec import GroupHeader, _tokenize_channel
+                from ..modular.image import Channel, ModularImage
+                from ..modular.predict import P_GRADIENT
+                from ..modular.tree import (
+                    encode_tree,
+                    make_fixed_tree,
+                    num_tree_contexts,
+                )
+                from ..entropy.encode import (
+                    build_and_encode_histograms,
+                    write_tokens,
+                )
+
+                rows, cols = qtable.shape[1], qtable.shape[2]
+                img = ModularImage(cols, rows, 8, 0)
+                img.channel = [
+                    Channel(cols, rows, 0, 0,
+                            np.asarray(qtable[c], dtype=np.int32))
+                    for c in range(3)]
+                gh = GroupHeader()  # local tree
+                gh.write(w)
+                tree = make_fixed_tree(P_GRADIENT)
+                dec_tree = encode_tree(tree, w)
+                tokens = []
+                sid = quant_table_stream_id(num_dc_groups, kind)
+                for i in range(3):
+                    _tokenize_channel(img, i, sid, dec_tree, gh.wp_header,
+                                      tokens)
+                codes, cmap = build_and_encode_histograms(
+                    [tokens], num_tree_contexts(dec_tree), w)
+                write_tokens(tokens, codes, cmap, w)
