@@ -297,6 +297,7 @@ class ModularEncOptions:
     tree_sample_step: int = 2
     try_palette: bool = True
     max_palette_colors: int = 256
+    lz77: bool = True  # try ApplyLZ77_RLE on the residual token streams
 
 
 def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
@@ -399,7 +400,13 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
                                          for _, _, _, sid, _ in group_streams]
     histo_writer = BitWriter()
     codes, context_map = build_and_encode_histograms(
-        all_token_lists, num_tree_contexts(dec_tree), histo_writer)
+        all_token_lists, num_tree_contexts(dec_tree), histo_writer,
+        lz77_method="rle" if options.lz77 else "none",
+        lz77_dist_symbol=1)  # modular readers have a distance multiplier
+    if codes.lz77_tokens is not None:
+        global_tokens = codes.lz77_tokens[0]
+        for i, (_, _, _, sid, _) in enumerate(group_streams):
+            stream_tokens[sid] = codes.lz77_tokens[1 + i]
 
     # --- assemble sections
     global_has_channels = any(

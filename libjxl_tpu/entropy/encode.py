@@ -42,6 +42,9 @@ class EntropyEncodingData:
         self.log_alpha_size = 7
         self.uint_config: list = []
         self.lz77 = LZ77Params()
+        # transformed token lists when LZ77 was applied (same order as the
+        # tokens_list passed to build_and_encode_histograms), else None
+        self.lz77_tokens = None
         # per cluster: (freqs int32[alpha], reverse_map int32[alpha, maxfreq])
         self.encoding_info: list = []
 
@@ -57,16 +60,90 @@ class _MtfEncoder:
         return idx
 
 
-def _estimate_token_cost(tokens_list, num_contexts, uint_config):
+def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None):
     histograms = [[0] for _ in range(num_contexts)]
     for tokens in tokens_list:
         for t in tokens:
-            tok, _, _ = uint_config.encode(t.value)
+            if lz77 is not None and t.is_lz77_length:
+                tok, _, _ = lz77.length_uint_config.encode(t.value)
+                tok += lz77.min_symbol
+            else:
+                tok, _, _ = uint_config.encode(t.value)
             h = histograms[t.context]
             if tok >= len(h):
                 h.extend([0] * (tok + 1 - len(h)))
             h[tok] += 1
     return histograms
+
+
+def _apply_lz77_rle(tokens_list, num_contexts, lz77, uint_config,
+                    distance_symbol=0):
+    """ApplyLZ77_RLE (enc_ans.cc:931-1001): replace runs of repeated token
+    values with (length, distance=1) pairs. Returns (new_lists, accepted).
+    The distance token goes to the appended context `num_contexts`.
+    distance_symbol: 0 when the decoding reader has no distance
+    multiplier; 1 (kSpecialDistances[1] = {1,0}) when it does, as in
+    modular streams (enc_ans.cc:958-963)."""
+    import math
+
+    # symbol cost estimator: -log2(p) from the original token histograms
+    histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config)
+    cost_tables = []
+    for h in histograms:
+        total = sum(h)
+        if total == 0:
+            cost_tables.append(None)
+            continue
+        log_total = math.log2(total)
+        cost_tables.append([
+            (log_total - math.log2(c)) if c else 14.0 for c in h])
+
+    def sym_bits(ctx, tok):
+        ct = cost_tables[ctx]
+        if ct is None or tok >= len(ct):
+            return 14.0
+        return ct[tok]
+
+    bit_decrease = 0.0
+    total_symbols = 0
+    out_lists = []
+    min_length = lz77.min_length
+    for tokens in tokens_list:
+        n = len(tokens)
+        total_symbols += n
+        # cumulative bit cost
+        cum = [0.0] * (n + 1)
+        for i, t in enumerate(tokens):
+            tok, nbits, _ = uint_config.encode(t.value)
+            cum[i + 1] = cum[i] + sym_bits(t.context, tok) + nbits
+        out = []
+        i = 0
+        while i < n:
+            num_to_copy = 0
+            if i > 0:
+                while i + num_to_copy < n and \
+                        tokens[i + num_to_copy].value == tokens[i - 1].value:
+                    num_to_copy += 1
+            if num_to_copy == 0:
+                out.append(tokens[i])
+                i += 1
+                continue
+            cost = cum[i + num_to_copy] - cum[i]
+            lz77_len = num_to_copy - min_length
+            lz77_cost = (max(1, (lz77_len + 1).bit_length()) + 1) \
+                if num_to_copy >= min_length else 0.0
+            if num_to_copy < min_length or cost <= lz77_cost:
+                out.extend(tokens[i:i + num_to_copy])
+                i += num_to_copy
+                continue
+            out.append(Token(tokens[i].context, lz77_len,
+                             is_lz77_length=True))
+            out.append(Token(num_contexts, distance_symbol))  # -> dist 1
+            bit_decrease += cost - lz77_cost
+            i += num_to_copy
+        out_lists.append(out)
+    accepted = bit_decrease > total_symbols * 0.2 + 16
+    return out_lists, accepted
 
 
 def encode_context_map(context_map, num_histograms, writer: BitWriter) -> None:
@@ -97,17 +174,39 @@ def encode_context_map(context_map, num_histograms, writer: BitWriter) -> None:
 def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
                                 uint_config: HybridUintConfig = DEFAULT_UINT_CONFIG,
                                 allow_clustering: bool = True,
-                                strategy: str = "fast"):
+                                strategy: str = "fast",
+                                lz77_method: str = "none",
+                                lz77_dist_symbol: int = 0):
     """BuildAndEncodeHistograms (enc_ans.cc:1521-1608 via HistogramBuilder).
 
-    Encodes LZ77 params (disabled), context map, uint configs and histograms
-    into `writer`; returns (EntropyEncodingData, context_map).
+    Encodes LZ77 params, context map, uint configs and histograms into
+    `writer`; returns (EntropyEncodingData, context_map).
+    lz77_method: "none" or "rle" (ApplyLZ77_RLE; enabled only when the
+    estimated saving clears the reference's acceptance threshold).
     """
     codes = EntropyEncodingData()
-    # LZ77 disabled (encoder choice; decoder handles enabled streams).
-    writer.write(1, 0)
+    if lz77_method == "rle" and num_contexts + 1 <= 256:
+        lz77 = LZ77Params()
+        lz77.set_default()
+        new_lists, accepted = _apply_lz77_rle(tokens_list, num_contexts,
+                                              lz77, uint_config,
+                                              lz77_dist_symbol)
+        if accepted:
+            lz77.enabled = True
+            tokens_list = new_lists
+            codes.lz77 = lz77
+            codes.lz77_tokens = new_lists
+    if codes.lz77.enabled:
+        codes.lz77.write(writer)
+        _encode_uint_config(codes.lz77.length_uint_config, writer, 8)
+        num_contexts += 1
+    else:
+        # LZ77 disabled
+        writer.write(1, 0)
     # histograms per context
-    histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config)
+    histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config,
+                                      codes.lz77 if codes.lz77.enabled
+                                      else None)
     if num_contexts > 1:
         if allow_clustering:
             clustered, context_map = cluster_histograms(histograms,
