@@ -150,6 +150,126 @@ def decode_pixels(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
     return xyb_to_rgb_jax(xyb)
 
 
+def decode_xyb(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
+               x_dm_mult, b_dm_mult, color_factor=84.0, base_x=0.0,
+               base_b=1.0):
+    """decode_pixels without the final XYB->RGB stage: returns the XYB
+    image f32[3, nby*8, nbx*8] for render-pipeline post-stages
+    (gaborish/EPF run on XYB)."""
+    nby, nbx = qf.shape
+    scaled = (inv_global_scale / qf.astype(jnp.float32))[None, :, :, None,
+                                                         None]
+    x_cc = (base_x + _tile_to_blocks(ytox_map, nby, nbx).astype(jnp.float32)
+            / color_factor)[:, :, None, None]
+    b_cc = (base_b + _tile_to_blocks(ytob_map, nby, nbx).astype(jnp.float32)
+            / color_factor)[:, :, None, None]
+    dq_y = adjust_quant_bias_jax(qcoeffs[1], 1) * dm[1] * scaled[0]
+    dq_x = adjust_quant_bias_jax(qcoeffs[0], 0) * dm[0] * scaled[0] \
+        * x_dm_mult + x_cc * dq_y
+    dq_b = adjust_quant_bias_jax(qcoeffs[2], 2) * dm[2] * scaled[0] \
+        * b_dm_mult + b_cc * dq_y
+    coeffs = jnp.stack([dq_x, dq_y, dq_b])
+    coeffs = coeffs.at[:, :, :, 0, 0].set(dc)
+    pixels = idct8_blocks(coeffs)
+    return blocks_to_image(pixels)
+
+
+def gaborish_inverse_jax(xyb, kernel):
+    """5x5 sharpen (GaborishInverse, enc_gaborish.cc:21-49) as an XLA
+    conv; kernel: f32[5, 5] (same for all channels)."""
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    p = jnp.pad(xyb, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        p[:, None], k[None, None], window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out[:, 0]
+
+
+def quant_field_jax(y, nby, nbx, base_quant, quant_max):
+    """Device port of heuristics.initial_quant_field: per-block masking
+    from local Y-channel activity."""
+    h, w = nby * 8, nbx * 8
+    yp = y[:h, :w]
+    gy = jnp.abs(jnp.diff(yp, axis=0, prepend=yp[:1]))
+    gx = jnp.abs(jnp.diff(yp, axis=1, prepend=yp[:, :1]))
+    grad = (gy + gx).reshape(nby, 8, nbx, 8).mean(axis=(1, 3))
+    act = jnp.log1p(grad * 80.0)
+    mod = jnp.clip(1.6 - 0.35 * act, 0.55, 1.8)
+    return jnp.clip(jnp.round(base_quant * mod), 1,
+                    quant_max).astype(jnp.int32)
+
+
+def fit_cfl_jax(co, color_factor=84.0, base_b=1.0):
+    """Device port of heuristics.fit_cfl: per-64x64-tile least squares of
+    the X and B coefficients against Y, LLF excluded.
+
+    co: f32[3, nby, nbx, 8, 8] DCT coefficients, nby/nbx padded to a
+    multiple of 8 blocks by the caller. Returns (ytox, ytob) i32 tile maps
+    of shape (nby//8, nbx//8)."""
+    _, nby, nbx, _, _ = co.shape
+    tby, tbx = nby // COLOR_TILE_BLOCKS, nbx // COLOR_TILE_BLOCKS
+    mask = jnp.ones((8, 8), dtype=jnp.float32).at[0, 0].set(0.0)
+    cm = co * mask
+    t = cm.reshape(3, tby, COLOR_TILE_BLOCKS, tbx, COLOR_TILE_BLOCKS, 64)
+    ys = t[1]
+    denom = (ys * ys).sum(axis=(1, 3, 4)) + 1e-9
+    rx = (t[0] * ys).sum(axis=(1, 3, 4)) / denom
+    rb = (t[2] * ys).sum(axis=(1, 3, 4)) / denom
+    ytox = jnp.clip(jnp.round(rx * color_factor), -128, 127)
+    ytob = jnp.clip(jnp.round((rb - base_b) * color_factor), -128, 127)
+    return ytox.astype(jnp.int32), ytob.astype(jnp.int32)
+
+
+def encode_step(rgb, dm_inv, dm, gab_kernel, inv_global_scale, base_quant,
+                x_dm_mult, b_dm_mult, quant_max=255,
+                color_factor=84.0, adaptive=True, cfl=True):
+    """Full device-side VarDCT encode step (ComputeCoefficients +
+    LossyFrameHeuristics subset): linear RGB -> (qcoeffs, dc, qf,
+    ytox_map, ytob_map).
+
+    rgb: f32[3, H, W] with H, W multiples of 8; dm_inv: f32[3, 8, 8]
+    quant weights (LLF zeroed); dm: f32[3, 8, 8] dequant matrices.
+    DC is returned as the *unquantized* f32[3, nby, nbx] DCT DC
+    coefficients (the host quantizes them against the DC quantizer when
+    tokenizing the modular DC stream)."""
+    _, h, w = rgb.shape
+    nby, nbx = h // 8, w // 8
+    xyb = rgb_to_xyb_jax(rgb)
+    if gab_kernel is not None:
+        xyb = gaborish_inverse_jax(xyb, gab_kernel)
+    if adaptive:
+        qf = quant_field_jax(xyb[1], nby, nbx, base_quant, quant_max)
+    else:
+        qf = jnp.full((nby, nbx), jnp.int32(base_quant), dtype=jnp.int32)
+    blocks = image_to_blocks(xyb)
+    co = dct8_blocks(blocks)
+    # CfL tile fit on padded tile grid
+    tby = -(-nby // COLOR_TILE_BLOCKS)
+    tbx = -(-nbx // COLOR_TILE_BLOCKS)
+    if cfl:
+        pad_b = (tby * COLOR_TILE_BLOCKS - nby, tbx * COLOR_TILE_BLOCKS - nbx)
+        co_p = jnp.pad(co, ((0, 0), (0, pad_b[0]), (0, pad_b[1]), (0, 0),
+                            (0, 0)))
+        ytox_map, ytob_map = fit_cfl_jax(co_p, color_factor)
+    else:
+        ytox_map = jnp.zeros((tby, tbx), dtype=jnp.int32)
+        ytob_map = jnp.zeros((tby, tbx), dtype=jnp.int32)
+    scaled = (inv_global_scale / qf.astype(jnp.float32))[:, :, None, None]
+    x_cc = (0.0 + _tile_to_blocks(ytox_map, nby, nbx).astype(jnp.float32)
+            / color_factor)[:, :, None, None]
+    b_cc = (1.0 + _tile_to_blocks(ytob_map, nby, nbx).astype(jnp.float32)
+            / color_factor)[:, :, None, None]
+    qy = jnp.round(co[1] * dm_inv[1] / scaled)
+    dy = adjust_quant_bias_jax(qy, 1) * dm[1] * scaled
+    qx = jnp.round((co[0] - x_cc * dy) * dm_inv[0] / (scaled * x_dm_mult))
+    qb = jnp.round((co[2] - b_cc * dy) * dm_inv[2] / (scaled * b_dm_mult))
+    q = jnp.stack([qx, qy, qb]).astype(jnp.int32)
+    q = q.at[:, :, :, 0, 0].set(0)
+    dc = co[:, :, :, 0, 0]
+    return q, dc, qf, ytox_map, ytob_map
+
+
 def encode_coefficients(rgb, qf, dm_inv, dm_y, inv_global_scale, x_dm_mult,
                         b_dm_mult, inv_dc_quant_mul):
     """VarDCT encode compute path: RGB -> XYB -> DCT8 -> quantize

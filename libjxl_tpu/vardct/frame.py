@@ -593,7 +593,8 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 # ------------------------------------------------------------ frame orchestr.
 def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         reference_frames=None, return_xyb: bool = False,
-                        extra_out: list = None, reference_extra=None):
+                        extra_out: list = None, reference_extra=None,
+                        render_fn=None):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
@@ -685,7 +686,11 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     if mstate.full_image is not None and mstate.full_image.channel:
         img = finalize_modular_frame(fh, mstate)
         extra_planes = [ch.data[:fd.ysize, :fd.xsize] for ch in img.channel]
-    render_groups(state)
+    if render_fn is not None:
+        # device render path: must fill state.xyb from state.qblocks
+        render_fn(state)
+    else:
+        render_groups(state)
     # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
     # when enabled; round-1 encoder disables them)
     if fh.loop_filter.gab or fh.loop_filter.epf_iters > 0:
@@ -831,7 +836,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         splines=None, patches=None,
                         reference_frames=None,
                         extra_channels=None,
-                        custom_quant: dict = None) -> None:
+                        custom_quant: dict = None,
+                        precomputed: dict = None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -849,142 +855,171 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         # signaled (non-library) dequant matrices (enc_quant_weights.cc)
         for kind, entry in custom_quant.items():
             state.matrices.set_custom(kind, entry)
-    h, w = rgb_linear.shape[-2:]
-    # pad to block multiple by edge replication
-    pad_y = fd.ysize_padded - h
-    pad_x = fd.xsize_padded - w
-    rgb = np.pad(rgb_linear, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
-    xyb = linear_rgb_to_xyb(rgb)
-    splines_state = None
-    if splines is not None:
-        # quantize splines and subtract their (decoder-visible) rendering
-        # from the opsin image before the transform (enc_frame.cc analog:
-        # splines.SubtractFrom happens ahead of gaborish inverse)
-        from ..render.splines import (SplinesState, Spline, compute_segments,
-                                      draw_segments, quantize_spline)
-
-        if isinstance(splines, SplinesState):
-            splines_state = splines
-        else:
-            splines_state = SplinesState()
-            for sp in splines:
-                start = np.round(sp.control_points[0]).astype(int)
-                splines_state.starting_points.append(
-                    (int(start[0]), int(start[1])))
-                splines_state.splines.append(
-                    quantize_spline(sp, 0, 0.0, 1.0))
-        segs = compute_segments(splines_state, fd.xsize_padded,
-                                fd.ysize_padded)
-        draw_segments(xyb, segs, add=False)
-        fh.flags |= FLAG_SPLINES
-    if patches is not None:
-        # inverse of the decoder's patches stage (which runs before the
-        # splines stage, so the encoder subtracts after splines)
-        from ..render.patches import apply_patches
-
-        apply_patches(xyb, patches, reference_frames, add=False)
-        fh.flags |= FLAG_PATCHES
-    if fh.loop_filter.gab:
-        xyb = apply_gaborish_inverse(xyb)
-    # quantizer setup (SetQuant path, quantizer.cc:112-115)
-    quant_ac = K_AC_QUANT / distance
-    quant_dc = K_DC_QUANT / distance
-    state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
-    raw_qf = max(1, min(QUANT_MAX,
-                        int(quant_ac * state.quantizer.global_scale_float + 0.5)))
-    if adaptive_quant:
-        state.raw_quant_field = initial_quant_field(
-            xyb[1], fd.ysize_blocks, fd.xsize_blocks, distance, raw_qf)
+    if precomputed is not None:
+        # device-computed encoding data (ops/pipeline.encode_step):
+        # DCT8-only strategy, coefficients/DC/quant-field/CfL maps
+        # arrive as arrays; only the section assembly runs on host.
+        if splines is not None or patches is not None:
+            raise JXLError(
+                "precomputed path does not support splines/patches")
+        quant_ac = K_AC_QUANT / distance
+        quant_dc = K_DC_QUANT / distance
+        state.quantizer.compute_global_scale_and_quant(quant_dc,
+                                                       quant_ac)
+        state.raw_quant_field = np.asarray(precomputed["qf"],
+                                           dtype=np.int32)
+        state.strategy[:, :] = acs.DCT
+        state.is_origin[:, :] = True
+        if fh.loop_filter.epf_iters > 0:
+            state.epf_sharpness[:, :] = 4
+        state.dc = np.asarray(precomputed["dc"], dtype=np.float64)
+        state.ytox_map = np.asarray(precomputed["ytox_map"],
+                                    dtype=np.int32)
+        state.ytob_map = np.asarray(precomputed["ytob_map"],
+                                    dtype=np.int32)
+        qall_pc = np.asarray(precomputed["qall"], dtype=np.int64)
+        splines_state = None
+        coeffs_q = {}
+        for by in range(fd.ysize_blocks):
+            for bx in range(fd.xsize_blocks):
+                coeffs_q[(by, bx)] = qall_pc[:, by, bx].reshape(3, 64)
     else:
-        state.raw_quant_field[:, :] = raw_qf
-    state.strategy[:, :] = acs.DCT
-    state.is_origin[:, :] = True
-    if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
-        _choose_ac_strategies(state, xyb)
-    if fh.loop_filter.epf_iters > 0:
-        # mid-LUT sharpness enables the decoder's edge-preserving filter
-        # (the reference picks per-block values in ComputeARHeuristics)
-        state.epf_sharpness[:, :] = 4
-    # DC = DCT DC coefficients = 8x8 block means
-    state.dc = xyb.reshape(3, fd.ysize_blocks, 8, fd.xsize_blocks, 8).mean(
-        axis=(2, 4))
-    # quantize AC coefficients (vectorized over the whole block grid —
-    # mirrors enc_group.cc ComputeCoefficients, batched like the TPU path)
-    inv_gs = state.quantizer.inv_global_scale
-    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
-    kind = acs.QUANT_TABLE[acs.DCT]
-    dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
-                       for c in range(3)])  # (3, 8, 8), LLF zeroed
-    dm_y = state.matrices.dequant_matrix(kind, 1)
-    blocks = xyb.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
-    from ..ops.dct import fwd_matrix
+        h, w = rgb_linear.shape[-2:]
+        # pad to block multiple by edge replication
+        pad_y = fd.ysize_padded - h
+        pad_x = fd.xsize_padded - w
+        rgb = np.pad(rgb_linear, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+        xyb = linear_rgb_to_xyb(rgb)
+        splines_state = None
+        if splines is not None:
+            # quantize splines and subtract their (decoder-visible) rendering
+            # from the opsin image before the transform (enc_frame.cc analog:
+            # splines.SubtractFrom happens ahead of gaborish inverse)
+            from ..render.splines import (SplinesState, Spline, compute_segments,
+                                          draw_segments, quantize_spline)
 
-    f8 = fwd_matrix(8)
-    co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8)
-    scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
-        None, :, :, None, None]
-    qy = np.round(co[1] * dm_inv[1] / scaled[0])
-    dy = adjust_quant_bias(qy, 1) * dm_y * scaled[0]
-    if cfl:
-        state.ytox_map, state.ytob_map = fit_cfl(co[0], co[1], co[2],
-                                                 nby, nbx)
-    x_cc = (state.base_x + np.repeat(np.repeat(
-        state.ytox_map, 8, 0), 8, 1)[:nby, :nbx]
-        / state.color_factor)[:, :, None, None]
-    b_cc = (state.base_b + np.repeat(np.repeat(
-        state.ytob_map, 8, 0), 8, 1)[:nby, :nbx]
-        / state.color_factor)[:, :, None, None]
-    qx = np.round((co[0] - x_cc * dy) * dm_inv[0]
-                  / (scaled[0] * state.x_dm_mult))
-    qb = np.round((co[2] - b_cc * dy) * dm_inv[2]
-                  / (scaled[0] * state.b_dm_mult))
-    qall = np.stack([qx, qy, qb]).astype(np.int64)
-    qall[:, :, :, 0, 0] = 0  # LLF not coded
-    coeffs_q = {}
-    for by in range(nby):
-        for bx in range(nbx):
-            if not state.is_origin[by, bx]:
-                continue
-            strategy = int(state.strategy[by, bx])
-            if strategy == acs.DCT:
-                coeffs_q[(by, bx)] = qall[:, by, bx].reshape(3, 64)
-                continue
-            # multi-block / special transform: recompute coefficients
-            cx_, cy_ = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
-            cb = cx_ * cy_
-            kind2 = acs.QUANT_TABLE[strategy]
-            dmi = np.stack([state.matrices.inv_matrix(kind2, c).reshape(-1)
-                            for c in range(3)])
-            dm_y2 = state.matrices.dequant_matrix(kind2, 1).reshape(-1)
-            quant = int(state.raw_quant_field[by, bx])
-            sc = inv_gs / quant
-            block = xyb[:, by * 8:(by + cy_) * 8, bx * 8:(bx + cx_) * 8]
-            co2 = np.stack([
-                transform_from_pixels(strategy, block[c]).reshape(-1)
-                for c in range(3)])
-            qy2 = np.round(co2[1] * dmi[1] / sc)
-            dy2 = adjust_quant_bias(qy2, 1) * dm_y2 * sc
-            xcc = float(x_cc[by, bx, 0, 0])
-            bcc = float(b_cc[by, bx, 0, 0])
-            qx2 = np.round((co2[0] - xcc * dy2) * dmi[0]
-                           / (sc * state.x_dm_mult))
-            qb2 = np.round((co2[2] - bcc * dy2) * dmi[2]
-                           / (sc * state.b_dm_mult))
-            q2 = np.stack([qx2, qy2, qb2]).astype(np.int64)
-            # LLF positions (wide layout [:min, :max]) are not coded; also
-            # update the DC image from the transform's LLF so the decoder
-            # reconstructs the same low frequencies
-            rows2 = min(cy_, cx_) * 8
-            cols2 = max(cy_, cx_) * 8
-            llf_mask = np.zeros((rows2, cols2), dtype=bool)
-            llf_mask[:min(cy_, cx_), :max(cy_, cx_)] = True
-            q2[:, llf_mask.reshape(-1)] = 0
-            for c in range(3):
-                llf = co2[c].reshape(rows2, cols2)[
-                    :min(cy_, cx_), :max(cy_, cx_)]
-                state.dc[c, by:by + cy_, bx:bx + cx_] = \
-                    dc_from_lowest_frequencies(strategy, llf)
-            coeffs_q[(by, bx)] = q2
+            if isinstance(splines, SplinesState):
+                splines_state = splines
+            else:
+                splines_state = SplinesState()
+                for sp in splines:
+                    start = np.round(sp.control_points[0]).astype(int)
+                    splines_state.starting_points.append(
+                        (int(start[0]), int(start[1])))
+                    splines_state.splines.append(
+                        quantize_spline(sp, 0, 0.0, 1.0))
+            segs = compute_segments(splines_state, fd.xsize_padded,
+                                    fd.ysize_padded)
+            draw_segments(xyb, segs, add=False)
+            fh.flags |= FLAG_SPLINES
+        if patches is not None:
+            # inverse of the decoder's patches stage (which runs before the
+            # splines stage, so the encoder subtracts after splines)
+            from ..render.patches import apply_patches
+
+            apply_patches(xyb, patches, reference_frames, add=False)
+            fh.flags |= FLAG_PATCHES
+        if fh.loop_filter.gab:
+            xyb = apply_gaborish_inverse(xyb)
+        # quantizer setup (SetQuant path, quantizer.cc:112-115)
+        quant_ac = K_AC_QUANT / distance
+        quant_dc = K_DC_QUANT / distance
+        state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
+        raw_qf = max(1, min(QUANT_MAX,
+                            int(quant_ac * state.quantizer.global_scale_float + 0.5)))
+        if adaptive_quant:
+            state.raw_quant_field = initial_quant_field(
+                xyb[1], fd.ysize_blocks, fd.xsize_blocks, distance, raw_qf)
+        else:
+            state.raw_quant_field[:, :] = raw_qf
+        state.strategy[:, :] = acs.DCT
+        state.is_origin[:, :] = True
+        if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
+            _choose_ac_strategies(state, xyb)
+        if fh.loop_filter.epf_iters > 0:
+            # mid-LUT sharpness enables the decoder's edge-preserving filter
+            # (the reference picks per-block values in ComputeARHeuristics)
+            state.epf_sharpness[:, :] = 4
+        # DC = DCT DC coefficients = 8x8 block means
+        state.dc = xyb.reshape(3, fd.ysize_blocks, 8, fd.xsize_blocks, 8).mean(
+            axis=(2, 4))
+        # quantize AC coefficients (vectorized over the whole block grid —
+        # mirrors enc_group.cc ComputeCoefficients, batched like the TPU path)
+        inv_gs = state.quantizer.inv_global_scale
+        nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+        kind = acs.QUANT_TABLE[acs.DCT]
+        dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
+                           for c in range(3)])  # (3, 8, 8), LLF zeroed
+        dm_y = state.matrices.dequant_matrix(kind, 1)
+        blocks = xyb.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
+        from ..ops.dct import fwd_matrix
+
+        f8 = fwd_matrix(8)
+        co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8)
+        scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
+            None, :, :, None, None]
+        qy = np.round(co[1] * dm_inv[1] / scaled[0])
+        dy = adjust_quant_bias(qy, 1) * dm_y * scaled[0]
+        if cfl:
+            state.ytox_map, state.ytob_map = fit_cfl(co[0], co[1], co[2],
+                                                     nby, nbx)
+        x_cc = (state.base_x + np.repeat(np.repeat(
+            state.ytox_map, 8, 0), 8, 1)[:nby, :nbx]
+            / state.color_factor)[:, :, None, None]
+        b_cc = (state.base_b + np.repeat(np.repeat(
+            state.ytob_map, 8, 0), 8, 1)[:nby, :nbx]
+            / state.color_factor)[:, :, None, None]
+        qx = np.round((co[0] - x_cc * dy) * dm_inv[0]
+                      / (scaled[0] * state.x_dm_mult))
+        qb = np.round((co[2] - b_cc * dy) * dm_inv[2]
+                      / (scaled[0] * state.b_dm_mult))
+        qall = np.stack([qx, qy, qb]).astype(np.int64)
+        qall[:, :, :, 0, 0] = 0  # LLF not coded
+        coeffs_q = {}
+        for by in range(nby):
+            for bx in range(nbx):
+                if not state.is_origin[by, bx]:
+                    continue
+                strategy = int(state.strategy[by, bx])
+                if strategy == acs.DCT:
+                    coeffs_q[(by, bx)] = qall[:, by, bx].reshape(3, 64)
+                    continue
+                # multi-block / special transform: recompute coefficients
+                cx_, cy_ = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+                cb = cx_ * cy_
+                kind2 = acs.QUANT_TABLE[strategy]
+                dmi = np.stack([state.matrices.inv_matrix(kind2, c).reshape(-1)
+                                for c in range(3)])
+                dm_y2 = state.matrices.dequant_matrix(kind2, 1).reshape(-1)
+                quant = int(state.raw_quant_field[by, bx])
+                sc = inv_gs / quant
+                block = xyb[:, by * 8:(by + cy_) * 8, bx * 8:(bx + cx_) * 8]
+                co2 = np.stack([
+                    transform_from_pixels(strategy, block[c]).reshape(-1)
+                    for c in range(3)])
+                qy2 = np.round(co2[1] * dmi[1] / sc)
+                dy2 = adjust_quant_bias(qy2, 1) * dm_y2 * sc
+                xcc = float(x_cc[by, bx, 0, 0])
+                bcc = float(b_cc[by, bx, 0, 0])
+                qx2 = np.round((co2[0] - xcc * dy2) * dmi[0]
+                               / (sc * state.x_dm_mult))
+                qb2 = np.round((co2[2] - bcc * dy2) * dmi[2]
+                               / (sc * state.b_dm_mult))
+                q2 = np.stack([qx2, qy2, qb2]).astype(np.int64)
+                # LLF positions (wide layout [:min, :max]) are not coded; also
+                # update the DC image from the transform's LLF so the decoder
+                # reconstructs the same low frequencies
+                rows2 = min(cy_, cx_) * 8
+                cols2 = max(cy_, cx_) * 8
+                llf_mask = np.zeros((rows2, cols2), dtype=bool)
+                llf_mask[:min(cy_, cx_), :max(cy_, cx_)] = True
+                q2[:, llf_mask.reshape(-1)] = 0
+                for c in range(3):
+                    llf = co2[c].reshape(rows2, cols2)[
+                        :min(cy_, cx_), :max(cy_, cx_)]
+                    state.dc[c, by:by + cy_, bx:bx + cx_] = \
+                        dc_from_lowest_frequencies(strategy, llf)
+                coeffs_q[(by, bx)] = q2
     # global modular tree for the DC/metadata substreams; tokenized AFTER
     # the CfL fit so the AC-metadata stream carries the fitted tile maps
     tree = make_fixed_tree(P_GRADIENT)
