@@ -795,36 +795,105 @@ def _est_token_bits(q: np.ndarray, cb: int) -> float:
     return bits + 8.0  # per-channel nzeros token overhead
 
 
-def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
-    """Per-16x16 tile: pick DCT16X16 over 4x DCT8 when the estimated
-    token cost is lower (simplified FindBest8x8Transform/TryMergeAcs,
-    enc_ac_strategy.cc:496-700)."""
-    fd = state.fd
-    inv_gs = state.quantizer.inv_global_scale
-    dm8 = state.matrices.inv_matrix(acs.QUANT_TABLE[acs.DCT], 1)
-    dm16 = state.matrices.inv_matrix(acs.QUANT_TABLE[acs.DCT16X16], 1)
+def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
+                       cols: int, kind: int) -> np.ndarray:
+    """Estimated coding cost of covering the image with rows x cols px
+    transforms: -> f64[nby//(rows//8), nbx//(cols//8)] (edge-partial tiles
+    excluded). Vectorized EstimateEntropy analog (enc_ac_strategy.cc:361):
+    2 bits per nonzero + magnitude bits + per-channel nzeros overhead."""
     from ..ops.dct import fwd_matrix
 
-    f8 = fwd_matrix(8)
-    for ty in range(fd.ysize_blocks // 2):
-        for tx in range(fd.xsize_blocks // 2):
-            by, bx = ty * 2, tx * 2
-            quant = int(state.raw_quant_field[by, bx])
-            scaled = inv_gs / quant
-            block = xyb[1, by * 8:by * 8 + 16, bx * 8:bx * 8 + 16]
-            # 4x DCT8 cost (Y channel as proxy)
-            b8 = block.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3)
-            co8 = np.einsum("ur,nmrk,vk->nmuv", f8, b8, f8)
-            q8 = np.round(co8 * dm8 / scaled).reshape(4, 64)
-            cost8 = sum(_est_token_bits(q8[i], 1) for i in range(4))
-            # 1x DCT16 cost
-            co16 = transform_from_pixels(acs.DCT16X16, block)
-            q16 = np.round(co16.reshape(-1) * dm16.reshape(-1) / scaled)
-            cost16 = _est_token_bits(q16, 4)
-            if cost16 < cost8 * 0.98:
-                state.strategy[by:by + 2, bx:bx + 2] = acs.DCT16X16
-                state.is_origin[by:by + 2, bx:bx + 2] = False
-                state.is_origin[by, bx] = True
+    fd = state.fd
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    cy, cx = rows // 8, cols // 8
+    tby, tbx = nby // cy, nbx // cx
+    if tby == 0 or tbx == 0:
+        return np.full((tby, tbx), np.inf)
+    crop = xyb[:, :tby * rows, :tbx * cols]
+    tiles = crop.reshape(3, tby, rows, tbx, cols).transpose(0, 1, 3, 2, 4)
+    co = np.einsum("ur,ctmrk,vk->ctmuv", fwd_matrix(rows), tiles,
+                   fwd_matrix(cols))
+    if rows > cols:  # wide layout
+        co = np.swapaxes(co, -2, -1)
+    dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
+                       for c in range(3)])  # (3, min, max), LLF zeroed
+    qf = state.raw_quant_field[:tby * cy, :tbx * cx].reshape(
+        tby, cy, tbx, cx).mean(axis=(1, 3))
+    scaled = (state.quantizer.inv_global_scale / qf)[None, :, :, None, None]
+    q = np.abs(np.round(co * dm_inv[:, None, None] / scaled))
+    nz = q > 0
+    bits = (nz.sum(axis=(3, 4)) * 2.0
+            + np.log2(1.0 + q, where=nz, out=np.zeros_like(q)).sum(
+                axis=(3, 4)))
+    return bits.sum(axis=0) + 24.0  # 3x nzeros token overhead
+
+
+def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
+    """Merge-family AC strategy search: per 32x32 supertile choose among
+    DCT8 / DCT16X8 / DCT8X16 / DCT16X16 / DCT32X32 by estimated token
+    cost (FindBest8x8Transform + TryMergeAcs +
+    FindBestFirstLevelDivisionForSquare, enc_ac_strategy.cc:496-810,
+    batched over the whole grid instead of sequential merging)."""
+    fd = state.fd
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    c8 = _batched_tile_cost(state, xyb, 8, 8, acs.QUANT_TABLE[acs.DCT])
+    c16 = _batched_tile_cost(state, xyb, 16, 16,
+                             acs.QUANT_TABLE[acs.DCT16X16])
+    c16x8 = _batched_tile_cost(state, xyb, 16, 8,
+                               acs.QUANT_TABLE[acs.DCT16X8])
+    c8x16 = _batched_tile_cost(state, xyb, 8, 16,
+                               acs.QUANT_TABLE[acs.DCT8X16])
+    c32 = _batched_tile_cost(state, xyb, 32, 32,
+                             acs.QUANT_TABLE[acs.DCT32X32])
+    MUL16 = 0.98    # slight bias toward merging (mirrors round-1 0.98)
+    MUL_HALF = 0.985
+    MUL32 = 0.94
+
+    def place(by, bx, strategy):
+        cy_, cx_ = acs.COVERED_Y[strategy], acs.COVERED_X[strategy]
+        state.strategy[by:by + cy_, bx:bx + cx_] = strategy
+        state.is_origin[by:by + cy_, bx:bx + cx_] = False
+        state.is_origin[by, bx] = True
+
+    def best_quadrant(by, bx):
+        """-> (cost, placement list) for the 2x2-block quadrant at
+        (by, bx)."""
+        opts = [(float(c8[by:by + 2, bx:bx + 2].sum()),
+                 [(by, bx, acs.DCT), (by, bx + 1, acs.DCT),
+                  (by + 1, bx, acs.DCT), (by + 1, bx + 1, acs.DCT)])]
+        if by % 2 == 0 and bx % 2 == 0:
+            opts.append((float(c16[by // 2, bx // 2]) * MUL16,
+                         [(by, bx, acs.DCT16X16)]))
+            opts.append(((float(c16x8[by // 2, bx])
+                          + float(c16x8[by // 2, bx + 1])) * MUL_HALF,
+                         [(by, bx, acs.DCT16X8),
+                          (by, bx + 1, acs.DCT16X8)]))
+            opts.append(((float(c8x16[by, bx // 2])
+                          + float(c8x16[by + 1, bx // 2])) * MUL_HALF,
+                         [(by, bx, acs.DCT8X16),
+                          (by + 1, bx, acs.DCT8X16)]))
+        return min(opts, key=lambda o: o[0])
+
+    for sy in range(nby // 4):
+        for sx in range(nbx // 4):
+            by0, bx0 = sy * 4, sx * 4
+            quads = [best_quadrant(by0 + dy, bx0 + dx)
+                     for dy in (0, 2) for dx in (0, 2)]
+            qcost = sum(q[0] for q in quads)
+            if float(c32[sy, sx]) * MUL32 < qcost:
+                place(by0, bx0, acs.DCT32X32)
+            else:
+                for _, placements in quads:
+                    for (by, bx, s) in placements:
+                        place(by, bx, s)
+    # leftover 16x16 quadrants outside the 32-aligned area
+    for by in range(0, (nby // 2) * 2, 2):
+        for bx in range(0, (nbx // 2) * 2, 2):
+            if by < (nby // 4) * 4 and bx < (nbx // 4) * 4:
+                continue
+            cost, placements = best_quadrant(by, bx)
+            for (pby, pbx, s) in placements:
+                place(pby, pbx, s)
 
 
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,

@@ -75,8 +75,9 @@ def test_vardct_flat_image_tiny():
     assert len(data) < 400
 
 
-def test_ac_strategy_search_uses_dct16():
-    """Smooth content should trigger DCT16X16 selection and still decode."""
+def test_ac_strategy_search_uses_merged_transforms():
+    """Smooth content should trigger merged (>8x8) strategies and still
+    decode."""
     yy, xx = np.mgrid[0:96, 0:96]
     img = np.stack([100 + 40 * np.sin(xx / 40), 120 + 30 * np.cos(yy / 50),
                     90 + 20 * np.sin((xx + yy) / 60)],
@@ -107,7 +108,10 @@ def test_ac_strategy_search_uses_dct16():
         vf.decode_vardct_frame(r, fh)
     finally:
         vf.decode_dc_group = orig
-    assert (strategies[0] == acs.DCT16X16).any()
+    merged = np.isin(strategies[0],
+                 (acs.DCT16X16, acs.DCT32X32, acs.DCT16X8,
+                  acs.DCT8X16))
+    assert merged.any()
 
 
 def test_custom_coeff_orders_roundtrip_and_density():
