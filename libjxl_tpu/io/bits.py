@@ -62,11 +62,20 @@ class BitReader:
         return self.buf & ((1 << n) - 1)
 
     def skip_bits(self, n: int) -> None:
-        # may be large (section skipping)
-        while n > 32:
-            self.read_bits(32)
-            n -= 32
-        self.read_bits(n)
+        """O(1) skip (may be large: section/extension skipping). Skipping
+        past the end only moves the virtual position; bounds violations
+        surface via all_reads_within_bounds, like BitReader::SkipBits."""
+        take = min(n, self.bits_in_buf)
+        self.buf >>= take
+        self.bits_in_buf -= take
+        n -= take
+        if n == 0:
+            return
+        # buffer is empty; jump whole bytes, then read leftover bits
+        self.pos += n // 8
+        n %= 8
+        if n:
+            self.read_bits(n)
 
     def total_bits_consumed(self) -> int:
         return self.pos * 8 - self.bits_in_buf

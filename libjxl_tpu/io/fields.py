@@ -380,6 +380,10 @@ class ReadVisitor(Visitor):
         if skip < 0:
             raise JXLError("read more extension bits than signaled")
         self.r.skip_bits(skip)
+        if not self.r.all_reads_within_bounds():
+            from ..base.status import NotEnoughBytes
+
+            raise NotEnoughBytes("extension bits beyond end of stream")
 
 
 class WriteVisitor(Visitor):

@@ -1,0 +1,146 @@
+"""Fuzz harness for the decoder surfaces.
+
+Mirrors the reference's fuzzer family (tools/*_fuzzer.cc: djxl_fuzzer,
+rans_fuzzer, icc_codec_fuzzer, fields_fuzzer...). Feeds random and
+mutated inputs to each target; any exception other than the library's
+typed error (JXLError and its subclasses) is a finding.
+
+Usage: python -m libjxl_tpu.tools.fuzz [--target all] [--iters 200]
+       [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..base.status import JXLError
+
+
+def _ok(exc: BaseException) -> bool:
+    return isinstance(exc, JXLError)
+
+
+def fuzz_decode(data: bytes) -> None:
+    from ..api.codestream import decode
+
+    decode(data)
+
+
+def fuzz_container(data: bytes) -> None:
+    from ..io.container import is_container, parse_boxes
+
+    if is_container(data):
+        parse_boxes(data[12:])
+
+
+def fuzz_entropy(data: bytes) -> None:
+    from ..entropy.decode import ANSSymbolReader, decode_histograms
+    from ..io.bits import BitReader
+
+    r = BitReader(data)
+    code, cmap = decode_histograms(r, 1 + (data[0] % 8 if data else 0))
+    reader = ANSSymbolReader(code, r)
+    for _ in range(64):
+        reader.read_hybrid_uint(0, r, cmap)
+
+
+def fuzz_fields(data: bytes) -> None:
+    from ..io.bits import BitReader
+    from ..io.frame_header import FrameHeader
+    from ..io.headers import CodecMetadata, ImageMetadata, SizeHeader
+
+    r = BitReader(data)
+    meta = CodecMetadata()
+    meta.size = SizeHeader().read(r)
+    meta.m = ImageMetadata().read(r)
+    FrameHeader(meta).read(r)
+
+
+def fuzz_icc(data: bytes) -> None:
+    from ..io.bits import BitReader
+    from ..io.icc import read_icc
+
+    read_icc(BitReader(data))
+
+
+def fuzz_jpeg(data: bytes) -> None:
+    from ..jpeg.data import parse_jpeg
+
+    parse_jpeg(data)
+
+
+TARGETS = {
+    "decode": fuzz_decode,
+    "container": fuzz_container,
+    "entropy": fuzz_entropy,
+    "fields": fuzz_fields,
+    "icc": fuzz_icc,
+    "jpeg": fuzz_jpeg,
+}
+
+
+def _seed_corpus() -> list:
+    """Valid streams to mutate (mutation fuzzing beats pure random)."""
+    from ..api.codestream import encode_lossless, encode_lossy
+
+    rng = np.random.default_rng(42)
+    img = np.clip(rng.normal(128, 40, (32, 40, 3)), 0, 255).astype(np.uint8)
+    return [encode_lossless(img), encode_lossy(img, distance=2.0)]
+
+
+def run(target: str, iters: int, seed: int, max_len: int = 4096) -> int:
+    """-> number of findings (non-JXLError exceptions)."""
+    rng = np.random.default_rng(seed)
+    fn = TARGETS[target]
+    corpus = []
+    if target in ("decode", "container"):
+        try:
+            corpus = _seed_corpus()
+        except Exception:
+            pass
+    findings = 0
+    for i in range(iters):
+        kind = int(rng.integers(0, 3)) if corpus else 0
+        if kind == 0:  # pure random
+            n = int(rng.integers(1, max_len))
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif kind == 1:  # truncation of a valid stream
+            base = corpus[int(rng.integers(0, len(corpus)))]
+            data = base[:int(rng.integers(1, len(base)))]
+        else:  # byte flips in a valid stream
+            base = bytearray(corpus[int(rng.integers(0, len(corpus)))])
+            for _ in range(int(rng.integers(1, 16))):
+                base[int(rng.integers(0, len(base)))] = int(
+                    rng.integers(0, 256))
+            data = bytes(base)
+        try:
+            fn(data)
+        except Exception as e:  # noqa: BLE001 - the point of a fuzzer
+            if not _ok(e):
+                findings += 1
+                print(f"[{target}] iter {i}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+    return findings
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="decoder fuzz harness")
+    p.add_argument("--target", default="all",
+                   choices=["all", *TARGETS.keys()])
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    targets = list(TARGETS) if args.target == "all" else [args.target]
+    total = 0
+    for t in targets:
+        n = run(t, args.iters, args.seed)
+        print(f"{t}: {args.iters} iters, {n} findings")
+        total += n
+    return 1 if total else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
