@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..base.status import JXLError
 from ..io.bits import BitWriter
 from .alias import build_reverse_map, init_alias_table
@@ -32,6 +34,67 @@ class Token:
     context: int
     value: int
     is_lz77_length: bool = False
+
+
+class TokenArray:
+    """Columnar token block: (context, value) arrays. Token lists may mix
+    Token objects and TokenArray blocks; bulk producers (the vectorized
+    modular tokenizer) emit these so histogram building and stream
+    writing stay vectorized end to end."""
+
+    __slots__ = ("ctx", "value", "is_lz77")
+
+    def __init__(self, ctx, value, is_lz77=None):
+        self.value = np.ascontiguousarray(value, dtype=np.int64)
+        c = np.asarray(ctx)
+        if c.ndim == 0:
+            c = np.full(len(self.value), int(c), dtype=np.int32)
+        self.ctx = np.ascontiguousarray(c, dtype=np.int32)
+        self.is_lz77 = is_lz77  # bool array or None
+
+    def __len__(self):
+        return len(self.value)
+
+
+def flatten_tokens(tokens):
+    """Token|TokenArray list -> (ctx i32[n], value i64[n], lz77 bool[n]
+    or None)."""
+    ctxs, vals, lzs = [], [], []
+    any_lz = False
+    pc, pv, pl = [], [], []  # pending scalar Tokens, batched
+
+    def flush():
+        if pc:
+            ctxs.append(np.asarray(pc, dtype=np.int32))
+            vals.append(np.asarray(pv, dtype=np.int64))
+            lzs.append(np.asarray(pl, dtype=bool))
+            pc.clear()
+            pv.clear()
+            pl.clear()
+
+    for item in tokens:
+        if isinstance(item, TokenArray):
+            flush()
+            ctxs.append(item.ctx)
+            vals.append(item.value)
+            if item.is_lz77 is not None:
+                lzs.append(np.asarray(item.is_lz77, dtype=bool))
+                any_lz = any_lz or bool(lzs[-1].any())
+            else:
+                lzs.append(np.zeros(len(item), dtype=bool))
+        else:
+            pc.append(item.context)
+            pv.append(item.value)
+            pl.append(item.is_lz77_length)
+            any_lz = any_lz or item.is_lz77_length
+    flush()
+    if not ctxs:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, None
+    ctx = np.concatenate(ctxs)
+    val = np.concatenate(vals)
+    lz = np.concatenate(lzs) if any_lz else None
+    return ctx, val, lz
 
 
 class EntropyEncodingData:
@@ -60,88 +123,128 @@ class _MtfEncoder:
         return idx
 
 
+def _tokenize_arrays(ctx, val, lz, uint_config, lz77):
+    """-> (tok u32, nbits u8, bits u32) for flattened token arrays."""
+    tok, nbits, bits = uint_config.encode_array(val.astype(np.uint64))
+    if lz is not None and lz77 is not None and lz.any():
+        lt, ln, lb = lz77.length_uint_config.encode_array(
+            val[lz].astype(np.uint64))
+        tok = tok.astype(np.uint32)
+        tok[lz] = lt + lz77.min_symbol
+        nbits = nbits.copy()
+        nbits[lz] = ln
+        bits = bits.copy()
+        bits[lz] = lb
+    return tok, nbits, bits
+
+
+# tokens are < 256 for every config in use (log_alpha_size caps at 8:
+# hybrid-uint tokens reach ~131 for 64-bit values; LZ77 length tokens
+# start at min_symbol=224)
+_MAX_TOK = 256
+
+
 def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None):
-    histograms = [[0] for _ in range(num_contexts)]
+    counts = np.zeros(num_contexts * _MAX_TOK, dtype=np.int64)
     for tokens in tokens_list:
-        for t in tokens:
-            if lz77 is not None and t.is_lz77_length:
-                tok, _, _ = lz77.length_uint_config.encode(t.value)
-                tok += lz77.min_symbol
-            else:
-                tok, _, _ = uint_config.encode(t.value)
-            h = histograms[t.context]
-            if tok >= len(h):
-                h.extend([0] * (tok + 1 - len(h)))
-            h[tok] += 1
+        ctx, val, lz = flatten_tokens(tokens)
+        if len(val) == 0:
+            continue
+        tok, _, _ = _tokenize_arrays(ctx, val, lz, uint_config, lz77)
+        flat = ctx.astype(np.int64) * _MAX_TOK + tok
+        counts += np.bincount(flat, minlength=len(counts))
+    grid = counts.reshape(num_contexts, _MAX_TOK)
+    histograms = []
+    for row in grid:
+        nz = np.flatnonzero(row)
+        end = int(nz[-1]) + 1 if len(nz) else 1
+        histograms.append([int(x) for x in row[:end]])
     return histograms
 
 
 def _apply_lz77_rle(tokens_list, num_contexts, lz77, uint_config,
                     distance_symbol=0):
-    """ApplyLZ77_RLE (enc_ans.cc:931-1001): replace runs of repeated token
-    values with (length, distance=1) pairs. Returns (new_lists, accepted).
-    The distance token goes to the appended context `num_contexts`.
+    """ApplyLZ77_RLE (enc_ans.cc:931-1001), vectorized: replace runs of
+    repeated token values with (length, distance=1) pairs. Returns
+    (new_lists, accepted). The distance token goes to the appended
+    context `num_contexts`.
     distance_symbol: 0 when the decoding reader has no distance
     multiplier; 1 (kSpecialDistances[1] = {1,0}) when it does, as in
     modular streams (enc_ans.cc:958-963)."""
-    import math
-
     # symbol cost estimator: -log2(p) from the original token histograms
     histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config)
-    cost_tables = []
-    for h in histograms:
-        total = sum(h)
+    cost_mat = np.full((num_contexts, _MAX_TOK), 14.0)
+    for c, h in enumerate(histograms):
+        arr = np.asarray(h, dtype=np.float64)
+        total = arr.sum()
         if total == 0:
-            cost_tables.append(None)
             continue
-        log_total = math.log2(total)
-        cost_tables.append([
-            (log_total - math.log2(c)) if c else 14.0 for c in h])
-
-    def sym_bits(ctx, tok):
-        ct = cost_tables[ctx]
-        if ct is None or tok >= len(ct):
-            return 14.0
-        return ct[tok]
+        nz = arr > 0
+        row = cost_mat[c, :len(arr)]
+        row[nz] = np.log2(total) - np.log2(arr[nz])
 
     bit_decrease = 0.0
     total_symbols = 0
     out_lists = []
     min_length = lz77.min_length
     for tokens in tokens_list:
-        n = len(tokens)
+        ctx, val, _ = flatten_tokens(tokens)
+        n = len(val)
         total_symbols += n
-        # cumulative bit cost
-        cum = [0.0] * (n + 1)
-        for i, t in enumerate(tokens):
-            tok, nbits, _ = uint_config.encode(t.value)
-            cum[i + 1] = cum[i] + sym_bits(t.context, tok) + nbits
-        out = []
-        i = 0
-        while i < n:
-            num_to_copy = 0
-            if i > 0:
-                while i + num_to_copy < n and \
-                        tokens[i + num_to_copy].value == tokens[i - 1].value:
-                    num_to_copy += 1
-            if num_to_copy == 0:
-                out.append(tokens[i])
-                i += 1
-                continue
-            cost = cum[i + num_to_copy] - cum[i]
-            lz77_len = num_to_copy - min_length
-            lz77_cost = (max(1, (lz77_len + 1).bit_length()) + 1) \
-                if num_to_copy >= min_length else 0.0
-            if num_to_copy < min_length or cost <= lz77_cost:
-                out.extend(tokens[i:i + num_to_copy])
-                i += num_to_copy
-                continue
-            out.append(Token(tokens[i].context, lz77_len,
-                             is_lz77_length=True))
-            out.append(Token(num_contexts, distance_symbol))  # -> dist 1
-            bit_decrease += cost - lz77_cost
-            i += num_to_copy
-        out_lists.append(out)
+        if n == 0:
+            out_lists.append(tokens)
+            continue
+        tok, nbits, _ = uint_config.encode_array(val.astype(np.uint64))
+        costs = cost_mat[ctx, tok] + nbits
+        cum = np.concatenate(([0.0], np.cumsum(costs)))
+        # copyable[j]: token j repeats token j-1's value (j >= 1)
+        copyable = np.zeros(n, dtype=bool)
+        copyable[1:] = val[1:] == val[:-1]
+        edges = np.diff(copyable.astype(np.int8))
+        starts = np.flatnonzero(edges == 1) + 1
+        ends = np.flatnonzero(edges == -1) + 1
+        if copyable[0]:
+            starts = np.insert(starts, 0, 0)
+        if copyable[-1]:
+            ends = np.append(ends, n)
+        if len(starts) == 0:
+            out_lists.append(tokens)
+            continue
+        lens = ends - starts
+        run_cost = cum[ends] - cum[starts]
+        lz_len = lens - min_length
+        lz_cost = np.where(
+            lens >= min_length,
+            np.maximum(1, np.ceil(np.log2(np.maximum(lz_len, 0) + 2))) + 1,
+            0.0)
+        accept = (lens >= min_length) & (run_cost > lz_cost)
+        starts2, ends2 = starts[accept], ends[accept]
+        lz_len2 = lz_len[accept]
+        if len(starts2) == 0:
+            out_lists.append(tokens)
+            continue
+        bit_decrease += float((run_cost[accept] - lz_cost[accept]).sum())
+        # kept tokens = everything outside accepted runs
+        d = np.zeros(n + 1, dtype=np.int32)
+        d[starts2] += 1
+        d[ends2] -= 1
+        keep = np.cumsum(d[:n]) == 0
+        pos_kept = np.flatnonzero(keep)
+        k = len(starts2)
+        # stable interleave: kept tokens, then per run (length, distance)
+        keys = np.concatenate([pos_kept * 4, starts2 * 4 + 1,
+                               starts2 * 4 + 2])
+        order = np.argsort(keys, kind="stable")
+        out_ctx = np.concatenate([
+            ctx[pos_kept], ctx[starts2],
+            np.full(k, num_contexts, dtype=np.int32)])[order]
+        out_val = np.concatenate([
+            val[pos_kept], lz_len2.astype(np.int64),
+            np.full(k, distance_symbol, dtype=np.int64)])[order]
+        out_lz = np.concatenate([
+            np.zeros(len(pos_kept), dtype=bool), np.ones(k, dtype=bool),
+            np.zeros(k, dtype=bool)])[order]
+        out_lists.append([TokenArray(out_ctx, out_val, out_lz)])
     accepted = bit_decrease > total_symbols * 0.2 + 16
     return out_lists, accepted
 
@@ -285,32 +388,79 @@ def _ceil_log2(x: int) -> int:
     return (x - 1).bit_length() if x > 1 else 0
 
 
+def _native_tables(codes: EntropyEncodingData):
+    """Flattened per-histogram (freqs, offsets, reverse-map) tables for
+    the C writer; cached on the codes object."""
+    cached = getattr(codes, "_native_tables", None)
+    if cached is not None:
+        return cached
+    info = codes.encoding_info
+    nhisto = len(info)
+    alpha_max = max(len(freqs) for freqs, _ in info)
+    freqs_all = np.zeros((nhisto, alpha_max), dtype=np.uint16)
+    offs_all = np.zeros((nhisto, alpha_max), dtype=np.uint32)
+    rev_all = np.zeros((nhisto, ANS_TAB_SIZE), dtype=np.uint16)
+    for i, (freqs, rev) in enumerate(info):
+        f = np.asarray(freqs, dtype=np.int64)
+        freqs_all[i, :len(f)] = f
+        offs = np.concatenate(([0], np.cumsum(f)[:-1]))
+        offs_all[i, :len(f)] = offs
+        flat = np.concatenate(
+            [rev[s, :f[s]] for s in range(len(f))]) if len(f) else \
+            np.zeros(0, dtype=np.int64)
+        rev_all[i, :len(flat)] = flat
+    codes._native_tables = (freqs_all, offs_all, rev_all, alpha_max)
+    return codes._native_tables
+
+
 def write_tokens(tokens, codes: EntropyEncodingData, context_map,
                  writer: BitWriter, context_offset: int = 0) -> int:
-    """WriteTokens ANS path (enc_ans.cc:1728-1813). Returns extra bits."""
+    """WriteTokens ANS path (enc_ans.cc:1728-1813). Returns extra bits.
+
+    Uses the native C rANS emitter (native/ans_write.c) when available;
+    falls back to a pure-Python loop otherwise."""
+    ctx, val, lz = flatten_tokens(tokens)
+    n = len(val)
+    if n == 0:
+        writer.write(32, ANS_SIGNATURE << 16)
+        return 0
+    cmap = np.asarray(context_map, dtype=np.int64)
+    histo = cmap[ctx + context_offset]
+    # all clustered uint configs are identical in this encoder
+    cfg = codes.uint_config[0]
+    tok, nbits, bits = _tokenize_arrays(ctx, val, lz, cfg, codes.lz77)
+    num_extra_bits = int(nbits.astype(np.int64).sum())
+
+    from ..native_ext import ans_write_native, get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "ans_write_tokens") and n >= 64:
+        freqs_all, offs_all, rev_all, alpha_max = _native_tables(codes)
+        state, out_bytes, total_bits = ans_write_native(
+            lib, histo, tok, nbits, bits, freqs_all, offs_all, rev_all,
+            alpha_max, ANS_SIGNATURE << 16)
+        writer.write(32, state & 0xFFFFFFFF)
+        writer.append_raw_bits(out_bytes, total_bits)
+        return num_extra_bits
+
     out = []  # list of (nbits, bits), to be written reversed
-    num_extra_bits = 0
     state = ANS_SIGNATURE << 16
-    for token in reversed(tokens):
-        histo = context_map[context_offset + token.context]
-        cfg = codes.lz77.length_uint_config if token.is_lz77_length \
-            else codes.uint_config[histo]
-        tok, nbits, bits = cfg.encode(token.value)
-        if token.is_lz77_length:
-            tok += codes.lz77.min_symbol
-        freqs, rev = codes.encoding_info[histo]
-        freq = int(freqs[tok])
+    for i in range(n - 1, -1, -1):
+        h = int(histo[i])
+        t = int(tok[i])
+        freqs, rev = codes.encoding_info[h]
+        freq = int(freqs[t])
         if freq <= 0:
             raise JXLError("token with zero frequency")
-        if nbits:
-            out.append((nbits, bits))
-            num_extra_bits += nbits
+        if nbits[i]:
+            out.append((int(nbits[i]), int(bits[i])))
         # PutSymbol (enc_ans.h:53-66)
         if (state >> (32 - ANS_LOG_TAB_SIZE)) >= freq:
             out.append((16, state & 0xFFFF))
             state >>= 16
-        state = ((state // freq) << ANS_LOG_TAB_SIZE) + int(rev[tok, state % freq])
+        state = ((state // freq) << ANS_LOG_TAB_SIZE) \
+            + int(rev[t, state % freq])
     writer.write(32, state & 0xFFFFFFFF)
-    for nbits, bits in reversed(out):
-        writer.write(nbits, bits)
+    for nb, b in reversed(out):
+        writer.write(nb, b)
     return num_extra_bits

@@ -159,6 +159,25 @@ class BitWriter:
             raise JXLError("append_bytes requires byte alignment")
         self._buf.extend(data)
 
+    def append_raw_bits(self, data: bytes, nbits: int) -> None:
+        """Append `nbits` LSB-first bits packed in `data` (bulk, O(n) in C
+        via int<->bytes conversions; used by the native ANS writer)."""
+        full, rem = divmod(nbits, 8)
+        if full:
+            big = int.from_bytes(data[:full], "little")
+            big = (big << self._nbits) | self._bits
+            totbits = self._nbits + full * 8
+            nbytes = totbits // 8
+            self._buf.extend(
+                (big & ((1 << (nbytes * 8)) - 1)).to_bytes(nbytes, "little"))
+            self._bits = big >> (nbytes * 8)
+            self._nbits = totbits % 8
+        if rem:
+            self.write(rem, data[full] & ((1 << rem) - 1))
+        if self._layer_stack and full:
+            self.layer_bits[self._layer_stack[-1]] = (
+                self.layer_bits.get(self._layer_stack[-1], 0) + full * 8)
+
     def append_bits_from(self, other: "BitWriter") -> None:
         """Append another writer's bits without alignment
         (BitWriter::AppendUnaligned analog)."""

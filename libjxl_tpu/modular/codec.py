@@ -13,7 +13,8 @@ from ..base.status import JXLError
 from ..io.bits import BitReader, BitWriter
 from ..io.fields import Bundle, BitsOffset, U32Enc, Val, pack_signed, unpack_signed
 from ..entropy.decode import ANSSymbolReader, decode_histograms
-from ..entropy.encode import Token, build_and_encode_histograms, write_tokens
+from ..entropy.encode import (Token, TokenArray,
+                              build_and_encode_histograms, write_tokens)
 from .image import Channel, ModularImage
 from .predict import (
     GRADIENT_PROP,
@@ -338,7 +339,7 @@ def _tokenize_channel(image: ModularImage, chan: int, group_id: int,
             ctx = node.context
             flat = residuals.reshape(-1)
             packed = np.where(flat >= 0, flat * 2, -flat * 2 - 1)
-            tokens.extend(Token(ctx, int(v)) for v in packed)
+            tokens.append(TokenArray(ctx, packed))
             return
     # general path (scalar)
     nprops = max(max_prop + 1, NUM_NONREF_PROPERTIES)

@@ -14,7 +14,7 @@ import math
 
 import numpy as np
 
-from ..entropy.encode import Token
+from ..entropy.encode import Token, TokenArray
 from .predict import (
     NUM_NONREF_PROPERTIES,
     P_GRADIENT,
@@ -254,5 +254,5 @@ def tokenize_channel_vectorized(data: np.ndarray, chan: int, group_id: int,
     flat_ctx = ctx_plane.reshape(-1)
     flat_res = res_plane.reshape(-1)
     packed = np.where(flat_res >= 0, flat_res * 2, -flat_res * 2 - 1)
-    tokens.extend(Token(int(c), int(v)) for c, v in zip(flat_ctx, packed))
+    tokens.append(TokenArray(flat_ctx, packed))
     return True

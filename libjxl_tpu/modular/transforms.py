@@ -612,6 +612,14 @@ def fwd_palette(image: ModularImage, begin_c: int, num_c: int,
     chans = [image.channel[begin_c + i].data for i in range(num_c)]
     h, w = chans[0].shape
     stacked = np.stack([c.reshape(-1) for c in chans], axis=1)
+    # cheap early bail (photos): if a small sample already exceeds the
+    # color budget, skip the O(n log n) full unique
+    n = len(stacked)
+    if n > 1 << 16:
+        step = n // (1 << 14)
+        sample = np.unique(stacked[::step], axis=0)
+        if len(sample) > max_colors:
+            return None
     colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
     if len(colors) > max_colors:
         return None

@@ -14,7 +14,8 @@ import subprocess
 import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
-_SRC = _ROOT / "native" / "modular_decode.c"
+_SRCS = (_ROOT / "native" / "modular_decode.c",
+         _ROOT / "native" / "ans_write.c")
 _SO = _ROOT / "native" / "_jxl_native.so"
 
 _lib = None
@@ -24,7 +25,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+            ["cc", "-O2", "-shared", "-fPIC", *map(str, _SRCS),
+             "-o", str(_SO)],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -36,7 +38,8 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    if not _SO.exists() or _SO.stat().st_mtime < max(
+            s.stat().st_mtime for s in _SRCS):
         if not _build():
             return None
     try:
@@ -44,6 +47,10 @@ def get_lib():
     except OSError:
         return None
     lib.decode_channel_nowp.restype = ctypes.c_int
+    try:
+        lib.ans_write_tokens.restype = ctypes.c_int
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -96,6 +103,34 @@ class NativeTree:
 
 def _ptr(a, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def ans_write_native(lib, histo: np.ndarray, tok: np.ndarray,
+                     nbits: np.ndarray, bits: np.ndarray,
+                     freqs: np.ndarray, offs: np.ndarray, rev: np.ndarray,
+                     alpha_max: int, init_state: int):
+    """C rANS writer. Returns (final_state, out_bytes, total_bits)."""
+    n = len(histo)
+    out_cap = 6 * n + 16
+    out = np.zeros(out_cap, dtype=np.uint8)
+    total = ctypes.c_uint64(0)
+    st = ctypes.c_uint32(0)
+    rc = lib.ans_write_tokens(
+        _ptr(np.ascontiguousarray(histo, dtype=np.uint16), ctypes.c_uint16),
+        _ptr(np.ascontiguousarray(tok, dtype=np.uint16), ctypes.c_uint16),
+        _ptr(np.ascontiguousarray(nbits, dtype=np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(bits, dtype=np.uint32), ctypes.c_uint32),
+        ctypes.c_size_t(n),
+        _ptr(np.ascontiguousarray(freqs, dtype=np.uint16), ctypes.c_uint16),
+        _ptr(np.ascontiguousarray(offs, dtype=np.uint32), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(rev, dtype=np.uint16), ctypes.c_uint16),
+        ctypes.c_int(alpha_max), ctypes.c_uint32(init_state),
+        _ptr(out, ctypes.c_uint8), ctypes.c_size_t(out_cap),
+        ctypes.byref(total), ctypes.byref(st))
+    if rc != 0:
+        raise RuntimeError(f"native ans write failed (rc={rc})")
+    nbytes = (total.value + 7) // 8
+    return st.value, bytes(out[:nbytes]), total.value
 
 
 def decode_channel_native(lib, data: bytes, bitpos: int, state: int,

@@ -1,0 +1,91 @@
+/* Native hot loop: reverse-order rANS token emission.
+ *
+ * Mirrors WriteTokens (lib/jxl/enc_ans.cc:1728-1813): iterate tokens in
+ * reverse, maintain the 32-bit rANS state, record (nbits, bits) items on a
+ * stack (16-bit renormalization flushes + hybrid-uint extra bits), then
+ * emit the stack in reverse as an LSB-first bit stream.
+ *
+ * The Python side pre-splits every token into (histogram index, alphabet
+ * token, extra-bit count, extra bits) — LZ77 length tokens included — so
+ * this loop is branch-light and identical for all stream types.
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define ANS_LOG 12
+
+int ans_write_tokens(const uint16_t* histo, const uint16_t* tok,
+                     const uint8_t* nbits, const uint32_t* bits, size_t n,
+                     const uint16_t* freqs,  /* nhisto * alpha_max */
+                     const uint32_t* offs,   /* nhisto * alpha_max */
+                     const uint16_t* rev,    /* nhisto * 4096 */
+                     int alpha_max, uint32_t init_state,
+                     uint8_t* out_buf, size_t out_cap,
+                     uint64_t* out_bits_total, uint32_t* out_state) {
+  size_t cap = 2 * n + 2;
+  uint8_t* s_nbits = (uint8_t*)malloc(cap);
+  uint64_t* s_bits = (uint64_t*)malloc(cap * sizeof(uint64_t));
+  if (!s_nbits || !s_bits) {
+    free(s_nbits);
+    free(s_bits);
+    return -2;
+  }
+  size_t sp = 0;
+  uint32_t state = init_state;
+  for (size_t ii = n; ii-- > 0;) {
+    uint32_t h = histo[ii];
+    uint32_t t = tok[ii];
+    uint32_t f = freqs[h * (size_t)alpha_max + t];
+    if (f == 0) {
+      free(s_nbits);
+      free(s_bits);
+      return -1; /* token with zero frequency */
+    }
+    if (nbits[ii]) {
+      s_nbits[sp] = nbits[ii];
+      s_bits[sp++] = bits[ii];
+    }
+    if ((state >> (32 - ANS_LOG)) >= f) {
+      s_nbits[sp] = 16;
+      s_bits[sp++] = state & 0xFFFF;
+      state >>= 16;
+    }
+    uint32_t residue =
+        rev[h * 4096u + offs[h * (size_t)alpha_max + t] + state % f];
+    state = (state / f) << ANS_LOG | residue;
+  }
+  /* emit stack in reverse, LSB-first */
+  uint64_t acc = 0;
+  unsigned accn = 0;
+  size_t op = 0;
+  uint64_t total = 0;
+  for (size_t ii = sp; ii-- > 0;) {
+    acc |= s_bits[ii] << accn;
+    accn += s_nbits[ii];
+    total += s_nbits[ii];
+    while (accn >= 8) {
+      if (op >= out_cap) {
+        free(s_nbits);
+        free(s_bits);
+        return -3;
+      }
+      out_buf[op++] = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      accn -= 8;
+    }
+  }
+  if (accn) {
+    if (op >= out_cap) {
+      free(s_nbits);
+      free(s_bits);
+      return -3;
+    }
+    out_buf[op++] = (uint8_t)(acc & 0xFF);
+  }
+  *out_bits_total = total;
+  *out_state = state;
+  free(s_nbits);
+  free(s_bits);
+  return 0;
+}
