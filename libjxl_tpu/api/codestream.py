@@ -226,7 +226,8 @@ def decode(data: bytes):
     chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
                                 reference_extra=reference_extra)
     rgb = np.stack(chans, axis=-1)
-    srgb = linear_to_srgb(rgb)
+    # non-XYB VarDCT frames (YCbCr/None) carry display-space values
+    srgb = linear_to_srgb(rgb) if meta.m.xyb_encoded else rgb
     if bits <= 8:
         out = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
         if extra:

@@ -156,10 +156,13 @@ class VarDCTState:
         self.matrices = DequantMatrices()
         self.quantizer = Quantizer(self.matrices)
         self.block_ctx_map = BlockCtxMap()
-        # CfL
+        # CfL; non-XYB frames have base correlation 0
+        # (ColorCorrelationMap::Create, chroma_from_luma.cc:53-55)
+        from ..io.frame_header import CT_XYB as _CT_XYB
+
         self.color_factor = DEFAULT_COLOR_FACTOR
         self.base_x = 0.0
-        self.base_b = Y_TO_B_BASE
+        self.base_b = Y_TO_B_BASE if fh.color_transform == _CT_XYB else 0.0
         self.ytox_dc = 0
         self.ytob_dc = 0
         tile_w = -(-fd.xsize_blocks // COLOR_TILE_DIM_IN_BLOCKS)
@@ -759,8 +762,35 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         # save_before_color_transform path: fully rendered XYB (dec_cache.cc
         # WriteToImageBundleStage sits after all feature stages)
         return xyb
-    rgb = xyb_to_linear_rgb(xyb)
+    from ..io.frame_header import CT_NONE, CT_YCBCR
+
+    if fh.color_transform == CT_YCBCR:
+        rgb = ycbcr_to_rgb(xyb)
+    elif fh.color_transform == CT_NONE:
+        rgb = xyb  # channels are already (R, G, B)
+    else:
+        rgb = xyb_to_linear_rgb(xyb)
     return [rgb[c] for c in range(3)]
+
+
+def ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 (stage_ycbcr.cc:31-52): planes (Cb, Y, Cr) in
+    [-0.5, 0.5]-ish units -> RGB in [0, 1]."""
+    cb, y, cr = planes[0], planes[1], planes[2]
+    yp = y + 128.0 / 255
+    r = yp + 1.402 * cr
+    g = yp + (-0.114 * 1.772 / 0.587) * cb + (-0.299 * 1.402 / 0.587) * cr
+    b = yp + 1.772 * cb
+    return np.stack([r, g, b])
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """Inverse of ycbcr_to_rgb: RGB [0,1] -> (Cb, Y, Cr) planes."""
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = (b - y) / 1.772
+    cr = (r - y) / 1.402
+    return np.stack([cb, y - 128.0 / 255, cr])
 
 
 def shift_right_round0(v: np.ndarray, shift: int) -> np.ndarray:
@@ -958,7 +988,15 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         pad_y = fd.ysize_padded - h
         pad_x = fd.xsize_padded - w
         rgb = np.pad(rgb_linear, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
-        xyb = linear_rgb_to_xyb(rgb)
+        from ..io.frame_header import CT_NONE as _CT_NONE
+        from ..io.frame_header import CT_YCBCR as _CT_YCBCR
+
+        if fh.color_transform == _CT_YCBCR:
+            xyb = rgb_to_ycbcr(rgb)
+        elif fh.color_transform == _CT_NONE:
+            xyb = rgb.astype(np.float64).copy()
+        else:
+            xyb = linear_rgb_to_xyb(rgb)
         splines_state = None
         if splines is not None:
             # quantize splines and subtract their (decoder-visible) rendering
