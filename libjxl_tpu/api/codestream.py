@@ -177,6 +177,62 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     return writer.get_bytes()
 
 
+def encode_lossy_streaming(image_or_chunks, width: int = None,
+                           height: int = None, distance: float = 1.0,
+                           hosts: int = 1) -> bytes:
+    """Streaming VarDCT encode: one 2048x2048 DC group at a time with
+    bounded memory (EncodeFrameStreaming analog, enc_frame.cc:1975).
+
+    image_or_chunks: either an (H, W, 3) uint8 sRGB array, or a callable
+    get_chunk(px0, py0, w, h) -> (3, h, w) linear RGB float (with
+    width/height given). hosts > 1 encodes disjoint DC-group slices in
+    parallel — the multi-host decomposition demo."""
+    from ..io.frame_header import (
+        CT_XYB,
+        ENC_VARDCT,
+        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FT_REGULAR,
+        FrameHeader,
+    )
+    from ..ops.xyb import srgb_to_linear
+    from ..vardct.streaming import encode_vardct_frame_streaming
+
+    if callable(image_or_chunks):
+        get_chunk = image_or_chunks
+        if width is None or height is None:
+            raise ValueError("width/height required with a chunk provider")
+        w_, h_ = width, height
+    else:
+        img = image_or_chunks
+        h_, w_, _ = img.shape
+        rgb_full = np.moveaxis(
+            srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0)
+        pad_y = (-h_) % 8
+        pad_x = (-w_) % 8
+        rgb_full = np.pad(rgb_full, ((0, 0), (0, pad_y), (0, pad_x)),
+                          mode="edge")
+
+        def get_chunk(px0, py0, cw, ch):
+            return rgb_full[:, py0:py0 + ch, px0:px0 + cw]
+
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(w_, h_)
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+    fh = FrameHeader(meta)
+    fh.all_default = False
+    fh.frame_type = FT_REGULAR
+    fh.encoding = ENC_VARDCT
+    fh.color_transform = CT_XYB
+    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = True
+    fh.loop_filter.epf_iters = 2
+    encode_vardct_frame_streaming(writer, get_chunk, fh, distance=distance,
+                                  hosts=hosts)
+    return writer.get_bytes()
+
+
 def decode(data: bytes):
     """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
 

@@ -279,7 +279,8 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
                                 allow_clustering: bool = True,
                                 strategy: str = "fast",
                                 lz77_method: str = "none",
-                                lz77_dist_symbol: int = 0):
+                                lz77_dist_symbol: int = 0,
+                                force_log_alpha: int = None):
     """BuildAndEncodeHistograms (enc_ans.cc:1521-1608 via HistogramBuilder).
 
     Encodes LZ77 params, context map, uint configs and histograms into
@@ -327,6 +328,8 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
         if nz:
             max_token = max(max_token, nz[-1])
     log_alpha_size = max(5, max_token.bit_length())
+    if force_log_alpha is not None:
+        log_alpha_size = max(log_alpha_size, force_log_alpha)
     if log_alpha_size > 8:
         raise JXLError("token too large for ANS alphabet; "
                        "increase split_exponent")
@@ -337,30 +340,38 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
     for _ in range(num_histograms):
         _encode_uint_config(uint_config, writer, log_alpha_size)
     for h in clustered:
-        alphabet_size = max(1, len(h) - _trailing_zeros(h))
-        hist = h[:alphabet_size]
-        counts = list(hist)
-        if sum(counts) == 0:
-            counts[0] = ANS_TAB_SIZE
-            method = 1
-            omit_pos, num_symbols, symbols = 0, 1, [0]
-            encode_counts(counts, alphabet_size, omit_pos, num_symbols, 0,
-                          symbols, writer)
-        else:
-            method, _ = compute_best_method(hist, alphabet_size, strategy)
-            if method == 0:
-                counts = create_flat_histogram(alphabet_size, ANS_TAB_SIZE)
-                encode_flat_histogram(alphabet_size, writer)
-            else:
-                shift = method - 1
-                omit_pos, num_symbols, symbols = normalize_counts(
-                    counts, ANS_LOG_TAB_SIZE, shift)
-                encode_counts(counts, alphabet_size, omit_pos, num_symbols,
-                              shift, symbols, writer)
+        counts, alphabet_size = encode_histogram_counts(h, writer, strategy)
         table = init_alias_table(counts, log_alpha_size)
         rev, freqs = build_reverse_map(table, alphabet_size)
         codes.encoding_info.append((freqs, rev))
     return codes, context_map
+
+
+def encode_histogram_counts(h, writer: BitWriter, strategy: str = "fast"):
+    """Serialize one (un-normalized) histogram; returns the normalized
+    counts actually signaled (the exact table the decoder reconstructs)
+    and the alphabet size. Extracted so streaming encoders can serialize
+    histogram blobs separately from the section payloads."""
+    alphabet_size = max(1, len(h) - _trailing_zeros(h))
+    hist = h[:alphabet_size]
+    counts = list(hist)
+    if sum(counts) == 0:
+        counts[0] = ANS_TAB_SIZE
+        omit_pos, num_symbols, symbols = 0, 1, [0]
+        encode_counts(counts, alphabet_size, omit_pos, num_symbols, 0,
+                      symbols, writer)
+    else:
+        method, _ = compute_best_method(hist, alphabet_size, strategy)
+        if method == 0:
+            counts = create_flat_histogram(alphabet_size, ANS_TAB_SIZE)
+            encode_flat_histogram(alphabet_size, writer)
+        else:
+            shift = method - 1
+            omit_pos, num_symbols, symbols = normalize_counts(
+                counts, ANS_LOG_TAB_SIZE, shift)
+            encode_counts(counts, alphabet_size, omit_pos, num_symbols,
+                          shift, symbols, writer)
+    return counts, alphabet_size
 
 
 def _trailing_zeros(h) -> int:

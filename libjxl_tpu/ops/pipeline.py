@@ -233,11 +233,22 @@ def encode_step(rgb, dm_inv, dm, gab_kernel, inv_global_scale, base_quant,
     DC is returned as the *unquantized* f32[3, nby, nbx] DCT DC
     coefficients (the host quantizes them against the DC quantizer when
     tokenizing the modular DC stream)."""
-    _, h, w = rgb.shape
-    nby, nbx = h // 8, w // 8
     xyb = rgb_to_xyb_jax(rgb)
     if gab_kernel is not None:
         xyb = gaborish_inverse_jax(xyb, gab_kernel)
+    return encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
+                           x_dm_mult, b_dm_mult, quant_max, color_factor,
+                           adaptive, cfl)
+
+
+def encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
+                    x_dm_mult, b_dm_mult, quant_max=255, color_factor=84.0,
+                    adaptive=True, cfl=True):
+    """encode_step starting from the (already sharpened) XYB image —
+    the streaming per-DC-group entry point, where the inverse-Gaborish
+    border context comes from neighboring chunks."""
+    _, h, w = xyb.shape
+    nby, nbx = h // 8, w // 8
     if adaptive:
         qf = quant_field_jax(xyb[1], nby, nbx, base_quant, quant_max)
     else:

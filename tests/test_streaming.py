@@ -1,0 +1,65 @@
+"""Streaming / multi-host VarDCT encoding
+(EncodeFrameStreaming analog, enc_frame.cc:1975-2095)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api.codestream import decode, encode_lossy_streaming
+
+
+def smooth(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for i in range(3):
+        img[:, :, i] = 128 + 80 * np.sin(xx / 17 + i) * np.cos(yy / 23 - i)
+    img += rng.normal(0, 3, (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_streaming_single_dc_group():
+    img = smooth(300, 260)
+    d = encode_lossy_streaming(img, distance=1.0)
+    o, _ = decode(d)
+    err = np.abs(o.astype(int) - img.astype(int)).mean()
+    assert err < 6.0
+
+
+@pytest.mark.slow
+def test_streaming_multi_dc_group_and_hosts():
+    """>2048px image spans multiple DC groups; per-DC-group histogram
+    sets ride the format's num_histograms mechanism; the multi-host
+    (thread-per-host) path must be byte-identical to sequential."""
+    img = smooth(2176, 2304, seed=2)
+    d = encode_lossy_streaming(img, distance=1.5)
+    d4 = encode_lossy_streaming(img, distance=1.5, hosts=4)
+    assert d4 == d
+    o, _ = decode(d)
+    err = np.abs(o.astype(int) - img.astype(int)).mean()
+    assert err < 8.0
+
+
+def test_streaming_chunk_provider():
+    """Chunk-callback input: the provider is only asked for bounded
+    regions (bounded-memory contract)."""
+    img = smooth(280, 320, seed=5)
+    from libjxl_tpu.ops.xyb import srgb_to_linear
+
+    rgb = np.moveaxis(srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0)
+    rgb = np.pad(rgb, ((0, 0), (0, 0), (0, 0)), mode="edge")
+    max_area = [0]
+
+    def get_chunk(px0, py0, w, h):
+        max_area[0] = max(max_area[0], w * h)
+        out = np.zeros((3, h, w))
+        x1 = min(px0 + w, rgb.shape[2])
+        y1 = min(py0 + h, rgb.shape[1])
+        out[:, :y1 - py0, :x1 - px0] = rgb[:, py0:y1, px0:x1]
+        return out
+
+    d = encode_lossy_streaming(get_chunk, width=320, height=280,
+                               distance=1.0)
+    o, _ = decode(d)
+    err = np.abs(o.astype(int) - img.astype(int)).mean()
+    assert err < 6.5
+    assert max_area[0] <= (2048 + 16) ** 2
