@@ -107,7 +107,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  progressive: int = 1,
                  icc: bytes = None,
                  splines=None,
-                 custom_quant: dict = None) -> bytes:
+                 custom_quant: dict = None,
+                 effort: int = 5) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
     A 4th channel is coded losslessly as an alpha extra channel
@@ -170,10 +171,14 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         from ..render.upsample import downsample_box
 
         rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
+    # effort semantics (doc/encode_effort.md): kitten (e7) and up run the
+    # Butteraugli-feedback quant refinement (<= 4 iters, like the ref)
+    butteraugli_iters = 0 if effort < 7 else min(4, effort - 5)
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         noise_lut=noise_lut, splines=splines,
                         extra_channels=extra_channels,
-                        custom_quant=custom_quant)
+                        custom_quant=custom_quant,
+                        butteraugli_iters=butteraugli_iters)
     return writer.get_bytes()
 
 

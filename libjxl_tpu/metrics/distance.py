@@ -79,6 +79,19 @@ def butteraugli_distance(a: np.ndarray, b: np.ndarray) -> float:
     return total * 40.0
 
 
+def butteraugli_diffmap_xyb(xa: np.ndarray, xb: np.ndarray) -> np.ndarray:
+    """Per-pixel perceptual difference of two XYB (3, H, W) images.
+
+    Masked, channel-weighted |diff| at full resolution — the encoder's
+    feedback signal (ButteraugliDiffmap analog, butteraugli.h:166; used
+    by FindBestQuantization, enc_adaptive_quantization.cc:934)."""
+    diff = np.abs(xa - xb)
+    act = _blur(np.abs(xa - _blur(xa)))
+    masked = diff / (1.0 + 8.0 * act)
+    weighted = (_CHANNEL_WEIGHTS[:, None, None] * masked).sum(axis=0)
+    return _blur(weighted) * 40.0
+
+
 def msssim_xyb(a: np.ndarray, b: np.ndarray, scales: int = 4) -> float:
     """Multi-scale SSIM over the XYB Y channel (ssimulacra2-style score in
     [0, 100], higher is better)."""

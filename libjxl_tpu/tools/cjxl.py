@@ -84,10 +84,11 @@ def _main(argv=None):
     t0 = time.perf_counter()
     if lossless:
         data = encode_lossless(image, group_size_shift=args.group_size_shift,
-                               icc=icc)
+                               icc=icc, effort=args.effort)
     else:
         data = encode_lossy(image, distance=distance,
-                            group_size_shift=args.group_size_shift, icc=icc)
+                            group_size_shift=args.group_size_shift, icc=icc,
+                            effort=args.effort)
     dt = time.perf_counter() - t0
     if args.container:
         data = wrap_codestream(data)

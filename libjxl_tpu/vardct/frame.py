@@ -936,7 +936,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         reference_frames=None,
                         extra_channels=None,
                         custom_quant: dict = None,
-                        precomputed: dict = None) -> None:
+                        precomputed: dict = None,
+                        butteraugli_iters: int = 0) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -1026,6 +1027,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
             apply_patches(xyb, patches, reference_frames, add=False)
             fh.flags |= FLAG_PATCHES
+        xyb_orig = xyb.copy() if butteraugli_iters > 0 else None
         if fh.loop_filter.gab:
             xyb = apply_gaborish_inverse(xyb)
         # quantizer setup (SetQuant path, quantizer.cc:112-115)
@@ -1039,6 +1041,11 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                 xyb[1], fd.ysize_blocks, fd.xsize_blocks, distance, raw_qf)
         else:
             state.raw_quant_field[:, :] = raw_qf
+        if butteraugli_iters > 0:
+            from .heuristics import refine_quant_field
+
+            refine_quant_field(state, xyb, xyb_orig, distance,
+                               iters=butteraugli_iters)
         state.strategy[:, :] = acs.DCT
         state.is_origin[:, :] = True
         if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:

@@ -85,6 +85,75 @@ def initial_quant_field(y: np.ndarray, nby: int, nbx: int, distance: float,
     return qf.astype(np.int32)
 
 
+def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
+                       distance: float, iters: int = 2) -> None:
+    """Butteraugli-feedback quant refinement (FindBestQuantization,
+    enc_adaptive_quantization.cc:934, <= 4 iters at kitten+).
+
+    Each round: trial-quantize the DCT8 grid with the current field,
+    reconstruct the decoder's view (dequant + IDCT + Gaborish blur when
+    the frame enables it), compute the perceptual diffmap against the
+    pre-sharpening original, and scale each block's raw quant value
+    toward the target distance. Operates on state.raw_quant_field in
+    place; runs before the AC-strategy search (the refined field feeds
+    both the search and the final coefficients)."""
+    from ..metrics.distance import butteraugli_diffmap_xyb
+    from ..ops.dct import fwd_matrix, inv_matrix
+    from ..render.pipeline import gaborish_kernel
+
+    fd = state.fd
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    inv_gs = state.quantizer.inv_global_scale
+    kind = 0  # DCT8 proxy grid
+    dm = np.stack([state.matrices.dequant_matrix(kind, c)
+                   for c in range(3)])
+    dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
+                       for c in range(3)])
+    f8, i8 = fwd_matrix(8), inv_matrix(8)
+    blocks = xyb_sharp.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
+    co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8)
+    dc = co[:, :, :, 0, 0].copy()
+    gab = None
+    if state.fh.loop_filter.gab:
+        lf = state.fh.loop_filter
+        gab = [gaborish_kernel(getattr(lf, f"gab_{ch}_weight1"),
+                               getattr(lf, f"gab_{ch}_weight2"))
+               for ch in "xyb"]
+    target = max(distance, 0.1)
+    for _ in range(iters):
+        scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
+            None, :, :, None, None]
+        q = np.round(co * dm_inv[:, None, None] / scaled)
+        rec = q * dm[:, None, None] * scaled
+        rec[:, :, :, 0, 0] = dc  # DC coded separately (finer)
+        pix = np.einsum("ru,cnmuv,kv->cnrmk", i8, rec, i8).reshape(
+            3, nby * 8, nbx * 8)
+        if gab is not None:
+            pad = np.pad(pix, ((0, 0), (1, 1), (1, 1)), mode="edge")
+            blurred = np.zeros_like(pix)
+            for c in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        w = gab[c][dy, dx]
+                        if w:
+                            blurred[c] += w * pad[c, dy:dy + pix.shape[1],
+                                                  dx:dx + pix.shape[2]]
+            pix = blurred
+        dmap = butteraugli_diffmap_xyb(pix, xyb_orig)
+        berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3)) * 0.5 \
+            + dmap.reshape(nby, 8, nbx, 8).mean(axis=(1, 3)) * 0.5
+        # redistribute rate toward perceptually-worse blocks: correction
+        # relative to the current field's typical error, normalized to
+        # keep the mean rate steady (our diffmap is not absolutely
+        # calibrated to `distance` like the reference butteraugli)
+        rel = berr / max(float(np.median(berr)), 1e-9)
+        ratio = np.clip(rel ** 0.6, 0.6, 1.8)
+        ratio /= np.exp(np.mean(np.log(ratio)))
+        qf = np.clip(np.round(state.raw_quant_field * ratio), 1, QUANT_MAX)
+        state.raw_quant_field = qf.astype(np.int32)
+    _ = target  # target scale folds into the initial field
+
+
 def fit_cfl(coeffs_x: np.ndarray, coeffs_y: np.ndarray, coeffs_b: np.ndarray,
             nby: int, nbx: int, color_factor: int = 84,
             base_b: float = 1.0):

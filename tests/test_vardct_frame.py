@@ -146,3 +146,27 @@ def test_custom_coeff_orders_roundtrip_and_density():
     mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
     psnr = 10 * np.log10(255 ** 2 / mse)
     assert psnr > 28, psnr
+
+
+def test_butteraugli_refinement_improves_rd():
+    """effort>=7 runs the Butteraugli-feedback quant loop
+    (FindBestQuantization analog): better perceptual score per byte."""
+    from libjxl_tpu.metrics.distance import butteraugli_distance
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:160, 0:160]
+    img = np.zeros((160, 160, 3))
+    for i in range(3):
+        img[:, :, i] = 128 + 80 * np.sin(xx / 17 + i) * np.cos(yy / 23 - i)
+    img += rng.normal(0, 6, (160, 160, 3))
+    img[60:100, 40:120] = rng.normal(128, 45, (40, 80, 3))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    d5 = encode_lossy(img, distance=1.0, effort=5)
+    d7 = encode_lossy(img, distance=1.0, effort=7)
+    o5, _ = decode(d5)
+    o7, _ = decode(d7)
+    b5 = butteraugli_distance(img, o5)
+    b7 = butteraugli_distance(img, o7)
+    # better perceptual quality per byte than plain adaptive quant
+    assert b7 / b5 < (len(d7) / len(d5)) ** 0.5
+    assert b7 < b5
