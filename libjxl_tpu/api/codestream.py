@@ -108,7 +108,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  icc: bytes = None,
                  splines=None,
                  custom_quant: dict = None,
-                 effort: int = 5) -> bytes:
+                 effort: int = 5,
+                 preview: int = None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
     A 4th channel is coded losslessly as an alpha extra channel
@@ -143,8 +144,42 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         meta.m.color_encoding.all_default = False
         meta.m.color_encoding.want_icc = True
         meta.m.color_encoding.icc = icc
+    pv_img = None
+    if preview:
+        # downscale so the long side fits `preview` px (8px multiples)
+        from ..render.upsample import downsample_box
+
+        scale = 1
+        while max(h, w) // (scale * 2) >= preview:
+            scale *= 2
+        ph_, pw_ = max(8, (h // scale) // 8 * 8), max(8, (w // scale) // 8 * 8)
+        meta.m.all_default = False
+        meta.m.have_preview = True
+        meta.m.preview_size.div8 = False
+        meta.m.preview_size.ratio = 0
+        meta.m.preview_size.ysize_ = ph_
+        meta.m.preview_size.xsize_ = pw_
+        lin = srgb_to_linear(image.astype(np.float64) / 255.0)
+        lin = np.moveaxis(lin, -1, 0)
+        small = np.stack([downsample_box(lin[c], scale) for c in range(3)])
+        pv_img = small[:, :ph_, :pw_]
     writer = BitWriter()
     write_codestream_header(writer, meta)
+    if pv_img is not None:
+        pfh = FrameHeader(meta)
+        pfh.nonserialized_is_preview = True
+        pfh.all_default = False
+        pfh.frame_type = FT_REGULAR
+        pfh.encoding = ENC_VARDCT
+        pfh.color_transform = CT_XYB
+        pfh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+        pfh.is_last = False
+        pfh.loop_filter.all_default = False
+        pfh.loop_filter.gab = True
+        pfh.loop_filter.epf_iters = 0
+        encode_vardct_frame(writer, pv_img, pfh,
+                            distance=max(distance, 1.5))
+        writer.zero_pad_to_byte()
     fh = FrameHeader(meta)
     fh.all_default = False
     fh.frame_type = FT_REGULAR
@@ -250,6 +285,8 @@ def decode(data: bytes):
     r = BitReader(data)
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
+    if meta.m.have_preview:
+        _skip_or_decode_preview(r, meta)
     reference_frames = [None] * 4
     reference_extra = [None] * 4
     while True:
@@ -301,6 +338,34 @@ def decode(data: bytes):
             [srgb] + [e[:, :, None].astype(srgb.dtype) for e in extra],
             axis=-1)
     return srgb, meta
+
+
+def _skip_or_decode_preview(r: BitReader, meta, want: bool = False):
+    """Read the preview frame that precedes the first regular frame when
+    metadata.have_preview (dec_frame.cc InitFrame is_preview path)."""
+    from ..vardct.frame import decode_vardct_frame
+
+    fh = FrameHeader(meta)
+    fh.nonserialized_is_preview = True
+    fh.read(r)
+    chans = decode_vardct_frame(r, fh)
+    r.jump_to_byte_boundary()
+    if not want:
+        return None
+    from ..ops.xyb import linear_to_srgb
+
+    srgb = linear_to_srgb(np.stack(chans, axis=-1))
+    return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def decode_preview(data: bytes):
+    """Decode only the preview frame; returns (image, meta) or
+    (None, meta) when the stream has no preview."""
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    if not meta.m.have_preview:
+        return None, meta
+    return _skip_or_decode_preview(r, meta, want=True), meta
 
 
 def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,

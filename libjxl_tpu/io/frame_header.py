@@ -381,11 +381,15 @@ class FrameHeader(Bundle):
         return self.color_transform == CT_XYB
 
     def xsize(self) -> int:
+        if getattr(self, "nonserialized_is_preview", False):
+            return self.nonserialized_metadata.m.preview_size.xsize()
         if self.custom_size_or_origin:
             return self.frame_xsize
         return self.nonserialized_metadata.xsize()
 
     def ysize(self) -> int:
+        if getattr(self, "nonserialized_is_preview", False):
+            return self.nonserialized_metadata.m.preview_size.ysize()
         if self.custom_size_or_origin:
             return self.frame_ysize
         return self.nonserialized_metadata.ysize()
