@@ -109,7 +109,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  splines=None,
                  custom_quant: dict = None,
                  effort: int = 5,
-                 preview: int = None) -> bytes:
+                 preview: int = None,
+                 spot_color=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
     A 4th channel is coded losslessly as an alpha extra channel
@@ -139,6 +140,22 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         meta.m.set_alpha_bits(8 if image.dtype == np.uint8 else 16)
         extra_channels = [image[:, :, 3].astype(np.int32)]
         image = image[:, :, :3]
+    if spot_color is not None:
+        # (plane uint8 HxW, (r, g, b, a)) -> EC_SPOT_COLOR channel
+        # rendered by the decoder's spot stage (stage_spot.cc)
+        from ..io.headers import EC_SPOT_COLOR, ExtraChannelInfo
+
+        plane, rgba = spot_color
+        eci = ExtraChannelInfo()
+        eci.set_default()
+        eci.all_default = False
+        eci.type = EC_SPOT_COLOR
+        eci.spot_color = [float(v) for v in rgba]
+        meta.m.all_default = False
+        meta.m.extra_channel_info.append(eci)
+        meta.m.num_extra_channels = len(meta.m.extra_channel_info)
+        extra_channels = (extra_channels or []) + [
+            np.asarray(plane, dtype=np.int32)]
     if icc is not None:
         meta.m.all_default = False
         meta.m.color_encoding.all_default = False
@@ -273,10 +290,12 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
     return writer.get_bytes()
 
 
-def decode(data: bytes):
+def decode(data: bytes, target_nits: float = None):
     """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
 
     Only the first frame is returned; animation frames via decode_frames.
+    target_nits: when set and below the stream's intensity target, the
+    Rec.2408 tone-mapping stage runs (stage_tone_mapping.cc analog).
     """
     from ..io.frame_header import FT_REFERENCE_ONLY
     from ..ops.xyb import linear_to_srgb
@@ -323,6 +342,29 @@ def decode(data: bytes):
     extra = []
     chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
                                 reference_extra=reference_extra)
+    # spot-color channels are rendered into the color image and removed
+    # from the output (stage_spot.cc)
+    from ..io.headers import EC_SPOT_COLOR
+
+    if any(e.type == EC_SPOT_COLOR for e in meta.m.extra_channel_info):
+        from ..render.tone_map import apply_spot_colors
+
+        rgb_planes = np.stack(chans)
+        rgb_planes = apply_spot_colors(rgb_planes, extra,
+                                       meta.m.extra_channel_info)
+        chans = [rgb_planes[c] for c in range(3)]
+        extra = [e for k, e in enumerate(extra)
+                 if k >= len(meta.m.extra_channel_info)
+                 or meta.m.extra_channel_info[k].type != EC_SPOT_COLOR]
+    if target_nits is not None:
+        source_nits = getattr(meta.m.tone_mapping, "intensity_target",
+                              255.0) or 255.0
+        if source_nits > target_nits:
+            from ..render.tone_map import rec2408_tone_map
+
+            planes = rec2408_tone_map(np.stack(chans), source_nits,
+                                      target_nits)
+            chans = [planes[c] for c in range(3)]
     rgb = np.stack(chans, axis=-1)
     # non-XYB VarDCT frames (YCbCr/None) carry display-space values
     srgb = linear_to_srgb(rgb) if meta.m.xyb_encoded else rgb
