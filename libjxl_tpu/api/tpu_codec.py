@@ -53,6 +53,17 @@ def _jitted():
         return pl.decode_xyb(qcoeffs, qf, dc, ytox_map, ytob_map, dm,
                              inv_global_scale, x_dm_mult, b_dm_mult)
 
+    @functools.partial(jax.jit, static_argnames=("epf_iters",))
+    def dec_full(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
+                 x_dm_mult, b_dm_mult, gab_kernels, inv_sigma_px, sad_mul,
+                 channel_scale, epf_iters, pass0_scale, pass2_scale):
+        return pl.decode_render(qcoeffs, qf, dc, ytox_map, ytob_map, dm,
+                                inv_global_scale, x_dm_mult, b_dm_mult,
+                                gab_kernels, inv_sigma_px, sad_mul,
+                                channel_scale, epf_iters, to_rgb=False,
+                                pass0_sigma_scale=pass0_scale,
+                                pass2_sigma_scale=pass2_scale)
+
     @jax.jit
     def srgb2lin(srgb):
         import jax.numpy as jnp
@@ -61,7 +72,7 @@ def _jitted():
         return jnp.where(low, srgb / 12.92,
                          ((srgb + 0.055) / 1.055) ** 2.4)
 
-    return enc, dec, srgb2lin
+    return enc, dec, dec_full, srgb2lin
 
 
 def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
@@ -119,7 +130,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     x_dm_mult = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
     b_dm_mult = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
 
-    enc, _, srgb2lin = _jitted()
+    enc, _, _, srgb2lin = _jitted()
     rgb = srgb2lin(srgb)
     qall, dc, qf, ytox_map, ytob_map = enc(
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
@@ -151,7 +162,7 @@ def decode_tpu(data: bytes):
     meta = parse_codestream_header(r)
     fh = FrameHeader(meta)
     fh.read(r)
-    _, dec, _ = _jitted()
+    _, dec, dec_full, _ = _jitted()
 
     def render_device(state):
         fd = state.fd
@@ -165,13 +176,43 @@ def decode_tpu(data: bytes):
             q[:, by, bx] = blk.reshape(3, 8, 8)
         dm = np.stack([state.matrices.dequant_matrix(0, c)
                        for c in range(3)]).astype(np.float32)
-        xyb = dec(q, state.raw_quant_field.astype(np.int32),
-                  state.dc.astype(np.float32),
-                  state.ytox_map.astype(np.int32),
-                  state.ytob_map.astype(np.int32), dm,
-                  np.float32(state.quantizer.inv_global_scale),
-                  np.float32(state.x_dm_mult), np.float32(state.b_dm_mult))
+        lf = fh.loop_filter
+        gab_kernels = None
+        if lf.gab:
+            from ..render.pipeline import gaborish_kernel
+
+            gab_kernels = np.stack([
+                gaborish_kernel(getattr(lf, f"gab_{ch}_weight1"),
+                                getattr(lf, f"gab_{ch}_weight2"))
+                for ch in "xyb"]).astype(np.float32)
+        h, w = nby * 8, nbx * 8
+        if lf.epf_iters > 0:
+            from ..render.pipeline import _sad_mul_map, compute_sigma
+
+            inv_sigma_b = compute_sigma(
+                lf, state.quantizer.global_scale_float,
+                state.raw_quant_field, state.epf_sharpness)
+            inv_sigma_px = np.repeat(np.repeat(
+                inv_sigma_b.astype(np.float32), 8, 0), 8, 1)[:h, :w]
+            sad_mul = _sad_mul_map(h, w, lf.epf_border_sad_mul).astype(
+                np.float32)
+        else:
+            inv_sigma_px = np.zeros((h, w), dtype=np.float32)
+            sad_mul = np.ones((h, w), dtype=np.float32)
+        xyb = dec_full(q, state.raw_quant_field.astype(np.int32),
+                       state.dc.astype(np.float32),
+                       state.ytox_map.astype(np.int32),
+                       state.ytob_map.astype(np.int32), dm,
+                       np.float32(state.quantizer.inv_global_scale),
+                       np.float32(state.x_dm_mult),
+                       np.float32(state.b_dm_mult), gab_kernels,
+                       inv_sigma_px, sad_mul,
+                       tuple(np.float32(v) for v in lf.epf_channel_scale),
+                       int(lf.epf_iters),
+                       np.float32(lf.epf_pass0_sigma_scale),
+                       np.float32(lf.epf_pass2_sigma_scale))
         state.xyb = np.asarray(xyb, dtype=np.float64)
+        state.restoration_done = True
 
     chans = decode_vardct_frame(r, fh, render_fn=render_device)
     srgb = linear_to_srgb(np.stack(chans, axis=-1))

@@ -696,7 +696,8 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         render_groups(state)
     # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
     # when enabled; round-1 encoder disables them)
-    if fh.loop_filter.gab or fh.loop_filter.epf_iters > 0:
+    if (fh.loop_filter.gab or fh.loop_filter.epf_iters > 0) \
+            and not getattr(state, "restoration_done", False):
         from ..render.pipeline import apply_restoration
 
         state.xyb = apply_restoration(state.xyb, fh, state)
