@@ -297,7 +297,7 @@ def decode(data: bytes, target_nits: float = None):
     target_nits: when set and below the stream's intensity target, the
     Rec.2408 tone-mapping stage runs (stage_tone_mapping.cc analog).
     """
-    from ..io.frame_header import FT_REFERENCE_ONLY
+    from ..io.frame_header import FT_DC, FT_REFERENCE_ONLY
     from ..ops.xyb import linear_to_srgb
     from ..vardct.frame import decode_vardct_frame
 
@@ -308,9 +308,17 @@ def decode(data: bytes, target_nits: float = None):
         _skip_or_decode_preview(r, meta)
     reference_frames = [None] * 4
     reference_extra = [None] * 4
+    dc_frames = [None] * 5  # by dc_level (kUseDcFrame pyramid)
     while True:
         fh = FrameHeader(meta)
         fh.read(r)
+        if fh.frame_type == FT_DC:
+            # 1:8 DC frame for the next frame (frame_header.h:348)
+            xyb = decode_vardct_frame(r, fh, reference_frames,
+                                      return_xyb=True, dc_frames=dc_frames)
+            dc_frames[fh.dc_level] = xyb
+            r.jump_to_byte_boundary()
+            continue
         if fh.frame_type == FT_REFERENCE_ONLY:
             # decode and stash pre-color-transform; not displayed
             ref_ec = []
@@ -341,7 +349,8 @@ def decode(data: bytes, target_nits: float = None):
         return stacked, meta
     extra = []
     chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
-                                reference_extra=reference_extra)
+                                reference_extra=reference_extra,
+                                dc_frames=dc_frames)
     # spot-color channels are rendered into the color image and removed
     # from the output (stage_spot.cc)
     from ..io.headers import EC_SPOT_COLOR

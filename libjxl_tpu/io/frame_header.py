@@ -384,15 +384,24 @@ class FrameHeader(Bundle):
         if getattr(self, "nonserialized_is_preview", False):
             return self.nonserialized_metadata.m.preview_size.xsize()
         if self.custom_size_or_origin:
-            return self.frame_xsize
-        return self.nonserialized_metadata.xsize()
+            base = self.frame_xsize
+        else:
+            base = self.nonserialized_metadata.xsize()
+        if self.frame_type == FT_DC:
+            # a kDCFrame covers the next frame at 1:8^dc_level
+            base = -(-base // (1 << (3 * self.dc_level)))
+        return base
 
     def ysize(self) -> int:
         if getattr(self, "nonserialized_is_preview", False):
             return self.nonserialized_metadata.m.preview_size.ysize()
         if self.custom_size_or_origin:
-            return self.frame_ysize
-        return self.nonserialized_metadata.ysize()
+            base = self.frame_ysize
+        else:
+            base = self.nonserialized_metadata.ysize()
+        if self.frame_type == FT_DC:
+            base = -(-base // (1 << (3 * self.dc_level)))
+        return base
 
     def frame_dimensions(self) -> "FrameDimensions":
         fd = FrameDimensions()

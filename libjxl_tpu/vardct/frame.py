@@ -538,30 +538,33 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
                       wp_header):
     """Encoder: returns (vardct_dc_tokens, ac_metadata_tokens, count,
     extra_bits_list). Quantizes DC in place into state.quant_dc_img and
-    updates state.dc to the dequantized values (for exact LLF match)."""
+    updates state.dc to the dequantized values (for exact LLF match).
+    With kUseDcFrame the DC comes from the roundtripped DC frame and no
+    VarDCTDC stream exists."""
     fd = state.fd
     vardct_dc, modular_dc, ac_metadata = _modular_stream_ids(fd)
     x0, y0, rw, rh = fd.dc_group_rect(dc_group_id)
-    fac = [state.quantizer.mul_dc(c) for c in range(3)]
-    cfl_x, cfl_b = state.cfl_dc_factors()
-    dc_x = state.dc[0, y0:y0 + rh, x0:x0 + rw]
-    dc_y = state.dc[1, y0:y0 + rh, x0:x0 + rw]
-    dc_b = state.dc[2, y0:y0 + rh, x0:x0 + rw]
-    qy = np.round(dc_y / fac[1]).astype(np.int64)
-    dy = qy * fac[1]
-    qx = np.round((dc_x - cfl_x * dy) / fac[0]).astype(np.int64)
-    qb = np.round((dc_b - cfl_b * dy) / fac[2]).astype(np.int64)
-    # overwrite with dequantized DC so LLF coefficients match the decoder
-    state.dc[0, y0:y0 + rh, x0:x0 + rw] = qx * fac[0] + cfl_x * dy
-    state.dc[1, y0:y0 + rh, x0:x0 + rw] = dy
-    state.dc[2, y0:y0 + rh, x0:x0 + rw] = qb * fac[2] + cfl_b * dy
-    img = ModularImage(rw, rh, 8, 0)
-    img.channel = [Channel(rw, rh, data=a.astype(np.int32))
-                   for a in (qy, qx, qb)]
     dc_tokens = []
-    for i in range(3):
-        _tokenize_channel(img, i, vardct_dc(dc_group_id), dec_tree, wp_header,
-                          dc_tokens)
+    if not (state.fh.flags & FLAG_USE_DC_FRAME):
+        fac = [state.quantizer.mul_dc(c) for c in range(3)]
+        cfl_x, cfl_b = state.cfl_dc_factors()
+        dc_x = state.dc[0, y0:y0 + rh, x0:x0 + rw]
+        dc_y = state.dc[1, y0:y0 + rh, x0:x0 + rw]
+        dc_b = state.dc[2, y0:y0 + rh, x0:x0 + rw]
+        qy = np.round(dc_y / fac[1]).astype(np.int64)
+        dy = qy * fac[1]
+        qx = np.round((dc_x - cfl_x * dy) / fac[0]).astype(np.int64)
+        qb = np.round((dc_b - cfl_b * dy) / fac[2]).astype(np.int64)
+        # overwrite with dequantized DC so LLF matches the decoder
+        state.dc[0, y0:y0 + rh, x0:x0 + rw] = qx * fac[0] + cfl_x * dy
+        state.dc[1, y0:y0 + rh, x0:x0 + rw] = dy
+        state.dc[2, y0:y0 + rh, x0:x0 + rw] = qb * fac[2] + cfl_b * dy
+        img = ModularImage(rw, rh, 8, 0)
+        img.channel = [Channel(rw, rh, data=a.astype(np.int32))
+                       for a in (qy, qx, qb)]
+        for i in range(3):
+            _tokenize_channel(img, i, vardct_dc(dc_group_id), dec_tree,
+                              wp_header, dc_tokens)
     # AC metadata
     blocks = []
     for iy in range(rh):
@@ -597,7 +600,7 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         reference_frames=None, return_xyb: bool = False,
                         extra_out: list = None, reference_extra=None,
-                        render_fn=None):
+                        render_fn=None, dc_frames=None):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
@@ -613,6 +616,12 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
     mstate = ModularFrameState()
+    if fh.flags & FLAG_USE_DC_FRAME:
+        if not dc_frames or dc_frames[1] is None:
+            raise JXLError("kUseDcFrame set but no DC frame decoded")
+        dcf = np.asarray(dc_frames[1], dtype=np.float64)
+        state.dc[:, :fd.ysize_blocks, :fd.xsize_blocks] = \
+            dcf[:, :fd.ysize_blocks, :fd.xsize_blocks]
 
     def dc_global(sr):
         # image features, in reference order: patches, splines, noise
@@ -938,7 +947,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         extra_channels=None,
                         custom_quant: dict = None,
                         precomputed: dict = None,
-                        butteraugli_iters: int = 0) -> None:
+                        butteraugli_iters: int = 0,
+                        input_is_xyb: bool = False,
+                        use_dc_frame: bool = False) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -993,7 +1004,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         from ..io.frame_header import CT_NONE as _CT_NONE
         from ..io.frame_header import CT_YCBCR as _CT_YCBCR
 
-        if fh.color_transform == _CT_YCBCR:
+        if input_is_xyb:
+            xyb = rgb.astype(np.float64).copy()
+        elif fh.color_transform == _CT_YCBCR:
             xyb = rgb_to_ycbcr(rgb)
         elif fh.color_transform == _CT_NONE:
             xyb = rgb.astype(np.float64).copy()
@@ -1056,8 +1069,45 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             # (the reference picks per-block values in ComputeARHeuristics)
             state.epf_sharpness[:, :] = 4
         # DC = DCT DC coefficients = 8x8 block means
-        state.dc = xyb.reshape(3, fd.ysize_blocks, 8, fd.xsize_blocks, 8).mean(
-            axis=(2, 4))
+        if use_dc_frame:
+            # DC-frame pyramid (kUseDcFrame, frame_header.h:348): the
+            # frame's DC is a separately-coded 1:8 kDCFrame; roundtrip it
+            # so the encoder sees exactly what the decoder will use.
+            from ..io.frame_header import FT_DC
+
+            dc_means = xyb.reshape(3, fd.ysize_blocks, 8, fd.xsize_blocks,
+                                   8).mean(axis=(2, 4))
+            dcfh = FrameHeader(fh.nonserialized_metadata)
+            dcfh.all_default = False
+            dcfh.frame_type = FT_DC
+            dcfh.dc_level = 1
+            dcfh.encoding = fh.encoding
+            dcfh.color_transform = fh.color_transform
+            dcfh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+            dcfh.is_last = False
+            dcfh.loop_filter.all_default = False
+            dcfh.loop_filter.gab = False
+            dcfh.loop_filter.epf_iters = 0
+            tmp = BitWriter()
+            encode_vardct_frame(tmp, dc_means, dcfh,
+                                distance=max(0.1, distance * 0.2),
+                                input_is_xyb=True, adaptive_quant=False,
+                                ac_strategy_search=False,
+                                custom_orders=False)
+            dc_bytes = tmp.get_bytes()
+            rr = BitReader(dc_bytes)
+            dcfh2 = FrameHeader(fh.nonserialized_metadata)
+            dcfh2.read(rr)
+            dec_dc = decode_vardct_frame(rr, dcfh2, return_xyb=True)
+            writer.append_bytes(dc_bytes)
+            writer.zero_pad_to_byte()
+            fh.flags |= FLAG_USE_DC_FRAME
+            state.dc = np.asarray(
+                dec_dc[:, :fd.ysize_blocks, :fd.xsize_blocks],
+                dtype=np.float64)
+        else:
+            state.dc = xyb.reshape(
+                3, fd.ysize_blocks, 8, fd.xsize_blocks, 8).mean(axis=(2, 4))
         # quantize AC coefficients (vectorized over the whole block grid —
         # mirrors enc_group.cc ComputeCoefficients, batched like the TPU path)
         inv_gs = state.quantizer.inv_global_scale
@@ -1292,11 +1342,12 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
     def write_dc_group(w, g):
         dc_tokens, meta_tokens, count = dc_streams[g]
-        w.write(2, 0)  # extra_precision
-        gh = GroupHeader()
-        gh.use_global_tree = True
-        gh.write(w)
-        write_tokens(dc_tokens, codes, context_map, w)
+        if not (fh.flags & FLAG_USE_DC_FRAME):
+            w.write(2, 0)  # extra_precision
+            gh = GroupHeader()
+            gh.use_global_tree = True
+            gh.write(w)
+            write_tokens(dc_tokens, codes, context_map, w)
         # ModularDC group: no channels -> nothing
         x0, y0, rw, rh = fd.dc_group_rect(g)
         upper_bound = rw * rh

@@ -170,3 +170,40 @@ def test_butteraugli_refinement_improves_rd():
     # better perceptual quality per byte than plain adaptive quant
     assert b7 / b5 < (len(d7) / len(d5)) ** 0.5
     assert b7 < b5
+
+
+def test_dc_frame_pyramid():
+    """kUseDcFrame (frame_header.h:348): the frame's DC comes from a
+    separately-coded 1:8 kDCFrame."""
+    from libjxl_tpu.api.codestream import (CodecMetadata, SizeHeader,
+                                           write_codestream_header)
+    from libjxl_tpu.io.bits import BitWriter
+    from libjxl_tpu.io.frame_header import (
+        CT_XYB, ENC_VARDCT, FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FLAG_USE_DC_FRAME, FT_REGULAR, FrameHeader)
+    from libjxl_tpu.ops.xyb import srgb_to_linear
+    from libjxl_tpu.vardct.frame import encode_vardct_frame
+
+    yy, xx = np.mgrid[0:300, 0:260]
+    img = np.stack([120 + 60 * np.sin(xx / 23), 110 + 50 * np.cos(yy / 31),
+                    np.full((300, 260), 100)],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(260, 300)
+    w = BitWriter()
+    write_codestream_header(w, meta)
+    fh = FrameHeader(meta)
+    fh.all_default = False
+    fh.frame_type = FT_REGULAR
+    fh.encoding = ENC_VARDCT
+    fh.color_transform = CT_XYB
+    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = True
+    fh.loop_filter.epf_iters = 2
+    rgb = np.moveaxis(srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0)
+    encode_vardct_frame(w, rgb, fh, distance=1.0, use_dc_frame=True)
+    assert fh.flags & FLAG_USE_DC_FRAME
+    out, _ = decode(w.get_bytes())
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 8.0
