@@ -82,15 +82,27 @@ def make_box(btype: bytes, payload: bytes, unbounded: bool = False) -> bytes:
 
 
 def wrap_codestream(codestream: bytes, level: int = 5, exif: bytes = None,
-                    xml: bytes = None) -> bytes:
-    """Builds a container file around a codestream (encode.cc:803-840)."""
+                    xml: bytes = None, compress_boxes: bool = False) -> bytes:
+    """Builds a container file around a codestream (encode.cc:803-840).
+
+    compress_boxes: wrap metadata boxes in Brotli `brob` boxes
+    (encode.cc:871-905 brob writer)."""
     out = [CONTAINER_HEADER]
     if level != 5:
         out.append(make_box(b"jxll", bytes([level])))
+
+    def meta_box(btype, payload):
+        if compress_boxes:
+            from .brotli import brotli_compress
+
+            out.append(make_box(b"brob", btype + brotli_compress(payload)))
+        else:
+            out.append(make_box(btype, payload))
+
     if exif:
-        out.append(make_box(b"Exif", b"\x00\x00\x00\x00" + exif))
+        meta_box(b"Exif", b"\x00\x00\x00\x00" + exif)
     if xml:
-        out.append(make_box(b"xml ", xml))
+        meta_box(b"xml ", xml)
     out.append(make_box(b"jxlc", codestream))
     return b"".join(out)
 
@@ -101,6 +113,11 @@ def extract_metadata(data: bytes):
     if not is_container(data):
         return meta
     for btype, payload, _ in parse_boxes(data[12:]):
+        if btype == b"brob" and len(payload) >= 4:
+            # Brotli-compressed metadata box (box_content_decoder.h:25)
+            from .brotli import brotli_decompress
+
+            btype, payload = payload[:4], brotli_decompress(payload[4:])
         if btype == b"Exif" and len(payload) >= 4:
             offset = struct.unpack(">I", payload[:4])[0]
             meta["exif"] = payload[4 + offset:]
