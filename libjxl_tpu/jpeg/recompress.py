@@ -181,7 +181,12 @@ def recompress_jpeg(data: bytes) -> bytes:
     write_tokens(tokens, codes, cmap, w)
     coeff_stream = w.get_bytes()
     out = [CONTAINER_HEADER]
-    out.append(make_box(b"jbrd", _meta_blob(jd)))
+    # jbrd metadata is Brotli-compressed like the reference
+    # (jpeg/enc_jpeg_data.h:26 EncodeJPEGData packs non-coeff bytes
+    # with Brotli)
+    from ..io.brotli import brotli_compress
+
+    out.append(make_box(b"jbrd", b"\x01" + brotli_compress(_meta_blob(jd))))
     out.append(make_box(b"jxlc", coeff_stream))
     return b"".join(out)
 
@@ -198,6 +203,10 @@ def reconstruct_jpeg(container: bytes) -> bytes:
             stream = payload
     if blob is None or stream is None:
         raise JXLError("missing jbrd/jxlc boxes")
+    if blob[:1] == b"\x01":  # Brotli-packed metadata
+        from ..io.brotli import brotli_decompress
+
+        blob = brotli_decompress(blob[1:])
     jd = _meta_from_blob(blob)
     r = BitReader(stream)
     dc_img = ModularImage(1, 1, 16, 0)
