@@ -298,6 +298,7 @@ class ModularEncOptions:
     try_palette: bool = True
     max_palette_colors: int = 256
     lz77: bool = True  # try ApplyLZ77_RLE on the residual token streams
+    responsive: bool = False  # Squeeze pyramid (progressive lossless)
 
 
 def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
@@ -329,6 +330,22 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
         t.rct_type = options.color_transform
         fwd_rct(image, 0, t.rct_type)
         global_transforms.append(t)
+    if options.responsive and palette_t is None:
+        # Squeeze pyramid (default parameters): progressive lossless;
+        # squeezed residual channels with shift >= 3 land in the DC
+        # group streams, giving a 1:8+ early preview (enc_squeeze.cc)
+        from ..modular.transforms import (
+            T_SQUEEZE,
+            default_squeeze_parameters,
+            fwd_squeeze,
+        )
+
+        sq = Transform()
+        sq.id = T_SQUEEZE
+        sq.squeezes = []
+        params = default_squeeze_parameters(image)
+        fwd_squeeze(image, params)
+        global_transforms.append(sq)
     image.transform = global_transforms
 
     if options.effort >= 4:

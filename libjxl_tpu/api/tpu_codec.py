@@ -132,7 +132,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
 
     enc, _, _, srgb2lin = _jitted()
     rgb = srgb2lin(srgb)
-    qall, dc, qf, ytox_map, ytob_map = enc(
+    qall, dc, qf, ytox_map, ytob_map, sharp = enc(
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(x_dm_mult),
         np.float32(b_dm_mult), adaptive=adaptive_quant, cfl=cfl)
@@ -142,6 +142,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
         "qf": np.asarray(qf),
         "ytox_map": np.asarray(ytox_map),
         "ytob_map": np.asarray(ytob_map),
+        "sharp": np.asarray(sharp),
     }
     encode_vardct_frame(writer, None, fh, distance=distance,
                         precomputed=precomputed)

@@ -355,8 +355,9 @@ def gaborish_inverse_jax(xyb, kernel):
 
 
 def quant_field_jax(y, nby, nbx, base_quant, quant_max):
-    """Device port of heuristics.initial_quant_field: per-block masking
-    from local Y-channel activity."""
+    """Device port of heuristics.initial_quant_field +
+    epf_sharpness_field: per-block masking from local Y-channel
+    activity. Returns (quant_field, epf_sharpness)."""
     h, w = nby * 8, nbx * 8
     yp = y[:h, :w]
     gy = jnp.abs(jnp.diff(yp, axis=0, prepend=yp[:1]))
@@ -364,8 +365,10 @@ def quant_field_jax(y, nby, nbx, base_quant, quant_max):
     grad = (gy + gx).reshape(nby, 8, nbx, 8).mean(axis=(1, 3))
     act = jnp.log1p(grad * 80.0)
     mod = jnp.clip(1.6 - 0.35 * act, 0.55, 1.8)
-    return jnp.clip(jnp.round(base_quant * mod), 1,
-                    quant_max).astype(jnp.int32)
+    qf = jnp.clip(jnp.round(base_quant * mod), 1,
+                  quant_max).astype(jnp.int32)
+    sharp = jnp.clip(jnp.round(7.0 - 2.2 * act), 1, 7).astype(jnp.int32)
+    return qf, sharp
 
 
 def fit_cfl_jax(co, color_factor=84.0, base_b=1.0):
@@ -418,9 +421,10 @@ def encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
     _, h, w = xyb.shape
     nby, nbx = h // 8, w // 8
     if adaptive:
-        qf = quant_field_jax(xyb[1], nby, nbx, base_quant, quant_max)
+        qf, sharp = quant_field_jax(xyb[1], nby, nbx, base_quant, quant_max)
     else:
         qf = jnp.full((nby, nbx), jnp.int32(base_quant), dtype=jnp.int32)
+        sharp = jnp.full((nby, nbx), 4, dtype=jnp.int32)
     blocks = image_to_blocks(xyb)
     co = dct8_blocks(blocks)
     # CfL tile fit on padded tile grid
@@ -446,7 +450,7 @@ def encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
     q = jnp.stack([qx, qy, qb]).astype(jnp.int32)
     q = q.at[:, :, :, 0, 0].set(0)
     dc = co[:, :, :, 0, 0]
-    return q, dc, qf, ytox_map, ytob_map
+    return q, dc, qf, ytox_map, ytob_map, sharp
 
 
 def encode_coefficients(rgb, qf, dm_inv, dm_y, inv_global_scale, x_dm_mult,

@@ -983,7 +983,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         state.strategy[:, :] = acs.DCT
         state.is_origin[:, :] = True
         if fh.loop_filter.epf_iters > 0:
-            state.epf_sharpness[:, :] = 4
+            state.epf_sharpness = np.asarray(
+                precomputed.get("sharp", state.epf_sharpness * 0 + 4),
+                dtype=np.int32)
         state.dc = np.asarray(precomputed["dc"], dtype=np.float64)
         state.ytox_map = np.asarray(precomputed["ytox_map"],
                                     dtype=np.int32)
@@ -1065,9 +1067,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
             _choose_ac_strategies(state, xyb)
         if fh.loop_filter.epf_iters > 0:
-            # mid-LUT sharpness enables the decoder's edge-preserving filter
-            # (the reference picks per-block values in ComputeARHeuristics)
-            state.epf_sharpness[:, :] = 4
+            from .heuristics import epf_sharpness_field
+
+            state.epf_sharpness = epf_sharpness_field(
+                xyb[1], fd.ysize_blocks, fd.xsize_blocks)
         # DC = DCT DC coefficients = 8x8 block means
         if use_dc_frame:
             # DC-frame pyramid (kUseDcFrame, frame_header.h:348): the

@@ -85,6 +85,22 @@ def initial_quant_field(y: np.ndarray, nby: int, nbx: int, distance: float,
     return qf.astype(np.int32)
 
 
+def epf_sharpness_field(y: np.ndarray, nby: int, nbx: int) -> np.ndarray:
+    """Per-block EPF sharpness 0-7 (ComputeARHeuristics analog,
+    enc_ac_strategy.cc / enc_frame.cc:1086): smooth blocks get high
+    sharpness (the LUT scales sigma up -> stronger smoothing of banding);
+    busy/edge blocks get low values so the filter preserves detail."""
+    h, w = nby * 8, nbx * 8
+    yp = y[:h, :w]
+    gy = np.abs(np.diff(yp, axis=0, prepend=yp[:1]))
+    gx = np.abs(np.diff(yp, axis=1, prepend=yp[:, :1]))
+    grad = (gy + gx).reshape(nby, 8, nbx, 8).mean(axis=(1, 3))
+    act = np.log1p(grad * 80.0)
+    # act ~0 (flat) -> 7; act >= ~3 (busy) -> 1
+    sharp = np.clip(np.round(7.0 - 2.2 * act), 1, 7)
+    return sharp.astype(np.int32)
+
+
 def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
                        distance: float, iters: int = 2) -> None:
     """Butteraugli-feedback quant refinement (FindBestQuantization,

@@ -130,7 +130,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     base_quant = max(1, min(QUANT_MAX, int(
         (K_AC_QUANT / state.nonserialized_distance)
         * state.quantizer.global_scale_float + 0.5)))
-    qall, dc, qf, ytox_map, ytob_map = step(
+    qall, dc, qf, ytox_map, ytob_map, sharp = step(
         xyb.astype(np.float32), dm_inv, dm,
         np.float32(state.quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(state.x_dm_mult),
@@ -138,6 +138,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     qall = np.asarray(qall)[:, :rh, :rw]
     dc = np.asarray(dc)[:, :rh, :rw]
     qf = np.asarray(qf)[:rh, :rw]
+    sharp = np.asarray(sharp)[:rh, :rw]
     tby = -(-rh // 8)
     tbx = -(-rw // 8)
     ytox_map = np.asarray(ytox_map)[:tby, :tbx]
@@ -148,7 +149,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     state.strategy[y0:y0 + rh, x0:x0 + rw] = acs.DCT
     state.is_origin[y0:y0 + rh, x0:x0 + rw] = True
     if fh.loop_filter.epf_iters > 0:
-        state.epf_sharpness[y0:y0 + rh, x0:x0 + rw] = 4
+        state.epf_sharpness[y0:y0 + rh, x0:x0 + rw] = sharp
     state.dc[:, y0:y0 + rh, x0:x0 + rw] = dc
     ty0, tx0 = y0 // 8, x0 // 8
     state.ytox_map[ty0:ty0 + tby, tx0:tx0 + tbx] = ytox_map
