@@ -58,7 +58,7 @@ def write_codestream_header(w: BitWriter, meta: CodecMetadata) -> None:
 # ----------------------------------------------------------------- image API
 def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
                     effort: int = 3, group_size_shift: int = 1,
-                    icc: bytes = None) -> bytes:
+                    icc: bytes = None, responsive: bool = False) -> bytes:
     """Encode an image losslessly (modular mode).
 
     image: (H, W) or (H, W, C) uint8/uint16/int array.
@@ -95,7 +95,7 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
         channels.append(image[:, :, 3].astype(np.int32))
     opts = ModularEncOptions(group_size_shift=group_size_shift,
                              color_transform=6 if nc >= 3 else None,
-                             effort=effort)
+                             effort=effort, responsive=responsive)
     encode_modular_frame(writer, channels, fh, opts)
     return writer.get_bytes()
 
@@ -180,6 +180,13 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         lin = np.moveaxis(lin, -1, 0)
         small = np.stack([downsample_box(lin[c], scale) for c in range(3)])
         pv_img = small[:, :ph_, :pw_]
+        # every frame carries the signaled extra channels
+        pv_extra = None
+        if extra_channels:
+            pv_extra = [
+                np.round(downsample_box(e.astype(np.float64), scale)
+                         [:ph_, :pw_]).astype(np.int32)
+                for e in extra_channels]
     writer = BitWriter()
     write_codestream_header(writer, meta)
     if pv_img is not None:
@@ -195,7 +202,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         pfh.loop_filter.gab = True
         pfh.loop_filter.epf_iters = 0
         encode_vardct_frame(writer, pv_img, pfh,
-                            distance=max(distance, 1.5))
+                            distance=max(distance, 1.5),
+                            extra_channels=pv_extra)
         writer.zero_pad_to_byte()
     fh = FrameHeader(meta)
     fh.all_default = False
@@ -261,9 +269,12 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
         w_, h_ = width, height
     else:
         img = image_or_chunks
-        h_, w_, _ = img.shape
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        h_, w_ = img.shape[:2]
+        # extra channels are not part of the streaming path (v1)
         rgb_full = np.moveaxis(
-            srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0)
+            srgb_to_linear(img[:, :, :3].astype(np.float64) / 255.0), -1, 0)
         pad_y = (-h_) % 8
         pad_x = (-w_) % 8
         rgb_full = np.pad(rgb_full, ((0, 0), (0, pad_y), (0, pad_x)),
@@ -338,15 +349,23 @@ def decode(data: bytes, target_nits: float = None):
             r.jump_to_byte_boundary()
             continue
         break
+    def _orient(img_arr):
+        if meta.m.orientation != 1:
+            from ..extras.exif import apply_orientation
+
+            return np.ascontiguousarray(
+                apply_orientation(img_arr, meta.m.orientation))
+        return img_arr
+
     if fh.encoding == ENC_MODULAR:
         img = decode_modular_frame(r, fh)
         chans = [c.data for c in img.channel]
         stacked = np.stack(chans, axis=-1)
         if bits <= 8:
-            return stacked.astype(np.uint8), meta
+            return _orient(stacked.astype(np.uint8)), meta
         if bits <= 16:
-            return stacked.astype(np.uint16), meta
-        return stacked, meta
+            return _orient(stacked.astype(np.uint16)), meta
+        return _orient(stacked), meta
     extra = []
     chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
                                 reference_extra=reference_extra,
@@ -383,12 +402,12 @@ def decode(data: bytes, target_nits: float = None):
             ec = np.stack([np.clip(np.round(e), 0, 255).astype(np.uint8)
                            for e in extra], axis=-1)
             out = np.concatenate([out, ec], axis=-1)
-        return out, meta
+        return _orient(out), meta
     if extra:
         srgb = np.concatenate(
             [srgb] + [e[:, :, None].astype(srgb.dtype) for e in extra],
             axis=-1)
-    return srgb, meta
+    return _orient(srgb), meta
 
 
 def _skip_or_decode_preview(r: BitReader, meta, want: bool = False):

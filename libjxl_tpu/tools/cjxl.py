@@ -30,6 +30,25 @@ def build_parser():
     p.add_argument("--lossless_jpeg", type=int, default=1,
                    help="1 (default): JPEG input is recompressed losslessly "
                         "(bit-exact reconstruction); 0: re-encode pixels")
+    p.add_argument("-p", "--progressive", type=int, default=1,
+                   metavar="PASSES", help="number of progressive passes")
+    p.add_argument("--resampling", type=int, default=1, choices=(1, 2, 4, 8),
+                   help="downsample before encoding; decoder upsamples")
+    p.add_argument("--photon_noise_iso", type=float, default=None,
+                   help="add synthetic photon noise for this ISO")
+    p.add_argument("--preview", type=int, default=None, metavar="PX",
+                   help="embed a preview frame (long side <= PX)")
+    p.add_argument("--responsive", type=int, choices=(0, 1), default=0,
+                   help="modular Squeeze pyramid (progressive lossless)")
+    p.add_argument("--streaming", action="store_true",
+                   help="DC-group streaming encoder (bounded memory)")
+    p.add_argument("--hosts", type=int, default=1,
+                   help="parallel hosts for --streaming (demo: threads)")
+    p.add_argument("--compress_boxes", type=int, choices=(0, 1), default=1,
+                   help="Brotli-compress metadata boxes in the container")
+    p.add_argument("--num_threads", type=int, default=0,
+                   help="accepted for cjxl compatibility (device "
+                        "parallelism is mesh-sharding based)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -83,15 +102,26 @@ def _main(argv=None):
     lossless = distance == 0.0 or args.modular == 1
     t0 = time.perf_counter()
     if lossless:
-        data = encode_lossless(image, group_size_shift=args.group_size_shift,
-                               icc=icc, effort=args.effort)
+        data = encode_lossless(image,
+                               group_size_shift=args.group_size_shift,
+                               icc=icc, effort=args.effort,
+                               responsive=bool(args.responsive))
+    elif args.streaming:
+        from ..api.codestream import encode_lossy_streaming
+
+        data = encode_lossy_streaming(image, distance=distance,
+                                      hosts=args.hosts)
     else:
         data = encode_lossy(image, distance=distance,
                             group_size_shift=args.group_size_shift, icc=icc,
-                            effort=args.effort)
+                            effort=args.effort,
+                            progressive=args.progressive,
+                            resampling=args.resampling,
+                            photon_noise_iso=args.photon_noise_iso,
+                            preview=args.preview)
     dt = time.perf_counter() - t0
     if args.container:
-        data = wrap_codestream(data)
+        data = wrap_codestream(data, compress_boxes=bool(args.compress_boxes))
     with open(args.output, "wb") as f:
         f.write(data)
     if args.verbose:

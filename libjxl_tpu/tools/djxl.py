@@ -12,6 +12,12 @@ def build_parser():
         prog="djxl", description="TPU-native JPEG XL decoder")
     p.add_argument("input", help="input .jxl file")
     p.add_argument("output", help="output image (png/pnm/npy)")
+    p.add_argument("--display_nits", type=float, default=None,
+                   help="tone-map HDR content to this display brightness")
+    p.add_argument("--preview_out", default=None,
+                   help="also decode the preview frame to this file")
+    p.add_argument("--num_threads", type=int, default=0,
+                   help="accepted for djxl compatibility")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -56,8 +62,16 @@ def _main(argv=None):
             return 0
     codestream = extract_codestream(data)
     t0 = time.perf_counter()
-    image, meta = decode(codestream)
+    image, meta = decode(codestream, target_nits=args.display_nits)
     dt = time.perf_counter() - t0
+    if args.preview_out:
+        from ..api.codestream import decode_preview
+
+        pv, _ = decode_preview(codestream)
+        if pv is not None:
+            save_image(args.preview_out, pv)
+        elif args.verbose:
+            print("no preview frame in stream", file=sys.stderr)
     icc = meta.m.color_encoding.icc if meta.m.color_encoding.want_icc else None
     save_image(args.output, image, icc=icc)
     if args.verbose:
