@@ -58,7 +58,8 @@ def write_codestream_header(w: BitWriter, meta: CodecMetadata) -> None:
 # ----------------------------------------------------------------- image API
 def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
                     effort: int = 3, group_size_shift: int = 1,
-                    icc: bytes = None, responsive: bool = False) -> bytes:
+                    icc: bytes = None, responsive: bool = False,
+                    orientation: int = 1) -> bytes:
     """Encode an image losslessly (modular mode).
 
     image: (H, W) or (H, W, C) uint8/uint16/int array.
@@ -74,6 +75,9 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
     meta.size = SizeHeader().set(w, h)
     meta.m.all_default = False
     meta.m.xyb_encoded = False
+    if orientation != 1:
+        # stored pixels are pre-orientation; the decoder re-applies it
+        meta.m.orientation = orientation
     meta.m.bit_depth.bits_per_sample = bits_per_sample
     if bits_per_sample > 12:
         meta.m.modular_16_bit_buffer_sufficient = False

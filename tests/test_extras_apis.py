@@ -83,3 +83,34 @@ def test_jxl_from_tree(tmp_path):
     img, _ = decode(data)
     assert img.shape == (96, 128, 3)
     assert len(np.unique(img)) > 1
+
+
+def test_orientation_applied_on_decode():
+    """ImageMetadata.orientation (1-8) is applied by the decoder
+    (dec_external_image orientation handling)."""
+    from libjxl_tpu.api.codestream import encode_lossless
+    from libjxl_tpu.extras.exif import apply_orientation
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    for o in range(1, 9):
+        data = encode_lossless(img, orientation=o)
+        out, meta = decode(data)
+        assert meta.m.orientation == o
+        np.testing.assert_array_equal(out, apply_orientation(img, o))
+
+
+def test_exif_orientation_helpers():
+    import struct
+
+    from libjxl_tpu.extras.exif import (
+        get_exif_orientation,
+        reset_exif_orientation,
+    )
+
+    exif = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x112, 3, 1) + struct.pack("<HH", 6, 0)
+            + struct.pack("<I", 0))
+    assert get_exif_orientation(exif) == 6
+    assert get_exif_orientation(reset_exif_orientation(exif)) == 1
+    assert get_exif_orientation(b"junk") == 1
