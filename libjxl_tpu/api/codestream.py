@@ -114,7 +114,9 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  custom_quant: dict = None,
                  effort: int = 5,
                  preview: int = None,
-                 spot_color=None) -> bytes:
+                 spot_color=None,
+                 stats: dict = None,
+                 debug_cb=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
     A 4th channel is coded losslessly as an alpha extra channel
@@ -242,7 +244,12 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                         noise_lut=noise_lut, splines=splines,
                         extra_channels=extra_channels,
                         custom_quant=custom_quant,
-                        butteraugli_iters=butteraugli_iters)
+                        butteraugli_iters=butteraugli_iters,
+                        debug_cb=debug_cb)
+    if stats is not None:
+        from .stats import collect_stats
+
+        stats.update(collect_stats(writer))
     return writer.get_bytes()
 
 

@@ -49,6 +49,11 @@ def build_parser():
     p.add_argument("--num_threads", type=int, default=0,
                    help="accepted for cjxl compatibility (device "
                         "parallelism is mesh-sharding based)")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-layer bit accounting "
+                        "(JxlEncoderCollectStats analog)")
+    p.add_argument("--debug_heatmaps", default=None, metavar="PREFIX",
+                   help="dump quant/sharpness/strategy heatmap PNGs")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -112,13 +117,26 @@ def _main(argv=None):
         data = encode_lossy_streaming(image, distance=distance,
                                       hosts=args.hosts)
     else:
+        stats = {} if args.stats else None
+        debug_cb = None
+        if args.debug_heatmaps:
+            from ..api.stats import save_heatmap
+
+            def debug_cb(state, prefix=args.debug_heatmaps):
+                save_heatmap(state.raw_quant_field, prefix + "_quant.png")
+                save_heatmap(state.epf_sharpness, prefix + "_sharp.png")
+                save_heatmap(state.strategy, prefix + "_acs.png")
         data = encode_lossy(image, distance=distance,
                             group_size_shift=args.group_size_shift, icc=icc,
                             effort=args.effort,
                             progressive=args.progressive,
                             resampling=args.resampling,
                             photon_noise_iso=args.photon_noise_iso,
-                            preview=args.preview)
+                            preview=args.preview,
+                            stats=stats, debug_cb=debug_cb)
+        if stats:
+            for k, v in sorted(stats.items()):
+                print(f"{k}: {v} bits ({v / 8:.0f} B)", file=sys.stderr)
     dt = time.perf_counter() - t0
     if args.container:
         data = wrap_codestream(data, compress_boxes=bool(args.compress_boxes))

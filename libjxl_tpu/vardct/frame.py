@@ -949,7 +949,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         precomputed: dict = None,
                         butteraugli_iters: int = 0,
                         input_is_xyb: bool = False,
-                        use_dc_frame: bool = False) -> None:
+                        use_dc_frame: bool = False,
+                        debug_cb=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
     Heuristics (vardct/heuristics.py): inverse Gaborish when the frame
@@ -1381,32 +1382,54 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             gh.write(w)
             write_tokens(ec_ac_tokens[(p, g)], codes, context_map, w)
 
+    if debug_cb is not None:
+        # JxlEncoderSetDebugImageCallback analog: expose the heuristic
+        # fields (quant field, sharpness, strategies, CfL maps)
+        debug_cb(state)
     single = fd.num_groups == 1 and fh.passes.num_passes == 1
     sections = []
+    layers = writer.layer_bits
+
+    def acc(layer, nbits):
+        layers[layer] = layers.get(layer, 0) + nbits
+
     if single:
         w = BitWriter()
         write_dc_global(w)
+        acc("dc_global", w.bits_written())
+        b0 = w.bits_written()
         write_dc_group(w, 0)
+        acc("dc_groups", w.bits_written() - b0)
+        b0 = w.bits_written()
         write_ac_global(w)
+        acc("ac_global", w.bits_written() - b0)
+        b0 = w.bits_written()
         write_ac_group(w, 0)
+        acc("ac_groups", w.bits_written() - b0)
         sections.append(w.get_bytes())
     else:
         w = BitWriter()
         write_dc_global(w)
+        acc("dc_global", w.bits_written())
         sections.append(w.get_bytes())
         for g in range(fd.num_dc_groups):
             w = BitWriter()
             write_dc_group(w, g)
+            acc("dc_groups", w.bits_written())
             sections.append(w.get_bytes())
         w = BitWriter()
         write_ac_global(w)
+        acc("ac_global", w.bits_written())
         sections.append(w.get_bytes())
         for p in range(num_passes):
             for g in range(fd.num_groups):
                 w = BitWriter()
                 write_ac_group(w, g, p)
+                acc("ac_groups", w.bits_written())
                 sections.append(w.get_bytes())
+    b0 = writer.bits_written()
     fh.write(writer)
+    acc("frame_header", writer.bits_written() - b0)
     write_group_offsets([len(s) for s in sections], None, writer)
     writer.zero_pad_to_byte()
     for s in sections:
