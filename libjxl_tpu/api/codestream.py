@@ -238,13 +238,15 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
 
         rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
     # effort semantics (doc/encode_effort.md): kitten (e7) and up run the
-    # Butteraugli-feedback quant refinement (<= 4 iters, like the ref)
+    # Butteraugli-feedback quant refinement (<= 4 iters, like the ref);
+    # e8+ also runs dot detection (FindBestPatchDictionary dot path)
     butteraugli_iters = 0 if effort < 7 else min(4, effort - 5)
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         noise_lut=noise_lut, splines=splines,
                         extra_channels=extra_channels,
                         custom_quant=custom_quant,
                         butteraugli_iters=butteraugli_iters,
+                        detect_dots=effort >= 8,
                         debug_cb=debug_cb)
     if stats is not None:
         from .stats import collect_stats

@@ -319,6 +319,87 @@ def apply_patches(img: np.ndarray, st: PatchesState, reference_frames,
                         extra[k][sl2] /= np.where(f == 0.0, 1.0, f)
 
 
+DOT_SIZE = 5  # extracted dot patch side (enc_detect_dots kEllipseWindow)
+
+
+def find_dots(xyb: np.ndarray, max_dots: int = 256,
+              energy_thresh: float = 0.04):
+    """Detect small isolated high-energy spots ("dots") that VarDCT codes
+    poorly and extract them as additive patches
+    (DetectGaussianEllipses / FindBestPatchDictionary dot path,
+    enc_detect_dots.cc + enc_dot_dictionary.cc, simplified: extraction
+    without Gaussian refitting).
+
+    xyb: (3, H, W). Returns (sheet (3, 5, 5*n) XYB residuals,
+    placements [(sx, 0, 5, 5, [(x, y)])...]) or None."""
+    _, h, w = xyb.shape
+    if h < 16 or w < 16:
+        return None
+    # smooth background: separable 5-tap blur
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0])
+    k /= k.sum()
+    sm = xyb
+    for axis in (-2, -1):
+        sm = np.apply_along_axis(
+            lambda r: np.convolve(np.pad(r, 2, mode="edge"), k, "valid"),
+            axis, sm)
+    res = xyb - sm
+    weights = np.array([60.0, 4.0, 2.0])[:, None, None]
+    energy = ((res * weights) ** 2).sum(axis=0)
+    # local maxima over a 5x5 window
+    p = np.pad(energy, 2, mode="constant")
+    is_max = np.ones_like(energy, dtype=bool)
+    for dy in range(5):
+        for dx in range(5):
+            if dy == 2 and dx == 2:
+                continue
+            is_max &= energy >= p[dy:dy + h, dx:dx + w]
+    half = DOT_SIZE // 2
+    cand = np.flatnonzero((is_max & (energy > energy_thresh))[
+        half:h - half, half:w - half].reshape(-1))
+    if len(cand) == 0:
+        return None
+    ys, xs = np.unravel_index(cand, (h - 2 * half, w - 2 * half))
+    ys = ys + half
+    xs = xs + half
+    order = np.argsort(-energy[ys, xs])
+    picked = []
+    for i in order:
+        y, x = int(ys[i]), int(xs[i])
+        if any(abs(y - py) < DOT_SIZE and abs(x - px) < DOT_SIZE
+               for py, px in picked):
+            continue
+        # isolation: the 9x9 ring outside the 5x5 blob must be quiet
+        y0, y1 = max(0, y - 4), min(h, y + 5)
+        ring = energy[y0:y1, max(0, x - 4):min(w, x + 5)].sum() \
+            - energy[y - half:y + half + 1, x - half:x + half + 1].sum()
+        blob = energy[y - half:y + half + 1, x - half:x + half + 1].sum()
+        if ring > 0.35 * blob:
+            continue
+        picked.append((y, x))
+        if len(picked) >= max_dots:
+            break
+    if not picked:
+        return None
+    sheet = np.zeros((3, DOT_SIZE, DOT_SIZE * len(picked)))
+    placements = []
+    for i, (y, x) in enumerate(picked):
+        # dot content = region minus the surrounding ring's mean, so the
+        # FULL spot lands in the patch and the background stays smooth
+        y0, y1 = max(0, y - 4), min(h, y + 5)
+        x0, x1 = max(0, x - 4), min(w, x + 5)
+        region9 = xyb[:, y0:y1, x0:x1]
+        blob5 = xyb[:, y - half:y + half + 1, x - half:x + half + 1]
+        ring_sum = region9.sum(axis=(1, 2)) - blob5.sum(axis=(1, 2))
+        ring_n = region9.shape[1] * region9.shape[2] - DOT_SIZE * DOT_SIZE
+        bg = ring_sum / max(ring_n, 1)
+        sheet[:, :, i * DOT_SIZE:(i + 1) * DOT_SIZE] = \
+            blob5 - bg[:, None, None]
+        placements.append((i * DOT_SIZE, 0, DOT_SIZE, DOT_SIZE,
+                           [(x - half, y - half)]))
+    return sheet, placements
+
+
 def get_references(st: PatchesState) -> int:
     mask = 0
     for rp in st.ref_positions:

@@ -950,6 +950,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         butteraugli_iters: int = 0,
                         input_is_xyb: bool = False,
                         use_dc_frame: bool = False,
+                        detect_dots: bool = False,
                         debug_cb=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
@@ -1037,6 +1038,64 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                     fd.ysize_padded)
             draw_segments(xyb, segs, add=False)
             fh.flags |= FLAG_SPLINES
+        if detect_dots and patches is None:
+            # automatic dot extraction (FindBestPatchDictionary dot path):
+            # detected dots become an additive patch dictionary backed by
+            # a roundtripped kReferenceOnly sheet coded in XYB space
+            from ..render.patches import (
+                BLEND_ADD,
+                PatchBlending,
+                PatchPosition,
+                PatchReferencePosition,
+                PatchesState,
+                find_dots,
+            )
+            from ..io.frame_header import FT_REFERENCE_ONLY
+
+            found = find_dots(xyb[:, :fd.ysize, :fd.xsize])
+            if found is not None:
+                sheet, placements = found
+                reffh = FrameHeader(fh.nonserialized_metadata)
+                reffh.all_default = False
+                reffh.frame_type = FT_REFERENCE_ONLY
+                reffh.encoding = fh.encoding
+                reffh.color_transform = fh.color_transform
+                reffh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+                reffh.custom_size_or_origin = True
+                reffh.frame_xsize = sheet.shape[2]
+                reffh.frame_ysize = sheet.shape[1]
+                reffh.save_as_reference = 0
+                reffh.save_before_color_transform = True
+                reffh.loop_filter.all_default = False
+                reffh.loop_filter.gab = False
+                reffh.loop_filter.epf_iters = 0
+                tmp = BitWriter()
+                encode_vardct_frame(tmp, sheet, reffh,
+                                    distance=min(distance * 0.3, 0.3),
+                                    input_is_xyb=True, adaptive_quant=False,
+                                    ac_strategy_search=False,
+                                    custom_orders=False)
+                ref_bytes = tmp.get_bytes()
+                rr = BitReader(ref_bytes)
+                reffh2 = FrameHeader(fh.nonserialized_metadata)
+                reffh2.read(rr)
+                dec_sheet = decode_vardct_frame(rr, reffh2, return_xyb=True)
+                writer.append_bytes(ref_bytes)
+                writer.zero_pad_to_byte()
+                st = PatchesState()
+                st.blendings_stride = 1 + len(
+                    fh.nonserialized_metadata.m.extra_channel_info)
+                for (sx, sy, pw_, ph_, poses) in placements:
+                    rp_idx = len(st.ref_positions)
+                    st.ref_positions.append(
+                        PatchReferencePosition(0, sx, sy, pw_, ph_))
+                    for (x, y) in poses:
+                        st.positions.append(PatchPosition(x, y, rp_idx))
+                        st.blendings.append(
+                            [PatchBlending(BLEND_ADD)]
+                            * st.blendings_stride)
+                patches = st
+                reference_frames = [dec_sheet, None, None, None]
         if patches is not None:
             # inverse of the decoder's patches stage (which runs before the
             # splines stage, so the encoder subtracts after splines)
