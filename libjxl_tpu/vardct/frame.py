@@ -835,6 +835,9 @@ def _est_token_bits(q: np.ndarray, cb: int) -> float:
     return bits + 8.0  # per-channel nzeros token overhead
 
 
+_INFO_LOSS_MUL = 0.5
+
+
 def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
                        cols: int, kind: int) -> np.ndarray:
     """Estimated coding cost of covering the image with rows x cols px
@@ -860,12 +863,24 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     qf = state.raw_quant_field[:tby * cy, :tbx * cx].reshape(
         tby, cy, tbx, cx).mean(axis=(1, 3))
     scaled = (state.quantizer.inv_global_scale / qf)[None, :, :, None, None]
-    q = np.abs(np.round(co * dm_inv[:, None, None] / scaled))
+    qs = np.round(co * dm_inv[:, None, None] / scaled)
+    q = np.abs(qs)
     nz = q > 0
     bits = (nz.sum(axis=(3, 4)) * 2.0
             + np.log2(1.0 + q, where=nz, out=np.zeros_like(q)).sum(
                 axis=(3, 4)))
-    return bits.sum(axis=0) + 24.0  # 3x nzeros token overhead
+    # quantization info loss (EstimateEntropy's info_loss term,
+    # enc_ac_strategy.cc:492): without it, large transforms that zero out
+    # sparse detail look free in a bits-only estimate
+    dm = np.stack([state.matrices.dequant_matrix(kind, c)
+                   for c in range(3)])
+    coded = dm_inv > 0  # LLF positions are coded via DC, skip them
+    rec = np.where(coded[:, None, None],
+                   qs * dm[:, None, None] * scaled, co)
+    wchan = np.array([16.0, 1.0, 1.0])[:, None, None]
+    loss = (np.abs(co - rec).sum(axis=(3, 4)) * wchan).sum(axis=0)
+    loss_bits = _INFO_LOSS_MUL * loss / scaled[0, :, :, 0, 0]
+    return bits.sum(axis=0) + loss_bits + 24.0  # + 3x nzeros overhead
 
 
 def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
@@ -934,6 +949,49 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
             cost, placements = best_quadrant(by, bx)
             for (pby, pbx, s) in placements:
                 place(pby, pbx, s)
+    _choose_small_transforms(state, xyb, c8)
+
+
+def _choose_small_transforms(state: VarDCTState, xyb: np.ndarray,
+                             c8: np.ndarray) -> None:
+    """Post-pass of FindBest8x8Transform (enc_ac_strategy.cc:496): for the
+    busiest blocks still coded as single DCT8, try the sub-8x8 family
+    (IDENTITY, DCT2X2, DCT4X4, DCT4X8/8X4, AFV0) and keep the cheapest."""
+    fd = state.fd
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    inv_gs = state.quantizer.inv_global_scale
+    candidates = (acs.IDENTITY, acs.DCT2X2, acs.DCT4X4, acs.DCT4X8,
+                  acs.DCT8X4, acs.AFV0)
+    dm_inv = {s: np.stack([state.matrices.inv_matrix(acs.QUANT_TABLE[s], c)
+                           for c in range(3)]).reshape(3, -1)
+              for s in candidates}
+    # only blocks whose DCT8 cost is in the top quartile are worth the
+    # per-block Python evaluation
+    is_dct8 = (state.strategy[:nby, :nbx] == acs.DCT) & \
+        state.is_origin[:nby, :nbx]
+    if not is_dct8.any():
+        return
+    costs = np.where(is_dct8, c8[:nby, :nbx], -np.inf)
+    thresh = np.percentile(costs[is_dct8], 75)
+    busy = np.argwhere(costs >= max(thresh, 1.0))
+    for (by, bx) in busy[:4096]:
+        quant = int(state.raw_quant_field[by, bx])
+        scaled = inv_gs / quant
+        block = xyb[:, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+        best_cost = float(c8[by, bx]) * 0.93  # bias: keep DCT8 unless clear
+        best_s = None
+        for s in candidates:
+            bits = 0.0
+            for c in range(3):
+                co = transform_from_pixels(s, block[c]).reshape(-1)
+                q = np.abs(np.round(co * dm_inv[s][c] / scaled))
+                nz = q > 0
+                bits += nz.sum() * 2.0 + np.log2(1.0 + q[nz]).sum() + 8.0
+            if bits < best_cost:
+                best_cost = bits
+                best_s = s
+        if best_s is not None:
+            state.strategy[by, bx] = best_s
 
 
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
