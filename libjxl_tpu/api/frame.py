@@ -298,6 +298,7 @@ class ModularEncOptions:
     try_palette: bool = True
     max_palette_colors: int = 256
     lz77: bool = True  # try ApplyLZ77_RLE on the residual token streams
+    use_prefix: bool = False  # prefix codes instead of rANS (faster decode)
     responsive: bool = False  # Squeeze pyramid (progressive lossless)
 
 
@@ -418,8 +419,10 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
     histo_writer = BitWriter()
     codes, context_map = build_and_encode_histograms(
         all_token_lists, num_tree_contexts(dec_tree), histo_writer,
-        lz77_method="rle" if options.lz77 else "none",
-        lz77_dist_symbol=1)  # modular readers have a distance multiplier
+        lz77_method="rle" if options.lz77 and not options.use_prefix
+        else "none",
+        lz77_dist_symbol=1,  # modular readers have a distance multiplier
+        use_prefix=options.use_prefix)
     if codes.lz77_tokens is not None:
         global_tokens = codes.lz77_tokens[0]
         for i, (_, _, _, sid, _) in enumerate(group_streams):

@@ -280,7 +280,8 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
                                 strategy: str = "fast",
                                 lz77_method: str = "none",
                                 lz77_dist_symbol: int = 0,
-                                force_log_alpha: int = None):
+                                force_log_alpha: int = None,
+                                use_prefix: bool = False):
     """BuildAndEncodeHistograms (enc_ans.cc:1521-1608 via HistogramBuilder).
 
     Encodes LZ77 params, context map, uint configs and histograms into
@@ -335,6 +336,28 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
                        "increase split_exponent")
     codes.log_alpha_size = log_alpha_size
     codes.uint_config = [uint_config] * num_histograms
+    if use_prefix:
+        # prefix-code path (enc_huffman.cc): decoder-speed-tier streams
+        from .histogram import store_varlen_uint16
+        from .params import PREFIX_MAX_BITS
+        from .prefix import build_and_write_prefix_code
+
+        codes.use_prefix_code = True
+        writer.write(1, 1)
+        for _ in range(num_histograms):
+            _encode_uint_config(uint_config, writer, PREFIX_MAX_BITS)
+        alpha_sizes = []
+        for h in clustered:
+            nz = [i for i, c in enumerate(h) if c > 0]
+            alpha_sizes.append((nz[-1] + 1) if nz else 1)
+            store_varlen_uint16(alpha_sizes[-1] - 1, writer)
+        for h, alpha in zip(clustered, alpha_sizes):
+            if alpha > 1:
+                codes.encoding_info.append(
+                    build_and_write_prefix_code(h[:alpha], alpha, writer))
+            else:
+                codes.encoding_info.append({0: (0, 0)})
+        return codes, context_map
     writer.write(1, 0)  # use_prefix_code = 0
     writer.write(2, log_alpha_size - 5)
     for _ in range(num_histograms):
@@ -441,6 +464,18 @@ def write_tokens(tokens, codes: EntropyEncodingData, context_map,
     cfg = codes.uint_config[0]
     tok, nbits, bits = _tokenize_arrays(ctx, val, lz, cfg, codes.lz77)
     num_extra_bits = int(nbits.astype(np.int64).sum())
+
+    if codes.use_prefix_code:
+        # prefix path: code words stream FORWARD (WriteTokens prefix arm)
+        from .prefix import _write_msb
+
+        for i in range(n):
+            ln, code = codes.encoding_info[int(histo[i])][int(tok[i])]
+            if ln:
+                _write_msb(writer, ln, code)
+            if nbits[i]:
+                writer.write(int(nbits[i]), int(bits[i]))
+        return num_extra_bits
 
     from ..native_ext import ans_write_native, get_lib
 

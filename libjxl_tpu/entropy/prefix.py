@@ -251,3 +251,121 @@ def build_prefix_code_lengths(histogram, max_bits: int = PREFIX_MAX_BITS):
         # flatten histogram and retry (enc_huffman_tree.cc approach)
         nz = [((c + 1) // 2, i) for c, i in nz]
     raise JXLError("could not limit prefix code length")
+
+
+_CL_STATIC = {0: (2, 0), 4: (2, 1), 3: (2, 2), 2: (3, 3), 1: (4, 7),
+              5: (4, 15)}  # inverse of _CL_HUFF (LSB-first patterns)
+
+
+def canonical_code_table(code_lengths):
+    """sym -> (length, MSB-first code), matching PrefixCode's decoder."""
+    nz = sorted((l, s) for s, l in enumerate(code_lengths) if l > 0)
+    out = {}
+    code = 0
+    prev = nz[0][0] if nz else 0
+    for length, sym in nz:
+        code <<= (length - prev)
+        prev = length
+        out[sym] = (length, code)
+        code += 1
+    return out
+
+
+def _write_msb(w: BitWriter, length: int, code: int) -> None:
+    for i in range(length - 1, -1, -1):
+        w.write(1, (code >> i) & 1)
+
+
+def build_and_write_prefix_code(hist, alphabet_size: int, w: BitWriter):
+    """Build a length-limited prefix code for `hist`, serialize it
+    (enc_huffman.cc StoreHuffmanTree analog) and return
+    {sym: (length, code)} for token emission. Handles the simple-code
+    forms for <= 4 distinct symbols."""
+    counts = list(hist) + [0] * (alphabet_size - len(hist))
+    nz_syms = [s for s, c in enumerate(counts) if c > 0]
+    if not nz_syms:
+        nz_syms = [0]
+    max_bits_sym = (alphabet_size - 1).bit_length() if alphabet_size > 1 \
+        else 0
+    if len(nz_syms) == 1:
+        w.write(2, 1)  # simple
+        w.write(2, 0)  # 1 symbol
+        w.write(max_bits_sym, nz_syms[0])
+        return {nz_syms[0]: (0, 0)}
+    if len(nz_syms) <= 4:
+        # simple code; decoder assigns per-arity patterns
+        # (dec_huffman.cc:97-186)
+        n = len(nz_syms)
+        w.write(2, 1)
+        w.write(2, n - 1)
+        if n == 2:
+            a, b = sorted(nz_syms)
+            for s in (a, b):
+                w.write(max_bits_sym, s)
+            return {a: (1, 0), b: (1, 1)}
+        if n == 3:
+            # first listed symbol gets the 1-bit code: pick most frequent
+            first = max(nz_syms, key=lambda s: counts[s])
+            rest = sorted(s for s in nz_syms if s != first)
+            for s in (first, *rest):
+                w.write(max_bits_sym, s)
+            return {first: (1, 0), rest[0]: (2, 0b10), rest[1]: (2, 0b11)}
+        # n == 4: flat 2-bit code (tree-select bit 0)
+        syms = sorted(nz_syms)
+        for s in syms:
+            w.write(max_bits_sym, s)
+        w.write(1, 0)
+        return {s: (2, i) for i, s in enumerate(syms)}
+    lengths = build_prefix_code_lengths(counts, PREFIX_MAX_BITS)
+    # --- serialize via the code-length code
+    # 1) build the cl-symbol stream (literals + repeat-zero code 17)
+    cl_stream = []  # (cl_symbol, extra_nbits, extra_bits)
+    i = 0
+    n = len(lengths)
+    last = max(s for s, l in enumerate(lengths) if l)
+    prev_was_17 = False
+    while i <= last:
+        l = lengths[i]
+        if l == 0:
+            run = 0
+            while i + run <= last and lengths[i + run] == 0:
+                run += 1
+            while run >= 3 and not prev_was_17:
+                chunk = min(run, 10)
+                cl_stream.append((17, 3, chunk - 3))
+                run -= chunk
+                i += chunk
+                prev_was_17 = True
+            for _ in range(run):
+                cl_stream.append((0, 0, 0))
+                i += 1
+                prev_was_17 = False
+        else:
+            cl_stream.append((l, 0, 0))
+            i += 1
+            prev_was_17 = False
+    # 2) code-length code over the cl symbols
+    cl_hist = [0] * CODE_LENGTH_CODES
+    for sym, _, _ in cl_stream:
+        cl_hist[sym] += 1
+    cl_lengths = build_prefix_code_lengths(cl_hist, 5)
+    w.write(2, 0)  # complex, no skip
+    space = 32
+    for idx in CODE_LENGTH_CODE_ORDER:
+        if space <= 0:
+            break
+        v = cl_lengths[idx]
+        nbits, pattern = _CL_STATIC[v]
+        w.write(nbits, pattern)
+        if v:
+            space -= 32 >> v
+    cl_table = canonical_code_table(cl_lengths)
+    single_cl = len([1 for v in cl_lengths if v]) == 1
+    # 3) emit the stream (single-cl-symbol codes cost zero bits)
+    for sym, extra_n, extra in cl_stream:
+        if not single_cl:
+            ln, code = cl_table[sym]
+            _write_msb(w, ln, code)
+        if extra_n:
+            w.write(extra_n, extra)
+    return canonical_code_table(lengths)

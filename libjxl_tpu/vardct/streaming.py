@@ -198,6 +198,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     codes = _Codes()
     codes.uint_config = [DEFAULT_UINT_CONFIG] * len(clustered)
     codes.encoding_info = infos
+    codes.use_prefix_code = False
     from ..entropy.decode import LZ77Params
 
     codes.lz77 = LZ77Params()
