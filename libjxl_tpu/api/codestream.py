@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..base.status import JXLError, NotEnoughBytes
+from ..base.status import JXLError
 from ..io.bits import BitReader, BitWriter
 from ..io.frame_header import ENC_MODULAR, ENC_VARDCT, FrameHeader
 from ..io.headers import CodecMetadata, CustomTransformData, ImageMetadata, SizeHeader

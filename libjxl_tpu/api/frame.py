@@ -8,7 +8,7 @@ single-section special case when num_groups == 1 and num_passes == 1
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

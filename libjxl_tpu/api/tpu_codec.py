@@ -155,7 +155,7 @@ def decode_tpu(data: bytes):
     Falls back to the host render for streams with non-DCT8 strategies.
     Returns (uint8 image (H, W, 3), CodecMetadata)."""
     from ..io.frame_header import FrameHeader
-    from ..ops.xyb import linear_to_srgb, xyb_to_linear_rgb
+    from ..ops.xyb import linear_to_srgb
     from ..vardct import ac_strategy as acs
     from ..vardct.frame import decode_vardct_frame, render_groups
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from ..base.status import JXLError
 from ..io.bits import BitReader
-from ..io.fields import Bits, BitsOffset, Bundle, U32Enc, Val
+from ..io.fields import BitsOffset, Bundle, U32Enc, Val
 from .alias import AliasTable, init_alias_table
 from .histogram import decode_varlen_uint16, read_histogram
 from .hybrid_uint import HybridUintConfig

@@ -15,7 +15,7 @@ Bundle byte layout (big-endian sizes):
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..base.status import JXLError
 from ..io.bits import BitReader, BitWriter

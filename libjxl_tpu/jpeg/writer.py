@@ -11,7 +11,6 @@ import struct
 
 import numpy as np
 
-from ..base.status import JXLError
 from .data import JPEGData
 
 

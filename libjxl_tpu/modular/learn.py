@@ -14,7 +14,7 @@ import math
 
 import numpy as np
 
-from ..entropy.encode import Token, TokenArray
+from ..entropy.encode import TokenArray
 from .predict import (
     NUM_NONREF_PROPERTIES,
     P_GRADIENT,

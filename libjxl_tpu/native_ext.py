@@ -7,7 +7,6 @@ pure-Python path when unavailable.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

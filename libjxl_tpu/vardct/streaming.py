@@ -28,7 +28,6 @@ import functools
 import numpy as np
 
 from ..entropy.encode import (
-    Token,
     _encode_uint_config,
     build_and_encode_histograms,
     encode_context_map,
