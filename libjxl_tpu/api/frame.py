@@ -299,6 +299,7 @@ class ModularEncOptions:
     max_palette_colors: int = 256
     lz77: bool = True  # try ApplyLZ77_RLE on the residual token streams
     use_prefix: bool = False  # prefix codes instead of rANS (faster decode)
+    delta_palette: bool = False  # lossy delta palette (graphics content)
     responsive: bool = False  # Squeeze pyramid (progressive lossless)
 
 
@@ -319,7 +320,12 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
                      for a in channels]
     global_transforms = []
     palette_t = None
-    if options.try_palette and len(channels) >= 1:
+    if options.delta_palette and len(channels) >= 1:
+        from ..modular.transforms import fwd_delta_palette
+
+        palette_t = fwd_delta_palette(image, 0, min(len(channels), 3),
+                                      options.max_palette_colors)
+    elif options.try_palette and len(channels) >= 1:
         palette_t = fwd_palette(image, 0, len(channels),
                                 options.max_palette_colors)
     if palette_t is not None:

@@ -597,6 +597,91 @@ def inv_palette(image: ModularImage, begin_c: int, nb_colors: int,
     del image.channel[0]
 
 
+def fwd_delta_palette(image: ModularImage, begin_c: int, num_c: int,
+                      max_colors: int = 256,
+                      predictor: int = 5) -> "Transform | None":
+    """Lossy delta palette (FwdPalette lossy path, enc_palette.cc:212-380,
+    simplified): each pixel is either a palette color or one of the 143
+    implicit delta entries applied to the predictor's estimate. Sequential
+    per-pixel scan (prediction feedback), intended for small images /
+    graphics content.
+
+    predictor: any non-Zero predictor id (5 = Gradient). Returns the
+    Transform or None when the content has too many distinct colors for
+    the budget to help."""
+    from .predict import neighbors, predict_one
+
+    end_c = begin_c + num_c - 1
+    if end_c >= len(image.channel) or num_c > 3:
+        return None
+    chans = [image.channel[begin_c + i].data.astype(np.int64)
+             for i in range(num_c)]
+    h, w = chans[0].shape
+    stacked = np.stack([c.reshape(-1) for c in chans], axis=1)
+    colors, counts = np.unique(stacked, axis=0, return_counts=True)
+    # palette = most frequent colors within budget
+    top = np.argsort(-counts)[:max_colors]
+    palette_colors = colors[top]
+    bit_depth = min(image.bitdepth, 24)
+    shift = (1 << (bit_depth - 8)) if bit_depth > 8 else 1
+    # implicit delta vectors as the decoder reconstructs them
+    n_imp = 1 + 2 * (len(_DELTA_PALETTE) - 1)
+    deltas = np.zeros((n_imp, 3), dtype=np.int64)
+    for k in range(n_imp):
+        sign = -1 if (k & 1) == 0 else 1
+        deltas[k] = _DELTA_PALETTE[(k + 1) >> 1] * sign * shift
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(num_c)]
+    indices = np.zeros((h, w), dtype=np.int32)
+    pal = palette_colors  # (P, num_c)
+    dl = deltas[:, :num_c]
+    for y in range(h):
+        for x in range(w):
+            target = stacked[y * w + x]
+            # candidate 1: nearest palette color
+            derr = np.abs(pal - target[None]).sum(axis=1)
+            pi = int(np.argmin(derr))
+            pal_err = int(derr[pi])
+            # candidate 2: implicit delta from prediction
+            pred = np.empty(num_c, dtype=np.int64)
+            for c in range(num_c):
+                left, top_, topleft, topright, leftleft, toptop, trr = \
+                    neighbors(planes[c], x, y, w)
+                pred[c] = predict_one(predictor, left, top_, toptop,
+                                      topleft, topright, leftleft, trr, 0)
+            want = target - pred
+            derr2 = np.abs(dl - want[None]).sum(axis=1)
+            di = int(np.argmin(derr2))
+            del_err = int(derr2[di])
+            if del_err < pal_err:
+                indices[y, x] = -(di + 1)
+                vals = pred + dl[di]
+            else:
+                indices[y, x] = pi
+                vals = pal[pi]
+            for c in range(num_c):
+                planes[c][y, x] = vals[c]
+    # build the transformed image: palette meta channel + index channel
+    pch = Channel(len(pal), num_c, -1, -1,
+                  pal.T.astype(np.int32).copy())
+    idx_ch = Channel(w, h, image.channel[begin_c].hshift,
+                     image.channel[begin_c].vshift, indices)
+    del image.channel[begin_c + 1:end_c + 1]
+    image.channel[begin_c] = idx_ch
+    image.channel.insert(0, pch)
+    if begin_c >= image.nb_meta_channels:
+        image.nb_meta_channels += 1
+    else:
+        image.nb_meta_channels += 2 - num_c
+    t = Transform()
+    t.id = T_PALETTE
+    t.begin_c = begin_c
+    t.num_c = num_c
+    t.nb_colors = len(pal)
+    t.nb_deltas = 0
+    t.predictor = predictor
+    return t
+
+
 def fwd_palette(image: ModularImage, begin_c: int, num_c: int,
                 max_colors: int = 256) -> "Transform | None":
     """Forward palette (simplified FwdPalette, enc_palette.cc:164-520):
