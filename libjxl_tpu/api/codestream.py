@@ -314,7 +314,8 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
     return writer.get_bytes()
 
 
-def decode(data: bytes, target_nits: float = None):
+def decode(data: bytes, target_nits: float = None,
+           num_threads: int = 0):
     """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
 
     Only the first frame is returned; animation frames via decode_frames.
@@ -379,10 +380,15 @@ def decode(data: bytes, target_nits: float = None):
         if bits <= 16:
             return _orient(stacked.astype(np.uint16)), meta
         return _orient(stacked), meta
+    runner = None
+    if num_threads > 1:
+        from ..parallel.runner import ThreadParallelRunner
+
+        runner = ThreadParallelRunner(num_threads)
     extra = []
     chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
                                 reference_extra=reference_extra,
-                                dc_frames=dc_frames)
+                                dc_frames=dc_frames, runner=runner)
     # spot-color channels are rendered into the color image and removed
     # from the output (stage_spot.cc)
     from ..io.headers import EC_SPOT_COLOR

@@ -191,10 +191,13 @@ def finalize_modular_frame(fh: FrameHeader, state: ModularFrameState):
 
 def decode_frame_sections(r: BitReader, fh: FrameHeader,
                           decode_dc_global, decode_dc_group,
-                          decode_ac_global, decode_ac_group) -> None:
+                          decode_ac_global, decode_ac_group,
+                          runner=None) -> None:
     """Reads TOC, dispatches section payloads to the callbacks.
 
     Callbacks receive a BitReader positioned at their section.
+    runner: parallel runner for the independent DC/AC group sections
+    (ProcessSections' RunOnPool, dec_frame.cc:568); None = in order.
     """
     fd = fh.frame_dimensions()
     num_passes = fh.passes.num_passes
@@ -215,14 +218,22 @@ def decode_frame_sections(r: BitReader, fh: FrameHeader,
         decode_ac_global(sr)
         decode_ac_group(0, 0, sr)
     else:
+        from ..parallel.runner import SequentialRunner
+
+        if runner is None:
+            runner = SequentialRunner()
         decode_dc_global(section_reader(0))
-        for g in range(fd.num_dc_groups):
-            decode_dc_group(g, section_reader(1 + g))
+        runner.run([
+            (lambda g=g: decode_dc_group(g, section_reader(1 + g)))
+            for g in range(fd.num_dc_groups)])
         decode_ac_global(section_reader(1 + fd.num_dc_groups))
+        tasks = []
         for p in range(num_passes):
             for g in range(fd.num_groups):
                 idx = 2 + fd.num_dc_groups + p * fd.num_groups + g
-                decode_ac_group(g, p, section_reader(idx))
+                tasks.append(lambda g=g, p=p, idx=idx: decode_ac_group(
+                    g, p, section_reader(idx)))
+        runner.run(tasks)
     # advance the outer reader past all sections
     r.skip_bits(total * 8)
 

@@ -62,7 +62,8 @@ def _main(argv=None):
             return 0
     codestream = extract_codestream(data)
     t0 = time.perf_counter()
-    image, meta = decode(codestream, target_nits=args.display_nits)
+    image, meta = decode(codestream, target_nits=args.display_nits,
+                         num_threads=args.num_threads)
     dt = time.perf_counter() - t0
     if args.preview_out:
         from ..api.codestream import decode_preview

@@ -600,7 +600,8 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         reference_frames=None, return_xyb: bool = False,
                         extra_out: list = None, reference_extra=None,
-                        render_fn=None, dc_frames=None):
+                        render_fn=None, dc_frames=None,
+                        runner=None):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
@@ -693,7 +694,8 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         decode_modular_group(sr, fh, fd, mstate, rect, min_shift, max_shift,
                              modular_ac_stream_id(fd, g, p))
 
-    decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group)
+    decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group,
+                          runner=runner)
     extra_planes = None
     if mstate.full_image is not None and mstate.full_image.channel:
         img = finalize_modular_frame(fh, mstate)
