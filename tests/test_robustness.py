@@ -73,7 +73,8 @@ def test_group_sections_decode_order_independent():
     # shuffled decode: monkeypatch decode_frame_sections to shuffle AC order
     orig = af.decode_frame_sections
 
-    def shuffled(r, fh, dc_global, dc_group, ac_global, ac_group):
+    def shuffled(r, fh, dc_global, dc_group, ac_global, ac_group,
+                 runner=None):
         calls = []
 
         def rec_ac(g, p, sr):
