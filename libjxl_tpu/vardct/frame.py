@@ -617,6 +617,18 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
     mstate = ModularFrameState()
+    subsampled = False
+    from ..io.frame_header import CT_YCBCR as _CT_YCBCR_D
+
+    if fh.color_transform == _CT_YCBCR_D \
+            and not fh.chroma_subsampling.is_444():
+        from .subsampled import channel_block_grid, _shifts
+
+        subsampled = True
+        hs_, vs_ = _shifts(fh)
+        grids = channel_block_grid(fd, hs_, vs_)
+        state.dc_sub = [np.zeros(g, dtype=np.float64) for g in grids]
+        state.qblocks_sub = [dict() for _ in range(3)]
     if fh.flags & FLAG_USE_DC_FRAME:
         if not dc_frames or dc_frames[1] is None:
             raise JXLError("kUseDcFrame set but no DC frame decoded")
@@ -652,7 +664,12 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         state.context_map = mstate.context_map
 
     def dc_group(g, sr):
-        decode_dc_group(sr, state, g)
+        if subsampled:
+            from .subsampled import decode_dc_group_sub
+
+            decode_dc_group_sub(sr, state, g)
+        else:
+            decode_dc_group(sr, state, g)
         # ModularDC group (squeezed >=3 channels) for extra channels
         gx = g % fd.xsize_dc_groups
         gy = g // fd.xsize_dc_groups
@@ -683,7 +700,12 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
             state.ac_context_map.append(cmap)
 
     def ac_group(g, p, sr):
-        decode_ac_group(sr, state, g, p)
+        if subsampled:
+            from .subsampled import decode_ac_group_sub
+
+            decode_ac_group_sub(sr, state, g, p)
+        else:
+            decode_ac_group(sr, state, g, p)
         # extra channels ride per-group modular AC streams
         # (dec_frame.cc:478-540 ProcessACGroup modular part)
         gx = g % fd.xsize_groups
@@ -703,6 +725,10 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     if render_fn is not None:
         # device render path: must fill state.xyb from state.qblocks
         render_fn(state)
+    elif subsampled:
+        from .subsampled import render_groups_sub
+
+        render_groups_sub(state)
     else:
         render_groups(state)
     # render: XYB -> linear RGB (gaborish/EPF handled by render pipeline
