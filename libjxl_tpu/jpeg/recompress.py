@@ -203,6 +203,10 @@ def reconstruct_jpeg(container: bytes) -> bytes:
             stream = payload
     if blob is None or stream is None:
         raise JXLError("missing jbrd/jxlc boxes")
+    if blob[:1] == b"\x02":  # VarDCT-frame transcode layout
+        from ..io.brotli import brotli_decompress
+
+        return _reconstruct_from_vardct(brotli_decompress(blob[1:]), stream)
     if blob[:1] == b"\x01":  # Brotli-packed metadata
         from ..io.brotli import brotli_decompress
 
@@ -218,4 +222,169 @@ def reconstruct_jpeg(container: bytes) -> bytes:
         c.coeffs = np.zeros((hb, wb, 64), dtype=np.int16)
         c.coeffs[:, :, 0] = dc_img.channel[i].data
     _decode_jpeg_ac(r, jd)
+    return write_jpeg(jd)
+
+
+# ------------------------------------------------- VarDCT-frame transcode
+# (ComputeJPEGTranscodingData analog: JPEG DCT coefficients become a real
+# chroma-subsampled YCbCr VarDCT frame with RAW quant tables; the jbrd
+# box carries the Brotli-packed non-coefficient bytes.)
+
+_JPEG_TO_JXL_CHANNEL = {0: 1, 1: 0, 2: 2}  # Y, Cb, Cr -> (X, Y, B) slots
+
+
+def _subsampling_mode(jd: JPEGData):
+    """-> channel_mode list or None if the sampling doesn't map."""
+    if len(jd.components) == 1:
+        return [0, 1, 0], (1, 1)  # coded as 420 with zero chroma
+    if len(jd.components) != 3:
+        return None
+    y, cb, cr = jd.components
+    if (cb.h_samp, cb.v_samp) != (1, 1) or (cr.h_samp, cr.v_samp) != (1, 1):
+        return None
+    samp = (y.h_samp, y.v_samp)
+    modes = {(1, 1): [0, 0, 0], (2, 2): [0, 1, 0], (2, 1): [0, 2, 0],
+             (1, 2): [0, 3, 0]}
+    if samp not in modes:
+        return None
+    return modes[samp], samp
+
+
+def recompress_jpeg_vardct(data: bytes) -> bytes:
+    """Recompress a JPEG into a REAL VarDCT YCbCr frame (444/420/422/440)
+    plus a jbrd metadata box; reconstruct_jpeg rebuilds it bit-exactly."""
+    from ..api.codestream import CodecMetadata, write_codestream_header
+    from ..io.frame_header import (
+        CT_YCBCR,
+        ENC_VARDCT,
+        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FT_REGULAR,
+        FrameHeader,
+    )
+    from ..io.brotli import brotli_compress
+    from ..io.headers import SizeHeader
+    from ..vardct.subsampled import (
+        _shifts,
+        channel_block_grid,
+        encode_vardct_subsampled,
+    )
+    from .data import ZIGZAG
+
+    jd = parse_jpeg(data)
+    mapped = _subsampling_mode(jd)
+    if mapped is None:
+        return recompress_jpeg(data)  # exotic sampling: legacy token model
+    mode, _samp = mapped
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(jd.width, jd.height)
+    meta.m.all_default = False
+    meta.m.xyb_encoded = False
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+    fh = FrameHeader(meta)
+    fh.all_default = False
+    fh.frame_type = FT_REGULAR
+    fh.encoding = ENC_VARDCT
+    fh.color_transform = CT_YCBCR
+    fh.chroma_subsampling.channel_mode = mode
+    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    fd = fh.frame_dimensions()
+    hs, vs = _shifts(fh)
+    grids = channel_block_grid(fd, hs, vs)
+
+    # per-jxl-channel JPEG quant tables (natural order), zeros -> 1
+    qtabs = np.ones((3, 8, 8), dtype=np.int32)
+    for ji, comp in enumerate(jd.components):
+        jc = _JPEG_TO_JXL_CHANNEL[ji]
+        qz = np.asarray(jd.quant[comp.quant_idx], dtype=np.int32)
+        nat = np.zeros(64, dtype=np.int32)
+        nat[ZIGZAG] = qz
+        qtabs[jc] = nat.reshape(8, 8)
+    den = 1.0 / (8.0 * 255.0)  # JPEG->JXL DCT basis scale (F/8) / 255
+
+    def matrices_setup(state):
+        state.matrices.set_custom(0, ("raw", den, qtabs))
+        state.matrices.set_custom_dc(
+            [qtabs[c, 0, 0] / (8.0 * 255.0) for c in range(3)])
+        state.quantizer.global_scale = 1 << 16  # inv_global_scale == 1
+        state.quantizer.quant_dc = 1
+        state.quantizer._recompute()
+
+    qblocks = [dict() for _ in range(3)]
+    dc = [np.zeros(g, dtype=np.float64) for g in grids]
+    # f16-rounded DC factors (what the decoder reconstructs)
+    fac = [float(np.float16(qtabs[c, 0, 0] / (8.0 * 255.0) * 128.0)) / 128.0
+           for c in range(3)]
+    for ji, comp in enumerate(jd.components):
+        jc = _JPEG_TO_JXL_CHANNEL[ji]
+        hb, wb = comp.coeffs.shape[:2]
+        nat = np.zeros((hb, wb, 64), dtype=np.int64)
+        nat[:, :, ZIGZAG] = comp.coeffs
+        for sby in range(min(hb, grids[jc][0])):
+            for sbx in range(min(wb, grids[jc][1])):
+                blk = nat[sby, sbx].copy()
+                dc[jc][sby, sbx] = blk[0] * fac[jc]
+                blk[0] = 0
+                qblocks[jc][(sby, sbx)] = blk
+    # fill grid blocks absent from the JPEG (padding) with zeros
+    for c in range(3):
+        for sby in range(grids[c][0]):
+            for sbx in range(grids[c][1]):
+                qblocks[c].setdefault((sby, sbx),
+                                      np.zeros(64, dtype=np.int64))
+    encode_vardct_subsampled(writer, None, fh,
+                             precomputed={"qblocks": qblocks, "dc": dc},
+                             matrices_setup=matrices_setup)
+    out = [CONTAINER_HEADER]
+    out.append(make_box(b"jbrd",
+                        b"\x02" + brotli_compress(_meta_blob(jd))))
+    out.append(make_box(b"jxlc", writer.get_bytes()))
+    return b"".join(out)
+
+
+def _reconstruct_from_vardct(blob: bytes, stream: bytes) -> bytes:
+    from ..api.codestream import parse_codestream_header
+    from ..io.frame_header import FrameHeader
+    from ..vardct.frame import decode_vardct_frame
+    from ..vardct.subsampled import _shifts
+    from .data import ZIGZAG
+
+    jd = _meta_from_blob(blob)
+    r = BitReader(stream)
+    meta = parse_codestream_header(r)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    captured = {}
+
+    def capture(state):
+        captured["state"] = state
+        state.restoration_done = True
+
+    decode_vardct_frame(r, fh, render_fn=capture)
+    st = captured["state"]
+    hs, vs = _shifts(fh)
+    fac = [st.quantizer.mul_dc(c) for c in range(3)]
+    subsampled = hasattr(st, "qblocks_sub")
+    for ji, comp in enumerate(jd.components):
+        jc = _JPEG_TO_JXL_CHANNEL[ji]
+        hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        coeffs = np.zeros((hb, wb, 64), dtype=np.int32)
+        for sby in range(hb):
+            for sbx in range(wb):
+                if subsampled:
+                    blk = st.qblocks_sub[jc].get((sby, sbx))
+                    dcv = st.dc_sub[jc][sby, sbx]
+                else:
+                    joint = st.qblocks.get((sby, sbx))
+                    blk = joint[jc] if joint is not None else None
+                    dcv = st.dc[jc, sby, sbx]
+                nat = np.zeros(64, dtype=np.int64)
+                if blk is not None:
+                    nat[:] = np.asarray(blk).reshape(-1)
+                nat[0] = int(round(dcv / fac[jc]))
+                coeffs[sby, sbx] = nat[ZIGZAG]
+        comp.coeffs = coeffs.astype(np.int16)
     return write_jpeg(jd)

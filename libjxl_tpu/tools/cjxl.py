@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--num_threads", type=int, default=0,
                    help="accepted for cjxl compatibility (device "
                         "parallelism is mesh-sharding based)")
+    p.add_argument("--jpeg_transcode", choices=("vardct", "tokens"),
+                   default="vardct",
+                   help="JPEG recompression layout: real VarDCT frame "
+                        "(default) or the legacy token model")
     p.add_argument("--stats", action="store_true",
                    help="print per-layer bit accounting "
                         "(JxlEncoderCollectStats analog)")
@@ -86,12 +90,18 @@ def _main(argv=None):
     from ..io.container import wrap_codestream
 
     if args.input.lower().endswith((".jpg", ".jpeg")) and args.lossless_jpeg:
-        from ..jpeg.recompress import recompress_jpeg
+        from ..jpeg.recompress import recompress_jpeg, recompress_jpeg_vardct
 
         with open(args.input, "rb") as f:
             jpg = f.read()
         t0 = time.perf_counter()
-        data = recompress_jpeg(jpg)
+        # default: spec-style transcode into a real VarDCT YCbCr frame
+        # (also directly viewable); --jpeg_transcode tokens = legacy
+        # framework-specific model (a few % smaller)
+        if getattr(args, "jpeg_transcode", "vardct") == "vardct":
+            data = recompress_jpeg_vardct(jpg)
+        else:
+            data = recompress_jpeg(jpg)
         with open(args.output, "wb") as f:
             f.write(data)
         if args.verbose:

@@ -326,8 +326,24 @@ class DequantMatrices:
                 self.dc_quant[c] = v
                 self.inv_dc_quant[c] = 1.0 / v
 
+    def set_custom_dc(self, values) -> None:
+        """Custom DC dequant steps (DequantMatricesSetCustomDC analog);
+        values are f16-rounded exactly as the decoder reconstructs."""
+        self._custom_dc = True
+        for c in range(3):
+            v = _f16(values[c] * 128.0) / 128.0
+            self.dc_quant[c] = v
+            self.inv_dc_quant[c] = 1.0 / v
+
     def encode_dc(self, w) -> None:
-        w.write(1, 1)  # all_default
+        from ..io.fields import f16_write
+
+        if getattr(self, "_custom_dc", False):
+            w.write(1, 0)
+            for c in range(3):
+                f16_write(self.dc_quant[c] * 128.0, w)
+        else:
+            w.write(1, 1)  # all_default
 
     def decode(self, r, num_dc_groups: int = 1, global_tree=None,
                global_code=None, global_ctx_map=None) -> None:

@@ -304,7 +304,9 @@ def tokenize_dc_group_sub(state, dc_group_id: int, dec_tree, wp_header):
 
 
 def encode_vardct_subsampled(writer: BitWriter, planes, fh,
-                             distance: float = 1.0) -> None:
+                             distance: float = 1.0,
+                             precomputed: dict = None,
+                             matrices_setup=None) -> None:
     """Encode a chroma-subsampled YCbCr frame (DCT8, single pass).
 
     planes: [Cb, Y, Cr] float arrays in YCbCr units (Y biased by -0.5
@@ -325,20 +327,30 @@ def encode_vardct_subsampled(writer: BitWriter, planes, fh,
     grids = channel_block_grid(fd, hs, vs)
     state.dc_sub = [np.zeros(g, dtype=np.float64) for g in grids]
     state.qblocks_sub = [dict() for _ in range(3)]
-    quant_ac = K_AC_QUANT / distance
-    quant_dc = K_DC_QUANT / distance
-    state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
-    raw_qf = max(1, min(QUANT_MAX, int(
-        quant_ac * state.quantizer.global_scale_float + 0.5)))
-    state.raw_quant_field[:, :] = raw_qf
+    if matrices_setup is not None:
+        matrices_setup(state)
     state.strategy[:, :] = acs.DCT
     state.is_origin[:, :] = True
     if fh.loop_filter.epf_iters > 0:
         state.epf_sharpness[:, :] = 4
+    if precomputed is not None:
+        # JPEG transcode path: integer coefficients + DC arrive directly
+        # (ComputeJPEGTranscodingData analog, enc_frame.cc:734)
+        state.qblocks_sub = precomputed["qblocks"]
+        state.dc_sub = precomputed["dc"]
+        state.raw_quant_field[:, :] = 1
+        raw_qf = 1
+    else:
+        quant_ac = K_AC_QUANT / distance
+        quant_dc = K_DC_QUANT / distance
+        state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
+        raw_qf = max(1, min(QUANT_MAX, int(
+            quant_ac * state.quantizer.global_scale_float + 0.5)))
+        state.raw_quant_field[:, :] = raw_qf
     inv_gs = state.quantizer.inv_global_scale
     f8 = fwd_matrix(8)
     scaled = inv_gs / raw_qf
-    for c in range(3):
+    for c in (() if precomputed is not None else range(3)):
         nby, nbx = grids[c]
         dm_inv = state.matrices.inv_matrix(acs.QUANT_TABLE[acs.DCT],
                                            c).reshape(-1)

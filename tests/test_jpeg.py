@@ -98,3 +98,34 @@ def test_jpeg_recompression_shrinks_realistic_file():
 
     rc = recompress_jpeg(data)
     assert len(rc) < len(data)
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_vardct_transcode_bit_exact(subsampling):
+    """JPEG -> real VarDCT YCbCr frame -> bit-exact JPEG
+    (ComputeJPEGTranscodingData analog)."""
+    from libjxl_tpu.jpeg.recompress import (
+        reconstruct_jpeg,
+        recompress_jpeg_vardct,
+    )
+
+    data = make_jpeg_bytes(photo(120, 152), quality=80,
+                           subsampling=subsampling)
+    rec = recompress_jpeg_vardct(data)
+    assert reconstruct_jpeg(rec) == data
+
+
+def test_vardct_transcode_viewable():
+    """The transcoded stream is a plain decodable codestream."""
+    from libjxl_tpu.api.codestream import decode
+    from libjxl_tpu.io.container import parse_boxes
+    from libjxl_tpu.jpeg import jpeg_to_pixels, parse_jpeg
+    from libjxl_tpu.jpeg.recompress import recompress_jpeg_vardct
+
+    img = photo(96, 120)
+    data = make_jpeg_bytes(img, quality=85, subsampling=2)
+    rec = recompress_jpeg_vardct(data)
+    stream = dict((t, p) for t, p, _ in parse_boxes(rec[12:]))[b"jxlc"]
+    out, _ = decode(stream)
+    ref = jpeg_to_pixels(parse_jpeg(data))
+    assert np.abs(out.astype(float) - ref.astype(float)).mean() < 2.0
