@@ -153,3 +153,89 @@ def build_sharded_encode(mesh: Mesh):
         (P("batch", None, "rows", None, None, None),
          P("batch", None, "rows", None)))
     return jax.jit(fn)
+
+
+def _edge_clamp_halo(a, halo: int, axis_name: str):
+    """On the strips holding the global top/bottom image edge, replace
+    the halo rows with the adjacent valid edge row of the CURRENT stage
+    output. Interior strips are untouched (their halo rows hold true
+    neighbor data). This reproduces the unsharded per-stage
+    `mode="edge"` padding exactly: chained filter stages must see edge
+    replication of the PREVIOUS STAGE'S OUTPUT, not a filtered copy of
+    the replicated input."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name)
+    rows = a.shape[-2]
+    r = jnp.arange(rows)[:, None]
+    top_row = a[..., halo:halo + 1, :]
+    bot_row = a[..., rows - halo - 1:rows - halo, :]
+    a = jnp.where((idx == 0) & (r < halo), top_row, a)
+    a = jnp.where((idx == n - 1) & (r >= rows - halo), bot_row, a)
+    return a
+
+
+def build_sharded_decode_full(mesh: Mesh, epf_iters: int = 2):
+    """Full decode pipeline sharded over (batch, rows): dequant + CfL +
+    IDCT + Gaborish + EPF + XYB->RGB with ONE 4-row ppermute halo
+    exchange feeding the whole filter chain (Gaborish 1px + EPF passes
+    3px — the reference decoder's SaveBorders/LoadBorders strips,
+    low_memory_render_pipeline.h:52-53, as ICI collectives). Between
+    stages, _edge_clamp_halo refreshes the halo rows on the image-edge
+    strips so chained stages see per-stage edge replication.
+
+    Inputs (global): qimg i32[batch, 3, H, W] image-layout coefficients,
+    qf i32[batch, nby, nbx], dc f32[batch, 3, nby, nbx],
+    ytox/ytob i32[batch, tby, tbx], dm f32[3, 8, 8],
+    inv_sigma_px/sad_mul f32[batch, H, W]. H and nby shard over "rows".
+    """
+    from ..ops.pipeline import (
+        _EPF0_NEIGHBORS,
+        _EPF12_NEIGHBORS,
+        _EPF_PLUS,
+        _epf_pass_jax,
+        decode_xyb_image,
+        gaborish_jax,
+        xyb_to_rgb_jax,
+    )
+    from ..render.pipeline import gaborish_kernel
+
+    halo = 4  # gaborish 1 + EPF1 sad(1)+nb(1) + EPF2 1
+    gab_kernels = np.stack(
+        [gaborish_kernel(*GAB_DEFAULT[c]) for c in range(3)]).astype(
+            np.float32)
+    channel_scale = (40.0, 5.0, 3.5)
+
+    def local_decode(qimg, qf, dc, ytox, ytob, dm, inv_sigma, sad_mul):
+        def one(qi, qf1, dc1, yx, yb):
+            return decode_xyb_image(qi, qf1, dc1, yx, yb, dm,
+                                    inv_global_scale=jnp.float32(1024.0),
+                                    x_dm_mult=1.0, b_dm_mult=1.0)
+
+        xyb = jax.vmap(one)(qimg, qf, dc, ytox, ytob)
+        # one halo exchange covers the whole filter chain
+        xyb_h = _halo_exchange_rows(xyb, halo, "rows")
+        sig_h = _halo_exchange_rows(inv_sigma, halo, "rows")
+        sad_h = _halo_exchange_rows(sad_mul, halo, "rows")
+
+        x = jax.vmap(lambda a: gaborish_jax(a, gab_kernels))(xyb_h)
+        x = _edge_clamp_halo(x, halo, "rows")
+        epf_passes = []  # (neighbors, sad_pattern, sigma_scale)
+        if epf_iters == 3:
+            epf_passes.append((_EPF0_NEIGHBORS, _EPF_PLUS, 0.9))
+        if epf_iters >= 1:
+            epf_passes.append((_EPF12_NEIGHBORS, _EPF_PLUS, 1.0))
+        if epf_iters >= 2:
+            epf_passes.append((_EPF12_NEIGHBORS, None, 6.5))
+        for nb, sp, ss in epf_passes:
+            x = jax.vmap(lambda a, s, d: _epf_pass_jax(
+                a, s, d, channel_scale, nb, sp, ss))(x, sig_h, sad_h)
+            x = _edge_clamp_halo(x, halo, "rows")
+        return jax.vmap(xyb_to_rgb_jax)(x[:, :, halo:-halo, :])
+
+    specs_in = (P("batch", None, "rows", None), P("batch", "rows", None),
+                P("batch", None, "rows", None), P("batch", "rows", None),
+                P("batch", "rows", None), P(None, None, None),
+                P("batch", "rows", None), P("batch", "rows", None))
+    fn = _shard_map(local_decode, mesh, specs_in,
+                    P("batch", None, "rows", None))
+    return jax.jit(fn)
