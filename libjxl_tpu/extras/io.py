@@ -25,6 +25,17 @@ def load_image(path, return_icc: bool = False):
     if suffix == ".npy":
         arr = np.load(path)
         return (arr, None) if return_icc else arr
+    if suffix == ".jxl":
+        from ..api.codestream import decode
+        from ..io.container import extract_codestream, is_container
+
+        data = path.read_bytes()
+        if is_container(data):
+            data = extract_codestream(data)
+        arr, _meta = decode(data)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return (arr, None) if return_icc else arr
     try:
         from PIL import Image
 

@@ -16,7 +16,12 @@ import numpy as np
 
 def run_config(image, config: str):
     from ..api.codestream import decode, encode_lossless, encode_lossy
-    from ..metrics import butteraugli_distance, compute_psnr, msssim_xyb
+    from ..metrics import (
+        butteraugli_distance,
+        compute_psnr,
+        msssim_xyb,
+        ssimulacra2,
+    )
 
     h, w = image.shape[:2]
     mp = h * w / 1e6
@@ -42,6 +47,9 @@ def run_config(image, config: str):
         res["butteraugli"] = round(
             butteraugli_distance(image, out.reshape(image.shape)), 3)
         res["msssim"] = round(msssim_xyb(image, out.reshape(image.shape)), 2)
+        if image.shape[0] >= 8 and image.shape[1] >= 8:
+            res["ssimulacra2"] = round(
+                ssimulacra2(image, out.reshape(image.shape)), 2)
     return res
 
 
