@@ -22,6 +22,12 @@ def load_image(path, return_icc: bool = False):
     if suffix in (".pnm", ".ppm", ".pgm"):
         arr = _load_pnm(path.read_bytes())
         return (arr, None) if return_icc else arr
+    if suffix == ".pgx":
+        arr = _load_pgx(path.read_bytes())
+        return (arr, None) if return_icc else arr
+    if suffix == ".pfm":
+        arr = _load_pfm(path.read_bytes())
+        return (arr, None) if return_icc else arr
     if suffix == ".npy":
         arr = np.load(path)
         return (arr, None) if return_icc else arr
@@ -55,6 +61,12 @@ def save_image(path, image: np.ndarray, icc: bytes = None) -> None:
     suffix = path.suffix.lower()
     if suffix in (".pnm", ".ppm", ".pgm"):
         path.write_bytes(_save_pnm(image))
+        return
+    if suffix == ".pgx":
+        path.write_bytes(_save_pgx(image))
+        return
+    if suffix == ".pfm":
+        path.write_bytes(_save_pfm(image))
         return
     if suffix == ".npy":
         np.save(path, image)
@@ -103,3 +115,82 @@ def _save_pnm(image: np.ndarray) -> bytes:
     header = b"%s\n%d %d\n%d\n" % (magic, w, h, maxval)
     data = image.astype(">u2" if maxval > 255 else np.uint8).tobytes()
     return header + data
+
+
+def _load_pgx(data: bytes) -> np.ndarray:
+    """PGX (JPEG 2000 test-set grayscale raw): 'PG <ML|LM> <+|-> bits
+    w h\\n' then raw samples (lib/extras/dec/pgx.cc:90-140)."""
+    if not data.startswith(b"PG"):
+        raise JXLError("not a PGX file")
+    # header is ASCII up to the first newline
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise JXLError("PGX: truncated header")
+    fields = data[2:nl].strip().split()
+    if len(fields) == 4:  # "ML +16" fused sign+bits
+        endian, signbits, w, h = fields
+        sign, bits = signbits[:1], signbits[1:]
+    elif len(fields) == 5:
+        endian, sign, bits, w, h = fields
+    else:
+        raise JXLError("PGX: bad header")
+    if endian not in (b"ML", b"LM"):
+        raise JXLError("PGX: invalid endianness")
+    if sign == b"-":
+        raise JXLError("PGX: signed not supported")
+    if sign != b"+":
+        raise JXLError("PGX: invalid signedness")
+    bits, w, h = int(bits), int(w), int(h)
+    if bits > 16:
+        raise JXLError("PGX: >16 bits not supported")
+    dt = (">u2" if endian == b"ML" else "<u2") if bits > 8 else "u1"
+    arr = np.frombuffer(data, dtype=dt, count=w * h, offset=nl + 1)
+    return arr.astype(np.uint16 if bits > 8 else np.uint8).reshape(h, w, 1)
+
+
+def _save_pgx(image: np.ndarray) -> bytes:
+    """Writes 'PG ML + bits w h' + big-endian samples
+    (lib/extras/enc/pgx.cc:37)."""
+    if image.ndim == 3:
+        if image.shape[2] != 1:
+            raise JXLError("PGX is grayscale only")
+        image = image[:, :, 0]
+    h, w = image.shape
+    bits = 16 if image.dtype == np.uint16 else 8
+    header = b"PG ML + %d %d %d\n" % (bits, w, h)
+    return header + image.astype(">u2" if bits == 16 else "u1").tobytes()
+
+
+def _load_pfm(data: bytes) -> np.ndarray:
+    """PFM float maps: 'PF|Pf\\nw h\\nscale\\n' + float32 rows
+    bottom-up; negative scale = little-endian (dec/pnm.cc PFM path)."""
+    if data[:2] not in (b"PF", b"Pf"):
+        raise JXLError("not a PFM file")
+    channels = 3 if data[:2] == b"PF" else 1
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while data[pos:pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(data[start:pos])
+    pos += 1
+    w, h = int(fields[0]), int(fields[1])
+    scale = float(fields[2])
+    dt = "<f4" if scale < 0 else ">f4"
+    arr = np.frombuffer(data, dtype=dt, count=w * h * channels, offset=pos)
+    arr = arr.astype(np.float32).reshape(h, w, channels)
+    return arr[::-1]  # PFM stores rows bottom-up
+
+
+def _save_pfm(image: np.ndarray) -> bytes:
+    if image.ndim == 2:
+        image = image[:, :, None]
+    h, w, c = image.shape
+    if c not in (1, 3):
+        raise JXLError("PFM supports 1 or 3 channels")
+    magic = b"PF" if c == 3 else b"Pf"
+    header = b"%s\n%d %d\n-1.0\n" % (magic, w, h)
+    return header + image[::-1].astype("<f4").tobytes()

@@ -145,6 +145,8 @@ class _Huffman:
     def __init__(self, lengths):
         self.single = None
         nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise JXLError("brotli: prefix code with no symbols")
         if len(nz) == 1:
             self.single = nz[0][0]
             self.map = {}
@@ -207,6 +209,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Huffman:
         nsym = br.read(2) + 1
         bits = max(1, (alphabet_size - 1).bit_length())
         syms = [br.read(bits) for _ in range(nsym)]
+        if any(s >= alphabet_size for s in syms):
+            raise JXLError("brotli: simple-code symbol out of alphabet")
         if len(set(syms)) != nsym:
             raise JXLError("brotli: duplicate symbols in simple code")
         lengths = [0] * alphabet_size

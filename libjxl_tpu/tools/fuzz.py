@@ -72,6 +72,69 @@ def fuzz_jpeg(data: bytes) -> None:
     parse_jpeg(data)
 
 
+def fuzz_color_encoding(data: bytes) -> None:
+    """color_encoding_fuzzer analog: parse a ColorEncoding bundle."""
+    from ..io.bits import BitReader
+    from ..io.headers import ColorEncoding
+
+    ColorEncoding().read(BitReader(data))
+
+
+def fuzz_basic_info(data: bytes) -> None:
+    """decode_basic_info_fuzzer analog: signature + size + metadata."""
+    from ..api.codestream import parse_codestream_header
+    from ..io.bits import BitReader
+
+    parse_codestream_header(BitReader(data))
+
+
+def fuzz_tree(data: bytes) -> None:
+    """MA-tree decode (part of transforms/modular fuzzing surface)."""
+    from ..io.bits import BitReader
+    from ..modular.tree import decode_tree
+
+    decode_tree(BitReader(data), tree_size_limit=1024)
+
+
+def fuzz_brotli(data: bytes) -> None:
+    """brob box decompression path (our RFC 7932 subset decoder)."""
+    from ..io.brotli import brotli_decode
+
+    brotli_decode(data, max_output=1 << 20)
+
+
+def fuzz_image_io(data: bytes) -> None:
+    """PNM/PGX header parsers on arbitrary bytes."""
+    from ..extras.io import _load_pgx, _load_pnm
+
+    try:
+        _load_pnm(data)
+    except (JXLError, ValueError, IndexError):
+        # header-grammar rejections; ValueError/IndexError wrapped below
+        pass
+    _load_pgx(data)
+
+
+def fuzz_encode(data: bytes) -> None:
+    """cjxl_fuzzer analog: encode a small image whose pixels and
+    options derive from the fuzz input; encoder must never raise."""
+    from ..api.codestream import decode, encode_lossless, encode_lossy
+
+    if len(data) < 8:
+        return
+    h = 1 + data[0] % 24
+    w = 1 + data[1] % 24
+    opts = data[2]
+    n = h * w * 3
+    buf = np.frombuffer((data[3:] * (n // max(1, len(data) - 3) + 1))[:n],
+                        dtype=np.uint8).reshape(h, w, 3)
+    if opts & 1:
+        out = encode_lossless(buf)
+    else:
+        out = encode_lossy(buf, distance=0.5 + (opts >> 1) % 8)
+    decode(out)
+
+
 TARGETS = {
     "decode": fuzz_decode,
     "container": fuzz_container,
@@ -79,6 +142,12 @@ TARGETS = {
     "fields": fuzz_fields,
     "icc": fuzz_icc,
     "jpeg": fuzz_jpeg,
+    "color_encoding": fuzz_color_encoding,
+    "basic_info": fuzz_basic_info,
+    "tree": fuzz_tree,
+    "brotli": fuzz_brotli,
+    "image_io": fuzz_image_io,
+    "encode": fuzz_encode,
 }
 
 

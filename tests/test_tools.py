@@ -95,3 +95,43 @@ def test_quality_distance_mapping():
     assert quality_to_distance(100) == 0.0
     assert abs(quality_to_distance(90) - 1.0) < 0.01
     assert quality_to_distance(50) > quality_to_distance(80)
+
+
+def test_pgx_pfm_roundtrip(tmp_path):
+    from libjxl_tpu.extras.io import load_image, save_image
+
+    g = (np.arange(48, dtype=np.uint16) * 1200).reshape(6, 8, 1)
+    p = tmp_path / "img.pgx"
+    save_image(p, g)
+    assert np.array_equal(load_image(p), g)
+    f = np.random.default_rng(0).normal(0, 1, (5, 7, 3)).astype(np.float32)
+    pf = tmp_path / "img.pfm"
+    save_image(pf, f)
+    assert np.array_equal(load_image(pf), f)
+
+
+def test_nelder_mead_rosenbrock():
+    from libjxl_tpu.tools.optimizer import nelder_mead
+
+    def rosen(v):
+        return (1 - v[0]) ** 2 + 100 * (v[1] - v[0] ** 2) ** 2
+
+    x, fx = nelder_mead(rosen, [-1.2, 1.0], step=0.5, max_iter=400)
+    assert fx < 1e-6
+    assert abs(x[0] - 1) < 1e-2 and abs(x[1] - 1) < 1e-2
+
+
+def test_optimizer_cli_fork_protocol(tmp_path):
+    import os
+    import stat
+
+    from libjxl_tpu.tools.optimizer import main
+
+    script = tmp_path / "objective.py"
+    script.write_text(
+        "#!" + os.environ.get("PYTEST_PYTHON", "/opt/venv/bin/python") + "\n"
+        "import os\n"
+        "x = float(os.environ['VAR0']); y = float(os.environ['VAR1'])\n"
+        "print((x - 3) ** 2 + (y + 1) ** 2, 'optimized')\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    assert main([str(script), "2", "80", "--step", "1.0"]) == 0
