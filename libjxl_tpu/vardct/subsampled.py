@@ -130,7 +130,11 @@ def decode_ac_group_sub(r: BitReader, state, group_idx: int,
     cmap = state.ac_context_map[pass_idx]
     reader = ANSSymbolReader(code, r)
     bcm = state.block_ctx_map
-    order = acs.natural_coeff_order(acs.DCT)
+    pass_orders = state.orders[pass_idx] if pass_idx < len(state.orders) \
+        else {}
+    natural = acs.natural_coeff_order(acs.DCT)
+    orders = [pass_orders.get((acs.STRATEGY_ORDER[acs.DCT], c), natural)
+              for c in range(3)]
     # per-channel nzeros maps at subsampled in-group resolution
     nzeros = [np.zeros(((bh + (1 << vs[c]) - 1) >> vs[c],
                         (bw + (1 << hs[c]) - 1) >> hs[c]), dtype=np.int32)
@@ -156,6 +160,7 @@ def decode_ac_group_sub(r: BitReader, state, group_idx: int,
                     raise JXLError("invalid AC nzeros")
                 nzeros[c][sby, sbx] = nzv
                 histo_offset = bcm.zero_density_contexts_offset(block_ctx)
+                order = orders[c]
                 prev = 0 if nzv > 4 else 1
                 k = 1
                 remaining = nzv
@@ -203,7 +208,7 @@ def render_groups_sub(state) -> None:
         state.xyb[c, :, :] = up[:fd.ysize_padded, :fd.xsize_padded]
 
 
-def tokenize_ac_group_sub(state, group_idx: int) -> list:
+def tokenize_ac_group_sub(state, group_idx: int, orders: dict = None) -> list:
     """Encoder counterpart of decode_ac_group_sub."""
     fd = state.fd
     hs, vs = _shifts(state.fh)
@@ -214,7 +219,10 @@ def tokenize_ac_group_sub(state, group_idx: int) -> list:
     bw = min(fd.group_dim // 8, fd.xsize_blocks - bx0)
     bh = min(fd.group_dim // 8, fd.ysize_blocks - by0)
     bcm = state.block_ctx_map
-    order = acs.natural_coeff_order(acs.DCT)
+    natural = acs.natural_coeff_order(acs.DCT)
+    orders = orders or {}
+    ch_orders = [orders.get((acs.STRATEGY_ORDER[acs.DCT], c), natural)
+                 for c in range(3)]
     nzeros = [np.zeros(((bh + (1 << vs[c]) - 1) >> vs[c],
                         (bw + (1 << hs[c]) - 1) >> hs[c]), dtype=np.int32)
               for c in range(3)]
@@ -230,6 +238,7 @@ def tokenize_ac_group_sub(state, group_idx: int) -> list:
                     continue
                 qblock = state.qblocks_sub[c][(aby >> vs[c], abx >> hs[c])]
                 flat = np.asarray(qblock).reshape(-1)
+                order = ch_orders[c]
                 nzv = int(np.count_nonzero(flat[order[1:]]))
                 pred = predict_nzeros(nzeros[c][None], 0, sby, sbx)
                 block_ctx = bcm.context(0, quant, acs.STRATEGY_ORDER[0], c)
@@ -381,7 +390,19 @@ def encode_vardct_subsampled(writer: BitWriter, planes, fh,
     histo_writer = BitWriter()
     codes, context_map = build_and_encode_histograms(
         modular_token_lists, num_tree_contexts(dec_tree), histo_writer)
-    group_tokens = [tokenize_ac_group_sub(state, g)
+    # custom coefficient orders from zero counts (ComputeCoeffOrder
+    # analog, enc_coeff_order.cc:84-165); small grids keep defaults
+    from .coeff_order import compute_coeff_orders, encode_coeff_orders
+
+    customize = fd.xsize_blocks >= 5 or fd.ysize_blocks >= 5
+    ord0 = acs.STRATEGY_ORDER[acs.DCT]
+    num_zeros = {(ord0, c): np.zeros(64, dtype=np.int64) for c in range(3)}
+    for c in range(3):
+        for qblock in state.qblocks_sub[c].values():
+            num_zeros[(ord0, c)] += (np.asarray(qblock).reshape(-1) == 0)
+    used_orders, orders = compute_coeff_orders(
+        num_zeros, {acs.DCT}, customize=customize)
+    group_tokens = [tokenize_ac_group_sub(state, g, orders)
                     for g in range(fd.num_groups)]
     ac_histo_writer = BitWriter()
     ac_codes, ac_cmap = build_and_encode_histograms(
@@ -419,7 +440,8 @@ def encode_vardct_subsampled(writer: BitWriter, planes, fh,
         nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
         if nbits:
             w.write(nbits, 0)
-        u32_write(ORDER_ENC, 0, w)  # default orders
+        u32_write(ORDER_ENC, used_orders, w)
+        encode_coeff_orders(used_orders, orders, w)
         w.append_bits_from(ac_histo_writer)
 
     sections = []
