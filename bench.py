@@ -7,10 +7,13 @@ decoding (dec_group.cc + render_pipeline/ stages). Baseline: the
 reference's multithreaded CPU decode design target of ~400 MP/s
 (doc/xl_overview.md:7-9, BASELINE.md).
 
-Methodology: N unique pre-uploaded coefficient images (identical inputs
+Methodology: batched dispatch (vmap over B unique images per call) —
+throughput serving amortizes the fixed per-dispatch cost (25-30 ms
+through the axon tunnel; absent on directly-attached chips). Every
+batch holds unique pre-uploaded coefficient images (identical inputs
 can be served from an execution cache by the runtime and must not be
-timed), device-side reduction to force full computation with a tiny
-readback, sustained wall-clock over the batch, median of 3 rounds.
+timed) plus a unique DC salt; a device-side reduction forces full
+computation with a tiny readback. Median over 3 timed batches.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -36,6 +39,7 @@ def main():
     from libjxl_tpu.vardct.quant_weights import library_tables
 
     H = W = 4096
+    B = 4  # images per dispatch
     nby, nbx = H // 8, W // 8
     rng = np.random.default_rng(0)
     qf_np = np.full((nby, nbx), 64, dtype=np.int32)
@@ -60,8 +64,7 @@ def main():
         _sad_mul_map(H, W, lf.epf_border_sad_mul).astype(np.float32))
     channel_scale = tuple(np.float32(v) for v in lf.epf_channel_scale)
 
-    @jax.jit
-    def step(qimg, salt):
+    def one(qimg, salt):
         out = decode_render_image(
             qimg, qf, dc + salt, ytox, ytob, dm,
             inv_global_scale=jnp.float32(1024.0),
@@ -70,23 +73,25 @@ def main():
             channel_scale=channel_scale, epf_iters=2)
         return out.sum()
 
-    N = 6
-    qis = [jax.device_put(jnp.asarray(
-        rng.integers(-15, 15, (3, H, W)), dtype=jnp.int32))
-        for _ in range(N)]
-    for qi in qis:
-        qi.sum().block_until_ready()
-    salts = [jnp.float32(i * 1e-6) for i in range(3 * N)]
-    float(step(qis[0], salts[-1]))  # warmup / compile
+    step = jax.jit(lambda qb, salts: jax.vmap(one)(qb, salts).sum())
+
+    NB = 3  # timed batches, all unique
+    batches = []
+    for _ in range(NB):
+        qb = jax.device_put(jnp.asarray(
+            rng.integers(-15, 15, (B, 3, H, W)), dtype=jnp.int32))
+        qb.sum().block_until_ready()
+        batches.append(qb)
+    salts = [jnp.asarray(np.arange(B) * 1e-6 + j * 1e-5, jnp.float32)
+             for j in range(NB + 1)]
+    float(step(batches[0], salts[NB]))  # warmup / compile
 
     rates = []
-    for round_ in range(3):
+    for j in range(NB):
         t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(N):
-            acc += float(step(qis[i], salts[round_ * N + i]))
+        float(step(batches[j], salts[j]))
         dt = time.perf_counter() - t0
-        rates.append(N * H * W / dt / 1e6)
+        rates.append(B * H * W / dt / 1e6)
     mps = statistics.median(rates)
     baseline = 400.0  # reference multithreaded CPU decode target, MP/s
     print(json.dumps({

@@ -10,6 +10,11 @@ enc_ans.cc stream writing.
 
 Produces/consumes exactly the same codestream format as the pure-host
 api.codestream functions; streams from either are decodable by both.
+On typical content the device encoder is byte-identical to the host
+encoder (see tests/test_tpu_codec.py); on large noisy images a handful
+of coefficients sitting exactly on a quantization rounding boundary may
+flip (float32 device math vs float64 host math), changing bytes without
+measurable quality impact.
 """
 
 from __future__ import annotations

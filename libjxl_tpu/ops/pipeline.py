@@ -221,8 +221,12 @@ def decode_xyb_image(qimg, qf, dc, ytox_map, ytob_map, dm,
     ~10x faster on TPU (tile-friendly layouts)."""
     _, h, w = qimg.shape
     nby, nbx = h // 8, w // 8
-    scaled = _block_to_px(inv_global_scale / qf.astype(jnp.float32), h, w)
-    dm_img = jnp.tile(dm, (1, nby, nbx))
+    # fused per-position multiplier: dm[c, y%8, x%8] * scaled[y//8, x//8]
+    # as one block-broadcast product (one materialization instead of a
+    # tiled dm image plus an upsampled scale image)
+    scaled_b = inv_global_scale / qf.astype(jnp.float32)
+    mult = (dm[:, None, :, None, :]
+            * scaled_b[None, :, None, :, None]).reshape(3, h, w)
     tile_px = 8 * COLOR_TILE_BLOCKS
     x_cc = base_x + jnp.repeat(jnp.repeat(
         ytox_map.astype(jnp.float32), tile_px, 0), tile_px, 1)[:h, :w] \
@@ -230,13 +234,18 @@ def decode_xyb_image(qimg, qf, dc, ytox_map, ytob_map, dm,
     b_cc = base_b + jnp.repeat(jnp.repeat(
         ytob_map.astype(jnp.float32), tile_px, 0), tile_px, 1)[:h, :w] \
         / color_factor
-    dq_y = adjust_quant_bias_jax(qimg[1], 1) * dm_img[1] * scaled
-    dq_x = adjust_quant_bias_jax(qimg[0], 0) * dm_img[0] * scaled \
+    dq_y = adjust_quant_bias_jax(qimg[1], 1) * mult[1]
+    dq_x = adjust_quant_bias_jax(qimg[0], 0) * mult[0] \
         * x_dm_mult + x_cc * dq_y
-    dq_b = adjust_quant_bias_jax(qimg[2], 2) * dm_img[2] * scaled \
+    dq_b = adjust_quant_bias_jax(qimg[2], 2) * mult[2] \
         * b_dm_mult + b_cc * dq_y
     coeffs = jnp.stack([dq_x, dq_y, dq_b])
-    coeffs = coeffs.at[:, ::8, ::8].set(dc)
+    # insert DC at block origins via mask-select: a stride-8 scatter
+    # (.at[::8, ::8].set) costs ~10x more than this elementwise where
+    dc_mask = ((jnp.arange(h) % 8 == 0)[:, None]
+               & (jnp.arange(w) % 8 == 0)[None, :])
+    dc_up = jnp.repeat(jnp.repeat(dc, 8, 1), 8, 2)
+    coeffs = jnp.where(dc_mask[None], dc_up, coeffs)
     return idct8_image(coeffs)
 
 
@@ -259,16 +268,21 @@ def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
 
 
 def gaborish_jax(xyb, kernels):
-    """Decoder-side 3x3 Gaborish blur, per-channel kernels (3, 3, 3)."""
+    """Decoder-side 3x3 Gaborish blur, per-channel kernels (3, 3, 3).
+
+    Written as 9 shifted weighted adds (pure VPU elementwise, fused by
+    XLA) rather than a convolution: TPU convs with channel-count 1
+    cannot tile onto the MXU and run ~25x slower than this form."""
     k = jnp.asarray(kernels, dtype=xyb.dtype)
+    h, w = xyb.shape[-2:]
     p = jnp.pad(xyb, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        p[:, None], k[:, None], window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=1,
-        precision=jax.lax.Precision.HIGHEST)
-    # per-channel conv: take diagonal of (channel, out_channel)
-    return jnp.stack([out[c, c] for c in range(3)])
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            term = k[:, dy, dx][:, None, None] * jax.lax.slice(
+                p, (0, dy, dx), (3, dy + h, dx + w))
+            out = term if out is None else out + term
+    return out
 
 
 _EPF_PLUS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
@@ -293,12 +307,24 @@ def _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
     inv = inv_sigma_px * (sad_mul * sigma_scale * 1.65)
     num = xyb
     den = jnp.ones_like(xyb[0])
+    # max |offset| in the sad pattern (the plus shape spans +-1)
+    pr = max((max(abs(py), abs(px)) for (py, px) in sad_pattern or ()),
+             default=0)
     for (dy, dx) in neighbors:
         if sad_pattern:
-            sad = jnp.zeros_like(xyb[0])
+            # sad(p) = sum_q |x(p+q) - x(p+(dy,dx)+q)| over the pattern:
+            # compute the cross-difference plane D = sum_c cs|x - shift|
+            # once on a (h+2pr, w+2pr) window, then sum 5 shifts of D —
+            # 3 channel diffs + 5 plane adds instead of 15 channel diffs
+            y0, x0 = pad - pr, pad - pr
+            hd, wd = h + 2 * pr, w + 2 * pr
+            base = p[:, y0:y0 + hd, x0:x0 + wd]
+            shifted = p[:, y0 + dy:y0 + dy + hd, x0 + dx:x0 + dx + wd]
+            d_plane = (jnp.abs(base - shifted) * cs).sum(axis=0)
+            sad = None
             for (py, px) in sad_pattern:
-                sad = sad + (jnp.abs(sh(py, px) - sh(dy + py, dx + px))
-                             * cs).sum(axis=0)
+                t = d_plane[pr + py:pr + py + h, pr + px:pr + px + w]
+                sad = t if sad is None else sad + t
         else:
             sad = (jnp.abs(xyb - sh(dy, dx)) * cs).sum(axis=0)
         weight = jnp.maximum(0.0, 1.0 + sad * inv)
@@ -343,15 +369,19 @@ def decode_render(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
 
 
 def gaborish_inverse_jax(xyb, kernel):
-    """5x5 sharpen (GaborishInverse, enc_gaborish.cc:21-49) as an XLA
-    conv; kernel: f32[5, 5] (same for all channels)."""
-    k = jnp.asarray(kernel, dtype=jnp.float32)
+    """5x5 sharpen (GaborishInverse, enc_gaborish.cc:21-49) as 25
+    shifted weighted adds; kernel: f32[5, 5] (same for all channels).
+    Shift-add avoids the channel-1 conv path that can't use the MXU."""
+    k = np.asarray(kernel, dtype=np.float32)
+    h, w = xyb.shape[-2:]
     p = jnp.pad(xyb, ((0, 0), (2, 2), (2, 2)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        p[:, None], k[None, None], window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)
-    return out[:, 0]
+    out = None
+    for dy in range(5):
+        for dx in range(5):
+            term = jnp.float32(k[dy, dx]) * jax.lax.slice(
+                p, (0, dy, dx), (3, dy + h, dx + w))
+            out = term if out is None else out + term
+    return out
 
 
 def quant_field_jax(y, nby, nbx, base_quant, quant_max):
