@@ -585,11 +585,12 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
 # ------------------------------------------------------------------ animation
 def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
                      num_loops: int = 0, lossless: bool = True,
-                     distance: float = 1.0) -> bytes:
+                     distance: float = 1.0, durations=None) -> bytes:
     """Encode a list of (H, W, C) uint8 frames as an animated codestream.
 
-    Each frame is a kReplace full frame with duration 1 tick
-    (frame_header.cc AnimationFrame)."""
+    Each frame is a kReplace full frame; durations (optional per-frame
+    tick counts, default 1) are in 1/(fps_numerator/fps_denominator)
+    seconds (frame_header.cc AnimationFrame)."""
     from ..io.frame_header import (
         CT_NONE,
         CT_XYB,
@@ -620,10 +621,11 @@ def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
     write_codestream_header(writer, meta)
     for i, frame in enumerate(frames):
         last = i == len(frames) - 1
+        dur = int(durations[i]) if durations is not None else 1
         if lossless:
             fh = make_modular_frame_header(meta, is_last=last)
             fh.animation_frame.nonserialized_metadata = meta
-            fh.animation_frame.duration = 1
+            fh.animation_frame.duration = dur
             channels = [frame[:, :, c].astype(np.int32)
                         for c in range(frame.shape[2])]
             opts = ModularEncOptions(
@@ -638,7 +640,7 @@ def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
             fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
             fh.is_last = last
             fh.animation_frame.nonserialized_metadata = meta
-            fh.animation_frame.duration = 1
+            fh.animation_frame.duration = dur
             fh.loop_filter.all_default = False
             fh.loop_filter.gab = True
             fh.loop_filter.epf_iters = 2

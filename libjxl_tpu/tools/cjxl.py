@@ -110,11 +110,22 @@ def _main(argv=None):
                   f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
         return 0
 
-    image, icc = load_image(args.input, return_icc=True)
     distance = args.distance
     if args.quality is not None:
         distance = quality_to_distance(args.quality)
     lossless = distance == 0.0 or args.modular == 1
+    # animated input (APNG/GIF) -> animated codestream (dec/apng.cc,
+    # dec/gif.cc analog via PIL frame iteration)
+    if args.input.lower().endswith((".apng", ".gif", ".png")):
+        anim = _try_encode_animated(args, lossless, distance)
+        if anim is not None:
+            with open(args.output, "wb") as f:
+                f.write(anim)
+            if args.verbose:
+                print(f"Encoded animation ({len(anim)} bytes)",
+                      file=sys.stderr)
+            return 0
+    image, icc = load_image(args.input, return_icc=True)
     t0 = time.perf_counter()
     if lossless:
         data = encode_lossless(image,
@@ -160,6 +171,31 @@ def _main(argv=None):
               f" to {len(data)} bytes ({bpp:.3f} bpp), "
               f"{mp / dt:.3f} MP/s", file=sys.stderr)
     return 0
+
+
+def _try_encode_animated(args, lossless: bool, distance: float):
+    """Returns an animated codestream if the input holds >1 frame,
+    else None (caller falls back to still-image encode)."""
+    import numpy as np
+    from PIL import Image
+
+    from ..api.codestream import encode_animation
+
+    im = Image.open(args.input)
+    if not getattr(im, "is_animated", False):
+        return None
+    frames = []
+    durations_ms = []
+    for i in range(im.n_frames):
+        im.seek(i)
+        frames.append(np.asarray(im.convert("RGB")))
+        durations_ms.append(int(im.info.get("duration", 100)) or 100)
+    # 1000 ticks/s keeps millisecond durations exact
+    loops = int(im.info.get("loop", 0))
+    return encode_animation(frames, fps_numerator=1000, fps_denominator=1,
+                            num_loops=loops, lossless=lossless,
+                            distance=distance if distance > 0 else 1.0,
+                            durations=durations_ms)
 
 
 if __name__ == "__main__":

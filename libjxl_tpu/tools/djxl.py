@@ -61,6 +61,10 @@ def _main(argv=None):
             save_image(args.output, jpeg_to_pixels(parse_jpeg(jpg)).squeeze())
             return 0
     codestream = extract_codestream(data)
+    # animated stream -> APNG when output is .apng (extras/enc/apng.cc
+    # analog; also .png when the stream holds multiple frames)
+    if args.output.lower().endswith(".apng"):
+        return _write_apng(codestream, args)
     t0 = time.perf_counter()
     image, meta = decode(codestream, target_nits=args.display_nits,
                          num_threads=args.num_threads)
@@ -78,6 +82,37 @@ def _main(argv=None):
     if args.verbose:
         h, w = image.shape[:2]
         print(f"Decoded {w}x{h} in {dt:.3f}s ({h * w / 1e6 / dt:.3f} MP/s)",
+              file=sys.stderr)
+    return 0
+
+
+def _write_apng(codestream: bytes, args) -> int:
+    """Decode all frames and write an animated PNG."""
+    from PIL import Image
+
+    from ..api.codestream import decode_frames, parse_codestream_header
+    from ..io.bits import BitReader
+
+    meta = parse_codestream_header(BitReader(codestream))
+    anim = meta.m.animation
+    tps = (anim.tps_numerator / max(1, anim.tps_denominator)
+           if meta.m.have_animation else 10.0)
+    frames = []
+    durations = []
+    for image, ticks in decode_frames(codestream):
+        if image.ndim == 3 and image.shape[2] == 1:
+            image = image[:, :, 0]
+        frames.append(Image.fromarray(image))
+        durations.append(max(1, round(1000.0 * max(1, ticks) / tps)))
+    if not frames:
+        print("djxl: error: no frames decoded", file=sys.stderr)
+        return 1
+    loops = anim.num_loops if meta.m.have_animation else 0
+    frames[0].save(args.output, format="PNG", save_all=True,
+                   append_images=frames[1:], duration=durations,
+                   loop=loops, default_image=False)
+    if args.verbose:
+        print(f"Wrote {len(frames)} frames to {args.output}",
               file=sys.stderr)
     return 0
 

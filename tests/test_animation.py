@@ -32,3 +32,34 @@ def test_lossy_animation_roundtrip():
     for (dec, dur), orig in zip(out, frames):
         err = np.mean((dec.astype(float) - orig.astype(float)) ** 2)
         assert err < 100
+
+
+def test_apng_cli_roundtrip(tmp_path):
+    """APNG -> animated JXL (cjxl) -> APNG (djxl), lossless."""
+    from PIL import Image
+
+    from libjxl_tpu.tools.cjxl import main as cjxl
+    from libjxl_tpu.tools.djxl import main as djxl
+
+    rng = np.random.default_rng(2)
+    frames = [Image.fromarray(np.clip(
+        rng.integers(0, 256, (32, 40, 3)), 0, 255).astype(np.uint8))
+        for _ in range(4)]
+    src = tmp_path / "in.apng"
+    frames[0].save(src, format="PNG", save_all=True,
+                   append_images=frames[1:], duration=[50, 100, 150, 200])
+    jxl = tmp_path / "a.jxl"
+    out = tmp_path / "out.apng"
+    assert cjxl([str(src), str(jxl), "-m", "1"]) == 0
+    assert djxl([str(jxl), str(out)]) == 0
+    a = Image.open(src)
+    b = Image.open(out)
+    assert b.n_frames == 4
+    durs = []
+    for i in range(4):
+        a.seek(i)
+        b.seek(i)
+        assert np.array_equal(np.asarray(a.convert("RGB")),
+                              np.asarray(b.convert("RGB")))
+        durs.append(b.info.get("duration"))
+    assert durs == [50, 100, 150, 200]
