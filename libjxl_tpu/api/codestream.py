@@ -234,9 +234,15 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
     rgb = np.moveaxis(rgb, -1, 0)
     if resampling > 1:
-        from ..render.upsample import downsample_box
+        from ..render.upsample import downsample2_sharper, downsample_box
 
-        rgb = np.stack([downsample_box(rgb[c], resampling) for c in range(3)])
+        if resampling == 2:
+            # DownsampleImage2_Sharper (enc_heuristics.cc:268): the 12x12
+            # anti-ringing kernel beats box filtering for 2x
+            rgb = np.stack([downsample2_sharper(rgb[c]) for c in range(3)])
+        else:
+            rgb = np.stack([downsample_box(rgb[c], resampling)
+                            for c in range(3)])
     # effort semantics (doc/encode_effort.md): kitten (e7) and up run the
     # Butteraugli-feedback quant refinement (<= 4 iters, like the ref);
     # e8+ also runs dot detection (FindBestPatchDictionary dot path)

@@ -135,3 +135,28 @@ def test_optimizer_cli_fork_protocol(tmp_path):
         "print((x - 3) ** 2 + (y + 1) ** 2, 'optimized')\n")
     script.chmod(script.stat().st_mode | stat.S_IEXEC)
     assert main([str(script), "2", "80", "--step", "1.0"]) == 0
+
+
+def test_downsample2_sharper_beats_box():
+    """The anti-ringing 12x12 kernel should reconstruct better than box
+    through the full resampling=2 encode/decode path."""
+    from libjxl_tpu.render.upsample import downsample2_sharper, downsample_box
+    from libjxl_tpu.render.upsample import upsample as up
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = (np.sin(xx / 5.0) * np.cos(yy / 7.0) * 0.4 + 0.5
+           + rng.normal(0, 0.02, (128, 128)))
+    for fn in (downsample2_sharper, lambda p: downsample_box(p, 2)):
+        d = fn(img)
+        assert d.shape == (64, 64)
+    sh = upsample_err(img, downsample2_sharper(img))
+    bx = upsample_err(img, downsample_box(img, 2))
+    assert sh < bx
+
+
+def upsample_err(orig, down):
+    from libjxl_tpu.render.upsample import upsample
+
+    rec = upsample(down, 2)[:orig.shape[0], :orig.shape[1]]
+    return float(np.mean((rec - orig) ** 2))
