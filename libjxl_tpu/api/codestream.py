@@ -234,12 +234,19 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
     rgb = np.moveaxis(rgb, -1, 0)
     if resampling > 1:
-        from ..render.upsample import downsample2_sharper, downsample_box
+        from ..render.upsample import (
+            downsample2_iterative,
+            downsample2_sharper,
+            downsample_box,
+        )
 
         if resampling == 2:
-            # DownsampleImage2_Sharper (enc_heuristics.cc:268): the 12x12
-            # anti-ringing kernel beats box filtering for 2x
-            rgb = np.stack([downsample2_sharper(rgb[c]) for c in range(3)])
+            # effort tiers mirror enc_frame.cc:695-706: squirrel+ runs
+            # the iterative error-feedback downsampler, faster efforts
+            # the 12x12 sharper kernel; both beat box filtering for 2x
+            ds2 = downsample2_iterative if effort >= 7 else \
+                downsample2_sharper
+            rgb = np.stack([ds2(rgb[c]) for c in range(3)])
         else:
             rgb = np.stack([downsample_box(rgb[c], resampling)
                             for c in range(3)])

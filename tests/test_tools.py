@@ -160,3 +160,30 @@ def upsample_err(orig, down):
 
     rec = upsample(down, 2)[:orig.shape[0], :orig.shape[1]]
     return float(np.mean((rec - orig) ** 2))
+
+
+def test_downsample2_iterative_beats_sharper():
+    from libjxl_tpu.render.upsample import (
+        downsample2_iterative,
+        downsample2_sharper,
+    )
+
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:96, 0:96]
+    img = (np.sin(xx / 5.0) * np.cos(yy / 7.0) * 0.4 + 0.5
+           + rng.normal(0, 0.02, (96, 96)))
+    it = upsample_err(img, downsample2_iterative(img))
+    sh = upsample_err(img, downsample2_sharper(img))
+    assert it < sh
+
+
+def test_upsample_clamps_to_support():
+    """stage_upsampling.cc:139-150: upsampled samples stay within the
+    5x5 support min/max — an isolated impulse cannot ring negative."""
+    from libjxl_tpu.render.upsample import upsample
+
+    imp = np.zeros((16, 16))
+    imp[8, 8] = 1.0
+    up = upsample(imp, 2)
+    assert up.min() >= 0.0  # negative kernel lobes are clamped
+    assert up.max() <= 1.0
