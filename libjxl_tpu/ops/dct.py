@@ -47,7 +47,8 @@ def dct2d(pixels: np.ndarray) -> np.ndarray:
     """Forward 2D DCT of an (..., R, C) block -> wide-layout coefficients
     (..., min, max)."""
     r, c = pixels.shape[-2:]
-    out = np.einsum("ur,...rc,vc->...uv", fwd_matrix(r), pixels, fwd_matrix(c))
+    out = np.einsum("ur,...rc,vc->...uv", fwd_matrix(r), pixels,
+                    fwd_matrix(c), optimize=True)
     if r < c:
         return out
     if r > c:
@@ -59,7 +60,8 @@ def idct2d(coeffs: np.ndarray, r: int, c: int) -> np.ndarray:
     """Inverse of dct2d: wide-layout (..., min, max) -> (..., R, C) pixels."""
     if r > c:
         coeffs = np.swapaxes(coeffs, -2, -1)
-    return np.einsum("ru,...uv,cv->...rc", inv_matrix(r), coeffs, inv_matrix(c))
+    return np.einsum("ru,...uv,cv->...rc", inv_matrix(r), coeffs,
+                     inv_matrix(c), optimize=True)
 
 
 @functools.lru_cache(maxsize=None)

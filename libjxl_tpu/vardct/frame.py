@@ -350,10 +350,23 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
 
 def render_groups(state: VarDCTState) -> None:
     """Dequant + LLF-from-DC + inverse transform for every block
-    (DequantBlock + TransformToPixels, dec_group.cc:96-165, 380-440)."""
+    (DequantBlock + TransformToPixels, dec_group.cc:96-165, 380-440).
+    DCT8 blocks — the vast majority — run as ONE batched dequant +
+    einsum IDCT; other strategies fall back to the per-block path."""
     fd = state.fd
     inv_gs = state.quantizer.inv_global_scale
-    for (aby, abx), qblocks in state.qblocks.items():
+    by_strategy: dict = {}
+    for k in state.qblocks:
+        by_strategy.setdefault(int(state.strategy[k[0], k[1]]),
+                               []).append(k)
+    batched = set()
+    for s, keys in by_strategy.items():
+        if s in _PLAIN_DCT_STRATEGIES and len(keys) > 8:
+            _render_dct_batch(state, s, keys, inv_gs)
+            batched.add(s)
+    remaining = ((k, v) for k, v in state.qblocks.items()
+                 if int(state.strategy[k[0], k[1]]) not in batched)
+    for (aby, abx), qblocks in remaining:
         strategy = int(state.strategy[aby, abx])
         cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
         kind = acs.QUANT_TABLE[strategy]
@@ -382,6 +395,67 @@ def render_groups(state: VarDCTState) -> None:
             y0 = aby * 8
             x0 = abx * 8
             state.xyb[c, y0:y0 + cy * 8, x0:x0 + cx * 8] = pix
+
+
+_PLAIN_DCT_STRATEGIES = frozenset({
+    acs.DCT, acs.DCT16X16, acs.DCT32X32, acs.DCT64X64, acs.DCT128X128,
+    acs.DCT256X256, acs.DCT16X8, acs.DCT8X16, acs.DCT32X8, acs.DCT8X32,
+    acs.DCT32X16, acs.DCT16X32, acs.DCT64X32, acs.DCT32X64,
+    acs.DCT128X64, acs.DCT64X128, acs.DCT256X128, acs.DCT128X256})
+
+
+def _render_dct_batch(state: VarDCTState, strategy: int, keys,
+                      inv_gs) -> None:
+    """Batched dequant + LLF + IDCT for all blocks of one plain-DCT
+    strategy: one einsum instead of a per-block call (the per-call
+    numpy overhead dominates host decode otherwise)."""
+    from ..ops.dct import idct2d, dct2d
+    from .transforms import resample_scales
+
+    cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+    rows, cols = cy * 8, cx * 8
+    kind = acs.QUANT_TABLE[strategy]
+    n = len(keys)
+    ys = np.fromiter((k[0] for k in keys), np.int64, n)
+    xs = np.fromiter((k[1] for k in keys), np.int64, n)
+    q = np.stack([state.qblocks[k] for k in keys])  # (n, 3, size)
+    quant = state.raw_quant_field[ys, xs].astype(np.float64)
+    scaled = (inv_gs / quant)[:, None]
+    ty = ys // COLOR_TILE_DIM_IN_BLOCKS
+    tx = xs // COLOR_TILE_DIM_IN_BLOCKS
+    x_cc = state.ytox(state.ytox_map[ty, tx].astype(np.float64))[:, None]
+    b_cc = state.ytob(state.ytob_map[ty, tx].astype(np.float64))[:, None]
+    dm = np.stack([state.matrices.dequant_matrix(kind, c).reshape(-1)
+                   for c in range(3)])
+    dq_y = adjust_quant_bias(q[:, 1], 1) * dm[1] * scaled
+    dq_x = adjust_quant_bias(q[:, 0], 0) * dm[0] * (
+        scaled * state.x_dm_mult) + x_cc * dq_y
+    dq_b = adjust_quant_bias(q[:, 2], 2) * dm[2] * (
+        scaled * state.b_dm_mult) + b_cc * dq_y
+    wr, wc = min(rows, cols), max(rows, cols)
+    co = np.stack([dq_x, dq_y, dq_b], axis=1).reshape(n, 3, wr, wc)
+    # batched LowestFrequenciesFromDC
+    dc_batch = np.stack([
+        state.dc[:, y:y + cy, x:x + cx] for y, x in keys])  # (n, 3, cy, cx)
+    if cy == 1 and cx == 1:
+        co[:, :, 0, 0] = dc_batch[:, :, 0, 0]
+    else:
+        llf = dct2d(dc_batch.astype(np.float64))
+        lh, lw = llf.shape[-2:]
+        sy = resample_scales(lh, lh * 8)
+        sx = resample_scales(lw, lw * 8)
+        co[:, :, :lh, :lw] = llf / (sy[:, None] * sx[None, :])
+    pix = idct2d(co, rows, cols)  # (n, 3, rows, cols)
+    if cy == 1 and cx == 1:
+        h8, w8 = state.xyb.shape[1] // 8, state.xyb.shape[2] // 8
+        xyb5 = state.xyb.reshape(3, h8, 8, w8, 8)
+        # separated advanced indices move the block axis to the front:
+        # the indexing result is (n, 3, 8, 8), matching pix directly
+        xyb5[:, ys, :, xs, :] = pix
+    else:
+        for i, (aby, abx) in enumerate(keys):
+            state.xyb[:, aby * 8:aby * 8 + rows,
+                      abx * 8:abx * 8 + cols] = pix[i]
 
 
 def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q,
@@ -883,7 +957,7 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     crop = xyb[:, :tby * rows, :tbx * cols]
     tiles = crop.reshape(3, tby, rows, tbx, cols).transpose(0, 1, 3, 2, 4)
     co = np.einsum("ur,ctmrk,vk->ctmuv", fwd_matrix(rows), tiles,
-                   fwd_matrix(cols))
+                   fwd_matrix(cols), optimize=True)
     if rows > cols:  # wide layout
         co = np.swapaxes(co, -2, -1)
     dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
@@ -1269,7 +1343,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         from ..ops.dct import fwd_matrix
 
         f8 = fwd_matrix(8)
-        co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8)
+        co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8,
+                   optimize=True)
         scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
             None, :, :, None, None]
         qy = np.round(co[1] * dm_inv[1] / scaled[0])

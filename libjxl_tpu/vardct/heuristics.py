@@ -127,7 +127,8 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
                        for c in range(3)])
     f8, i8 = fwd_matrix(8), inv_matrix(8)
     blocks = xyb_sharp.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
-    co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8)
+    co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8,
+                   optimize=True)
     dc = co[:, :, :, 0, 0].copy()
     gab = None
     if state.fh.loop_filter.gab:
@@ -142,7 +143,8 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
         q = np.round(co * dm_inv[:, None, None] / scaled)
         rec = q * dm[:, None, None] * scaled
         rec[:, :, :, 0, 0] = dc  # DC coded separately (finer)
-        pix = np.einsum("ru,cnmuv,kv->cnrmk", i8, rec, i8).reshape(
+        pix = np.einsum("ru,cnmuv,kv->cnrmk", i8, rec, i8,
+                    optimize=True).reshape(
             3, nby * 8, nbx * 8)
         if gab is not None:
             pad = np.pad(pix, ((0, 0), (1, 1), (1, 1)), mode="edge")
