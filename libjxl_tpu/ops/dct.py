@@ -47,8 +47,9 @@ def dct2d(pixels: np.ndarray) -> np.ndarray:
     """Forward 2D DCT of an (..., R, C) block -> wide-layout coefficients
     (..., min, max)."""
     r, c = pixels.shape[-2:]
-    out = np.einsum("ur,...rc,vc->...uv", fwd_matrix(r), pixels,
-                    fwd_matrix(c), optimize=True)
+    # two broadcasting matmuls: BLAS-backed and free of einsum's
+    # per-call contraction-path search
+    out = fwd_matrix(r) @ pixels @ fwd_matrix(c).T
     if r < c:
         return out
     if r > c:
@@ -60,8 +61,7 @@ def idct2d(coeffs: np.ndarray, r: int, c: int) -> np.ndarray:
     """Inverse of dct2d: wide-layout (..., min, max) -> (..., R, C) pixels."""
     if r > c:
         coeffs = np.swapaxes(coeffs, -2, -1)
-    return np.einsum("ru,...uv,cv->...rc", inv_matrix(r), coeffs,
-                     inv_matrix(c), optimize=True)
+    return inv_matrix(r) @ coeffs @ inv_matrix(c).T
 
 
 @functools.lru_cache(maxsize=None)
