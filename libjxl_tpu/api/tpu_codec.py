@@ -127,7 +127,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     quant_dc = K_DC_QUANT / distance
     quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
     base_quant = max(1, min(QUANT_MAX, int(
-        quant_ac * quantizer.global_scale_float + 0.5)))
+        quant_ac * quantizer.inv_global_scale + 0.5)))
     dm = np.stack([matrices.dequant_matrix(0, c)
                    for c in range(3)]).astype(np.float32)
     dm_inv = np.stack([matrices.inv_matrix(0, c)

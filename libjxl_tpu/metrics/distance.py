@@ -55,11 +55,24 @@ _SCALE_WEIGHTS = (0.5, 0.3, 0.2)
 
 
 def butteraugli_distance(a: np.ndarray, b: np.ndarray) -> float:
-    """Perceptual distance between two uint8 sRGB (H, W, 3) images.
+    """Butteraugli perceptual distance between two uint8 sRGB (H, W, 3)
+    images — the faithful model (metrics/butteraugli.py); larger =
+    worse, ~1.0 = visually lossless border. Falls back to the fast
+    approximate comparator below 8px."""
+    if min(a.shape[0], a.shape[1]) >= 8:
+        from .butteraugli import butteraugli_score
 
-    Multi-scale masked XYB difference; larger = worse. Calibrated so that
-    typical distance-1.0 VarDCT encodes score near 1.0.
-    """
+        lin_a = np.moveaxis(srgb_to_linear(a.astype(np.float64) / 255.0),
+                            -1, 0)
+        lin_b = np.moveaxis(srgb_to_linear(b.astype(np.float64) / 255.0),
+                            -1, 0)
+        return butteraugli_score(lin_a, lin_b)
+    return butteraugli_distance_approx(a, b)
+
+
+def butteraugli_distance_approx(a: np.ndarray, b: np.ndarray) -> float:
+    """Fast approximate comparator (multi-scale masked XYB difference);
+    used for tiny images and as the cheap encoder-side signal."""
     xa = _to_xyb01(a)
     xb = _to_xyb01(b)
     total = 0.0

@@ -937,7 +937,8 @@ def _est_token_bits(q: np.ndarray, cb: int) -> float:
     return bits + 8.0  # per-channel nzeros token overhead
 
 
-_INFO_LOSS_MUL = 0.5
+_INFO_LOSS_MUL = 320.0  # tuned: RD-dominates DCT8-only on noisy
+# content while leaving smooth-content merges untouched (see commit)
 
 
 def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
@@ -971,17 +972,27 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     bits = (nz.sum(axis=(3, 4)) * 2.0
             + np.log2(1.0 + q, where=nz, out=np.zeros_like(q)).sum(
                 axis=(3, 4)))
-    # quantization info loss (EstimateEntropy's info_loss term,
-    # enc_ac_strategy.cc:492): without it, large transforms that zero out
-    # sparse detail look free in a bits-only estimate
+    # quantization info loss: 8-norm of the PIXEL-domain reconstruction
+    # error (EstimateEntropy, enc_ac_strategy.cc:470-495). The 8th power
+    # prices concentrated spatial error — the ringing a large transform
+    # creates around detail — which a coefficient-domain L1 cannot see
+    # (any orthonormal basis gives the same L2 budget).
+    from ..ops.dct import idct2d
+
     dm = np.stack([state.matrices.dequant_matrix(kind, c)
                    for c in range(3)])
     coded = dm_inv > 0  # LLF positions are coded via DC, skip them
-    rec = np.where(coded[:, None, None],
-                   qs * dm[:, None, None] * scaled, co)
-    wchan = np.array([16.0, 1.0, 1.0])[:, None, None]
-    loss = (np.abs(co - rec).sum(axis=(3, 4)) * wchan).sum(axis=0)
-    loss_bits = _INFO_LOSS_MUL * loss / scaled[0, :, :, 0, 0]
+    err = np.where(coded[:, None, None],
+                   (qs - co * dm_inv[:, None, None] / scaled)
+                   * dm[:, None, None] * scaled, 0.0)
+    pix_err = idct2d(err, rows, cols)
+    chan_mul = np.array([10.2, 1.0, 1.03]) ** 8
+    loss8 = (np.abs(pix_err) ** 8).sum(axis=(3, 4)) \
+        * chan_mul[:, None, None]
+    size = rows * cols
+    loss_scalar = (loss8.sum(axis=0) / size) ** 0.125 * size \
+        / scaled[0, :, :, 0, 0]
+    loss_bits = _INFO_LOSS_MUL * loss_scalar
     return bits.sum(axis=0) + loss_bits + 24.0  # + 3x nzeros overhead
 
 
@@ -1270,22 +1281,29 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         quant_ac = K_AC_QUANT / distance
         quant_dc = K_DC_QUANT / distance
         state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
+        # raw field = quant * INV global scale (SetQuantFieldRect,
+        # quantizer.cc:78): the k_target=5 median lands mid-range so the
+        # adaptive field and Butteraugli feedback have integer headroom
         raw_qf = max(1, min(QUANT_MAX,
-                            int(quant_ac * state.quantizer.global_scale_float + 0.5)))
+                            int(quant_ac * state.quantizer.inv_global_scale
+                                + 0.5)))
         if adaptive_quant:
             state.raw_quant_field = initial_quant_field(
                 xyb[1], fd.ysize_blocks, fd.xsize_blocks, distance, raw_qf)
         else:
             state.raw_quant_field[:, :] = raw_qf
-        if butteraugli_iters > 0:
-            from .heuristics import refine_quant_field
-
-            refine_quant_field(state, xyb, xyb_orig, distance,
-                               iters=butteraugli_iters)
         state.strategy[:, :] = acs.DCT
         state.is_origin[:, :] = True
         if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
             _choose_ac_strategies(state, xyb)
+        if butteraugli_iters > 0:
+            # after the strategy choice, like the reference dependency
+            # graph (enc_heuristics.cc:1060-1074: ... -> ACS -> EPF ->
+            # quant field)
+            from .heuristics import refine_quant_field
+
+            refine_quant_field(state, xyb, xyb_orig, distance,
+                               iters=butteraugli_iters)
         if fh.loop_filter.epf_iters > 0:
             from .heuristics import epf_sharpness_field
 

@@ -136,9 +136,12 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
         gab = [gaborish_kernel(getattr(lf, f"gab_{ch}_weight1"),
                                getattr(lf, f"gab_{ch}_weight2"))
                for ch in "xyb"]
-    target = max(distance, 0.1)
+    # the DCT8 trial (no EPF, no merged transforms) underestimates
+    # the final error; aim below the nominal target to compensate
+    target = max(distance, 0.1) * 0.7
+    qf_float = state.raw_quant_field.astype(np.float64)
     for _ in range(iters):
-        scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
+        scaled = (inv_gs / np.maximum(np.round(qf_float), 1.0))[
             None, :, :, None, None]
         q = np.round(co * dm_inv[:, None, None] / scaled)
         rec = q * dm[:, None, None] * scaled
@@ -157,19 +160,34 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
                             blurred[c] += w * pad[c, dy:dy + pix.shape[1],
                                                   dx:dx + pix.shape[2]]
             pix = blurred
-        dmap = butteraugli_diffmap_xyb(pix, xyb_orig)
+        dmap = _perceptual_diffmap(pix, xyb_orig)
         berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3)) * 0.5 \
             + dmap.reshape(nby, 8, nbx, 8).mean(axis=(1, 3)) * 0.5
-        # redistribute rate toward perceptually-worse blocks: correction
-        # relative to the current field's typical error, normalized to
-        # keep the mean rate steady (our diffmap is not absolutely
-        # calibrated to `distance` like the reference butteraugli)
-        rel = berr / max(float(np.median(berr)), 1e-9)
-        ratio = np.clip(rel ** 0.6, 0.6, 1.8)
-        ratio /= np.exp(np.mean(np.log(ratio)))
-        qf = np.clip(np.round(state.raw_quant_field * ratio), 1, QUANT_MAX)
-        state.raw_quant_field = qf.astype(np.int32)
-    _ = target  # target scale folds into the initial field
+        # absolute targeting (FindBestQuantization,
+        # enc_adaptive_quantization.cc:934-1010): blocks over the target
+        # get a finer quantizer, blocks under it a coarser one; the
+        # faithful butteraugli diffmap is calibrated so this converges
+        # on the requested distance instead of only redistributing rate
+        ratio = np.clip((berr / target) ** 0.5, 0.8, 1.6)
+        qf_float = np.clip(qf_float * ratio, 1.0, QUANT_MAX)
+    state.raw_quant_field = np.clip(
+        np.round(qf_float), 1, QUANT_MAX).astype(np.int32)
+
+
+def _perceptual_diffmap(xyb_a: np.ndarray, xyb_b: np.ndarray) -> np.ndarray:
+    """Diffmap for the quant-feedback loop: the faithful butteraugli
+    model on images large enough for its frequency separation, else the
+    fast approximate XYB comparator."""
+    if min(xyb_a.shape[1:]) >= 32:
+        from ..metrics.butteraugli import butteraugli_diffmap
+        from ..ops.xyb import xyb_to_linear_rgb
+
+        lin_a = np.clip(xyb_to_linear_rgb(xyb_a), 0.0, 1.0)
+        lin_b = np.clip(xyb_to_linear_rgb(xyb_b), 0.0, 1.0)
+        return butteraugli_diffmap(lin_a, lin_b)
+    from ..metrics.distance import butteraugli_diffmap_xyb
+
+    return butteraugli_diffmap_xyb(xyb_a, xyb_b)
 
 
 def fit_cfl(coeffs_x: np.ndarray, coeffs_y: np.ndarray, coeffs_b: np.ndarray,

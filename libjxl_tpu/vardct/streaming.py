@@ -128,7 +128,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
                        for c in range(3)]).astype(np.float32)
     base_quant = max(1, min(QUANT_MAX, int(
         (K_AC_QUANT / state.nonserialized_distance)
-        * state.quantizer.global_scale_float + 0.5)))
+        * state.quantizer.inv_global_scale + 0.5)))
     qall, dc, qf, ytox_map, ytob_map, sharp = step(
         xyb.astype(np.float32), dm_inv, dm,
         np.float32(state.quantizer.inv_global_scale),

@@ -354,7 +354,7 @@ def encode_vardct_subsampled(writer: BitWriter, planes, fh,
         quant_dc = K_DC_QUANT / distance
         state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
         raw_qf = max(1, min(QUANT_MAX, int(
-            quant_ac * state.quantizer.global_scale_float + 0.5)))
+            quant_ac * state.quantizer.inv_global_scale + 0.5)))
         state.raw_quant_field[:, :] = raw_qf
     inv_gs = state.quantizer.inv_global_scale
     f8 = fwd_matrix(8)
