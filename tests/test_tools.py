@@ -187,3 +187,15 @@ def test_upsample_clamps_to_support():
     up = upsample(imp, 2)
     assert up.min() >= 0.0  # negative kernel lobes are clamped
     assert up.max() <= 1.0
+
+
+def test_benchmark_other_codecs(png_image):
+    from libjxl_tpu.tools.benchmark import run_config
+
+    _path, img = png_image
+    for cfg in ("png", "jpeg:q80"):
+        res = run_config(img, cfg)
+        assert res["bpp"] > 0
+        assert "qabpp" in res and "pnorm" in res
+    res = run_config(img, "m")
+    assert res["psnr"] is None  # lossless: +inf encoded as null
