@@ -45,12 +45,12 @@ def _jitted():
 
     @functools.partial(jax.jit, static_argnames=("adaptive", "cfl", "gab"))
     def enc(rgb, dm_inv, dm, inv_global_scale, base_quant, x_dm_mult,
-            b_dm_mult, adaptive=True, cfl=True, gab=True):
+            b_dm_mult, qf_in=None, adaptive=True, cfl=True, gab=True):
         return pl.encode_step(rgb, dm_inv, dm,
                               gab_kernel if gab else None,
                               inv_global_scale, base_quant,
                               x_dm_mult, b_dm_mult,
-                              adaptive=adaptive, cfl=cfl)
+                              adaptive=adaptive, cfl=cfl, qf_in=qf_in)
 
     @jax.jit
     def dec(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
@@ -120,14 +120,39 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     pad_x = fd.xsize_padded - w
     srgb = np.pad(srgb, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
 
-    # quantizer setup on host (must match encode_vardct_frame's)
+    # quantizer setup on host (must match encode_vardct_frame's):
+    # the full adaptive field needs its median to fix the global scale,
+    # so the cheap field math runs host-side in float64 exactly like the
+    # host encoder; the heavy DCT/CfL/quantize work stays on device
     matrices = DequantMatrices()
     quantizer = Quantizer(matrices)
     quant_ac = K_AC_QUANT / distance
     quant_dc = K_DC_QUANT / distance
-    quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
-    base_quant = max(1, min(QUANT_MAX, int(
-        quant_ac * quantizer.inv_global_scale + 0.5)))
+    qf_arr = None
+    if adaptive_quant:
+        from ..ops.xyb import linear_rgb_to_xyb, srgb_to_linear as s2l
+        from ..vardct.heuristics import (
+            apply_gaborish_inverse,
+            initial_quant_field_full,
+        )
+
+        rgb64 = np.moveaxis(s2l(image.astype(np.float64) / 255.0), -1, 0)
+        rgb64 = np.pad(rgb64, ((0, 0), (0, pad_y), (0, pad_x)),
+                       mode="edge")
+        xyb64 = apply_gaborish_inverse(linear_rgb_to_xyb(rgb64))
+        nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+        qf_float = initial_quant_field_full(xyb64, nby, nbx, distance)
+        med = float(np.median(qf_float))
+        absd = float(np.median(np.abs(qf_float - med)))
+        quant_median = max(med - absd, 1e-4)
+        quantizer.compute_global_scale_and_quant(quant_dc, quant_median)
+        qf_arr = np.clip(qf_float * quantizer.inv_global_scale + 0.5,
+                         1, QUANT_MAX).astype(np.int32)
+        base_quant = int(qf_arr.mean())
+    else:
+        quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
+        base_quant = max(1, min(QUANT_MAX, int(
+            quant_ac * quantizer.inv_global_scale + 0.5)))
     dm = np.stack([matrices.dequant_matrix(0, c)
                    for c in range(3)]).astype(np.float32)
     dm_inv = np.stack([matrices.inv_matrix(0, c)
@@ -140,8 +165,11 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     qall, dc, qf, ytox_map, ytob_map, sharp = enc(
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(x_dm_mult),
-        np.float32(b_dm_mult), adaptive=adaptive_quant, cfl=cfl)
+        np.float32(b_dm_mult), qf_in=qf_arr,
+        adaptive=adaptive_quant, cfl=cfl)
     precomputed = {
+        "quant_median": (quant_median if adaptive_quant
+                         else K_AC_QUANT / distance),
         "qall": np.asarray(qall),
         "dc": np.asarray(dc),
         "qf": np.asarray(qf),

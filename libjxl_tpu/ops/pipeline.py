@@ -424,7 +424,7 @@ def fit_cfl_jax(co, color_factor=84.0, base_b=1.0):
 
 def encode_step(rgb, dm_inv, dm, gab_kernel, inv_global_scale, base_quant,
                 x_dm_mult, b_dm_mult, quant_max=255,
-                color_factor=84.0, adaptive=True, cfl=True):
+                color_factor=84.0, adaptive=True, cfl=True, qf_in=None):
     """Full device-side VarDCT encode step (ComputeCoefficients +
     LossyFrameHeuristics subset): linear RGB -> (qcoeffs, dc, qf,
     ytox_map, ytob_map).
@@ -439,18 +439,24 @@ def encode_step(rgb, dm_inv, dm, gab_kernel, inv_global_scale, base_quant,
         xyb = gaborish_inverse_jax(xyb, gab_kernel)
     return encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
                            x_dm_mult, b_dm_mult, quant_max, color_factor,
-                           adaptive, cfl)
+                           adaptive, cfl, qf_in)
 
 
 def encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
                     x_dm_mult, b_dm_mult, quant_max=255, color_factor=84.0,
-                    adaptive=True, cfl=True):
+                    adaptive=True, cfl=True, qf_in=None):
     """encode_step starting from the (already sharpened) XYB image —
     the streaming per-DC-group entry point, where the inverse-Gaborish
     border context comes from neighboring chunks."""
     _, h, w = xyb.shape
     nby, nbx = h // 8, w // 8
-    if adaptive:
+    if qf_in is not None:
+        # precomputed raw quant field (the full AdaptiveQuantizationMap
+        # needs the field median to fix the global scale, so the host
+        # computes the cheap field and the device does the heavy work)
+        qf = qf_in
+        _, sharp = quant_field_jax(xyb[1], nby, nbx, base_quant, quant_max)
+    elif adaptive:
         qf, sharp = quant_field_jax(xyb[1], nby, nbx, base_quant, quant_max)
     else:
         qf = jnp.full((nby, nbx), jnp.int32(base_quant), dtype=jnp.int32)

@@ -1147,10 +1147,16 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         if splines is not None or patches is not None:
             raise JXLError(
                 "precomputed path does not support splines/patches")
-        quant_ac = K_AC_QUANT / distance
         quant_dc = K_DC_QUANT / distance
-        state.quantizer.compute_global_scale_and_quant(quant_dc,
-                                                       quant_ac)
+        if "quant_median" in precomputed:
+            # the caller derived the global scale from its adaptive
+            # field median (SetQuantField semantics); reproduce it so
+            # the signaled quantizer params match the field
+            state.quantizer.compute_global_scale_and_quant(
+                quant_dc, precomputed["quant_median"])
+        else:
+            state.quantizer.compute_global_scale_and_quant(
+                quant_dc, K_AC_QUANT / distance)
         state.raw_quant_field = np.asarray(precomputed["qf"],
                                            dtype=np.int32)
         state.strategy[:, :] = acs.DCT
@@ -1277,20 +1283,30 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         xyb_orig = xyb.copy() if butteraugli_iters > 0 else None
         if fh.loop_filter.gab:
             xyb = apply_gaborish_inverse(xyb)
-        # quantizer setup (SetQuant path, quantizer.cc:112-115)
-        quant_ac = K_AC_QUANT / distance
         quant_dc = K_DC_QUANT / distance
-        state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
-        # raw field = quant * INV global scale (SetQuantFieldRect,
-        # quantizer.cc:78): the k_target=5 median lands mid-range so the
-        # adaptive field and Butteraugli feedback have integer headroom
-        raw_qf = max(1, min(QUANT_MAX,
-                            int(quant_ac * state.quantizer.inv_global_scale
-                                + 0.5)))
         if adaptive_quant:
-            state.raw_quant_field = initial_quant_field(
-                xyb[1], fd.ysize_blocks, fd.xsize_blocks, distance, raw_qf)
+            # full adaptive quantization map (AdaptiveQuantizationMap,
+            # enc_adaptive_quantization.cc) -> float field; global scale
+            # from the field median minus its absolute deviation
+            # (SetQuantField, quantizer.cc:84-110)
+            from .heuristics import initial_quant_field_full
+
+            qf_float = initial_quant_field_full(
+                xyb, fd.ysize_blocks, fd.xsize_blocks, distance)
+            med = float(np.median(qf_float))
+            absd = float(np.median(np.abs(qf_float - med)))
+            state.quantizer.compute_global_scale_and_quant(
+                quant_dc, max(med - absd, 1e-4))
+            state.raw_quant_field = np.clip(
+                qf_float * state.quantizer.inv_global_scale + 0.5,
+                1, QUANT_MAX).astype(np.int32)
         else:
+            # SetQuant path (quantizer.cc:112-115): uniform field
+            quant_ac = K_AC_QUANT / distance
+            state.quantizer.compute_global_scale_and_quant(quant_dc,
+                                                           quant_ac)
+            raw_qf = max(1, min(QUANT_MAX, int(
+                quant_ac * state.quantizer.inv_global_scale + 0.5)))
             state.raw_quant_field[:, :] = raw_qf
         state.strategy[:, :] = acs.DCT
         state.is_origin[:, :] = True

@@ -218,3 +218,116 @@ def fit_cfl(coeffs_x: np.ndarray, coeffs_y: np.ndarray, coeffs_b: np.ndarray,
             ytob[ty, tx] = int(np.clip(
                 round((rb - base_b) * color_factor), -128, 127))
     return ytox, ytob
+
+
+# --- full InitialQuantField port (enc_adaptive_quantization.cc) ---
+
+_SG_MUL = 226.77216153508914
+_SG_MUL2 = 1.0 / 73.377132366608819
+_LOG2 = 0.693147181
+_SG_RETMUL = _SG_MUL2 * 18.6580932135 * _LOG2
+_SG_VOFFSET = 7.7825991679894591
+
+
+def _ratio_cbrt_gamma(v: np.ndarray, invert: bool = False) -> np.ndarray:
+    """RatioOfDerivativesOfCubicRootToSimpleGamma
+    (enc_adaptive_quantization.cc:118-137)."""
+    eps = 1e-2
+    v = np.maximum(v, 0.0)
+    num = (_SG_RETMUL * 3 * _SG_MUL) * v * v + eps
+    den = (_LOG2 * _SG_MUL) * v * v * v + (_SG_VOFFSET * _LOG2 + eps)
+    return num / den if invert else den / num
+
+
+def _masking_sqrt(v: np.ndarray) -> np.ndarray:
+    k_log_offset = 27.505837037000106
+    k_mul = 211.66567973503678
+    return 0.25 * np.sqrt(v * np.sqrt(k_mul * 1e8) + k_log_offset)
+
+
+def _compute_mask(v: np.ndarray) -> np.ndarray:
+    """ComputeMask rational polynomial (:85-101)."""
+    v1 = np.maximum(v * 0.80061762862741759, 1e-3)
+    v2 = 1.0 / (v1 + 302.59587815579727)
+    v3 = 1.0 / (v1 * v1 + 3.7179635626140772)
+    v4 = 1.0 / (v1 * v1 + 0.25 * 3.7179635626140772)
+    return (-0.7647 + 9.4708735624378946 * v4 + 17.35036561631863 * v2
+            + 6.7943250517376494 * v3)
+
+
+def _block_sum(img: np.ndarray, nby: int, nbx: int) -> np.ndarray:
+    return img[:nby * 8, :nbx * 8].reshape(nby, 8, nbx, 8).sum(axis=(1, 3))
+
+
+def initial_quant_field_full(xyb: np.ndarray, nby: int, nbx: int,
+                             distance: float,
+                             rescale: float = 1.0) -> np.ndarray:
+    """Float per-block quant field (AdaptiveQuantizationMap,
+    enc_adaptive_quantization.cc:480-660 + PerBlockModulations
+    :306-340), vectorized. xyb: (3, H, W) opsin planes."""
+    quant_ac = 0.725 / max(distance, 1e-3)  # kAcQuant (:843)
+    scale = quant_ac * rescale
+    h, w = nby * 8, nbx * 8
+    yp = xyb[1][:h, :w]
+    xp = xyb[0][:h, :w]
+    bp = xyb[2][:h, :w]
+
+    # per-pixel masking diff (:510-600)
+    p = np.pad(yp, 1, mode="edge")
+    base = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+    gammac = _ratio_cbrt_gamma(yp + 0.019)
+    diff = np.minimum((gammac * (yp - base)) ** 2, 0.2)
+    diff = _masking_sqrt(diff)
+    # 4x4 cell aggregation * 0.25 -> pre_erosion at half-block res
+    pre = diff.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3)) * 0.25
+
+    # FuzzyErosion (:380-450): weighted 4 smallest of the 9-neighborhood
+    mul = max(0.0, min(1.0, (2.0 - distance) / 2.0)) if distance < 2.0 \
+        else 0.0
+    k = np.array([0.125 + mul * 0.0, 0.10 - mul * 0.10,
+                  0.09 - mul * 0.09, 0.06 - mul * 0.06])
+    k *= 0.29959705784054957 / k.sum()
+    pp = np.pad(pre, 1, mode="edge")
+    hh, ww = pre.shape
+    neigh = np.stack([pp[1 + dy:1 + dy + hh, 1 + dx:1 + dx + ww]
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    part = np.partition(neigh, 3, axis=0)
+    eroded = (k[0] * part[0] + k[1] * part[1] + k[2] * part[2]
+              + k[3] * part[3])
+    # sum the four half-block cells into each block
+    aq = eroded.reshape(nby, 2, nbx, 2).sum(axis=(1, 3))
+
+    out = _compute_mask(aq)
+
+    # HfModulation (:251-300): capped |gradient| sums over the block
+    vmin = 0.0206
+    dx_ = np.minimum(np.abs(yp[:, 1:] - yp[:, :-1]), vmin)
+    dy_ = np.minimum(np.abs(yp[1:, :] - yp[:-1, :]), vmin)
+    hf = (_block_sum(np.pad(dx_, ((0, 0), (0, 1))), nby, nbx)
+          + _block_sum(np.pad(dy_, ((0, 1), (0, 0))), nby, nbx))
+    out = out + hf * -0.38 + 0.42
+
+    # GammaModulation (:170-200)
+    r = _ratio_cbrt_gamma(yp + 0.16 - xp, invert=True)
+    g = _ratio_cbrt_gamma(yp + 0.16 + xp, invert=True)
+    overall = (_block_sum(r, nby, nbx) + _block_sum(g, nby, nbx)) \
+        * (0.5 / 64)
+    out = out + 0.1005613337192697 * np.log2(np.maximum(overall, 1e-9))
+
+    # BlueModulation (:200-250)
+    k_limit = 0.027121074570634722
+    k_offset = 0.084381641171960495
+    p_y_eff = bp - (yp + k_offset + np.abs(xp))
+    contrib = np.where(p_y_eff > 0, np.minimum(p_y_eff, k_limit), 0.0)
+    s = _block_sum(contrib, nby, nbx)
+    s = np.where(s >= 32 * k_limit, 64 * k_limit - s, s)
+    s = np.minimum(s, 15.398788439047934 * k_limit)
+    out = out + s * 0.14207000358439159
+
+    # final mapping (:330-340): exp with distance-dependent dampening
+    base_level = 0.48 * scale
+    if distance >= 2.0:
+        dampen = max(0.0, 1.0 - (distance - 2.0) / 12.0)
+    else:
+        dampen = 1.0
+    return np.exp(out) * (scale * dampen) + (1.0 - dampen) * base_level
