@@ -78,9 +78,10 @@ def _jitted_chunk_step():
 
     @jax.jit
     def step(xyb, dm_inv, dm, inv_global_scale, base_quant, x_dm_mult,
-             b_dm_mult):
+             b_dm_mult, qf_in):
         return pl.encode_step_xyb(xyb, dm_inv, dm, inv_global_scale,
-                                  base_quant, x_dm_mult, b_dm_mult)
+                                  base_quant, x_dm_mult, b_dm_mult,
+                                  qf_in=qf_in)
 
     return prep, step
 
@@ -129,11 +130,22 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     base_quant = max(1, min(QUANT_MAX, int(
         (K_AC_QUANT / state.nonserialized_distance)
         * state.quantizer.inv_global_scale + 0.5)))
+    # per-chunk adaptive quantization field (the global scale is fixed
+    # up-front from the uniform quant — streaming cannot see the whole
+    # image's field median before emitting the header)
+    from .heuristics import initial_quant_field_full
+
+    nby_c, nbx_c = xyb.shape[1] // 8, xyb.shape[2] // 8
+    qf_float = initial_quant_field_full(
+        xyb.astype(np.float64), nby_c, nbx_c,
+        state.nonserialized_distance)
+    qf_in = np.clip(qf_float * state.quantizer.inv_global_scale + 0.5,
+                    1, QUANT_MAX).astype(np.int32)
     qall, dc, qf, ytox_map, ytob_map, sharp = step(
         xyb.astype(np.float32), dm_inv, dm,
         np.float32(state.quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(state.x_dm_mult),
-        np.float32(state.b_dm_mult))
+        np.float32(state.b_dm_mult), qf_in)
     qall = np.asarray(qall)[:, :rh, :rw]
     dc = np.asarray(dc)[:, :rh, :rw]
     qf = np.asarray(qf)[:rh, :rw]
