@@ -39,7 +39,7 @@ def main():
     from libjxl_tpu.vardct.quant_weights import library_tables
 
     H = W = 4096
-    B = 4  # images per dispatch
+    B = 4  # images per dispatch (6 exceeds the 16 GB HBM)
     nby, nbx = H // 8, W // 8
     rng = np.random.default_rng(0)
     qf_np = np.full((nby, nbx), 64, dtype=np.int32)
