@@ -397,7 +397,9 @@ def quant_field_jax(y, nby, nbx, base_quant, quant_max):
     mod = jnp.clip(1.6 - 0.35 * act, 0.55, 1.8)
     qf = jnp.clip(jnp.round(base_quant * mod), 1,
                   quant_max).astype(jnp.int32)
-    sharp = jnp.clip(jnp.round(7.0 - 2.2 * act), 1, 7).astype(jnp.int32)
+    # uniform sharpness 4: the reference's default outside slow tiers
+    # (ComputeARHeuristics, enc_heuristics.cc:901)
+    sharp = jnp.full((nby, nbx), 4, dtype=jnp.int32)
     return qf, sharp
 
 

@@ -86,19 +86,14 @@ def initial_quant_field(y: np.ndarray, nby: int, nbx: int, distance: float,
 
 
 def epf_sharpness_field(y: np.ndarray, nby: int, nbx: int) -> np.ndarray:
-    """Per-block EPF sharpness 0-7 (ComputeARHeuristics analog,
-    enc_ac_strategy.cc / enc_frame.cc:1086): smooth blocks get high
-    sharpness (the LUT scales sigma up -> stronger smoothing of banding);
-    busy/edge blocks get low values so the filter preserves detail."""
-    h, w = nby * 8, nbx * 8
-    yp = y[:h, :w]
-    gy = np.abs(np.diff(yp, axis=0, prepend=yp[:1]))
-    gx = np.abs(np.diff(yp, axis=1, prepend=yp[:, :1]))
-    grad = (gy + gx).reshape(nby, 8, nbx, 8).mean(axis=(1, 3))
-    act = np.log1p(grad * 80.0)
-    # act ~0 (flat) -> 7; act >= ~3 (busy) -> 1
-    sharp = np.clip(np.round(7.0 - 2.2 * act), 1, 7)
-    return sharp.astype(np.int32)
+    """Per-block EPF sharpness (ComputeARHeuristics,
+    enc_heuristics.cc:890-930): the reference fills a uniform 4 except
+    at slower-than-wombat tiers, where a per-value reconstruction
+    search picks block minima. We match the default; the search is a
+    possible slow-tier extension. (An A/B against an activity-derived
+    field measured within noise of uniform 4.)"""
+    _ = y
+    return np.full((nby, nbx), 4, dtype=np.int32)
 
 
 def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
