@@ -136,7 +136,11 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     from ..vardct.frame import encode_vardct_frame
 
     if image.ndim == 2:
-        image = np.repeat(image[:, :, None], 3, axis=2)
+        image = image[:, :, None]
+    if image.shape[2] == 1:
+        # grayscale: code as three identical channels (the XYB path is
+        # inherently 3-channel; X ends up ~0 and CfL removes B redundancy)
+        image = np.repeat(image, 3, axis=2)
     h, w, nc = image.shape
     extra_channels = None
     meta = CodecMetadata()
@@ -250,6 +254,14 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         else:
             rgb = np.stack([downsample_box(rgb[c], resampling)
                             for c in range(3)])
+        if extra_channels:
+            # extra channels must be upsampled at least as much as the
+            # color channels (frame_header.cc ec_upsampling >= upsampling)
+            fh.extra_channel_upsampling = [resampling] * len(extra_channels)
+            extra_channels = [
+                np.round(downsample_box(ec.astype(np.float64),
+                                        resampling)).astype(np.int32)
+                for ec in extra_channels]
     # effort semantics (doc/encode_effort.md): kitten (e7) and up run the
     # Butteraugli-feedback quant refinement (<= 4 iters, like the ref);
     # e8+ also runs dot detection (FindBestPatchDictionary dot path)
