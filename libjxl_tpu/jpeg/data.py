@@ -83,6 +83,7 @@ class JPEGData:
     restart_interval: int = 0
     scan_components: list = field(default_factory=list)
     eob_padding_bits: str = ""
+    rst_padding: list = field(default_factory=list)  # bits before each RSTn
     trailing: bytes = b""
 
 
@@ -125,10 +126,16 @@ class _BitReaderJPEG:
         return v
 
     def align_and_check_rst(self):
+        # record the discarded padding bits (jbrd needs them verbatim)
+        pad = ""
+        if self.nbits:
+            pad = format(self.bitbuf & ((1 << self.nbits) - 1),
+                         f"0{self.nbits}b")
         self.nbits = 0
         if (self.data[self.pos] == 0xFF
                 and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
             self.pos += 2
+        return pad
 
 
 def _decode_huff(br: _BitReaderJPEG, table: dict) -> int:
@@ -247,7 +254,7 @@ def _decode_scan(jd: JPEGData, data: bytes, pos: int) -> int:
         for mx in range(mcux):
             if (jd.restart_interval and mcu_count
                     and mcu_count % jd.restart_interval == 0):
-                br.align_and_check_rst()
+                jd.rst_padding.append(br.align_and_check_rst())
                 for c in jd.components:
                     preds[id(c)] = 0
             for c in jd.scan_components:

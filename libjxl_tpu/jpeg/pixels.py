@@ -29,7 +29,9 @@ def jpeg_to_pixels(jd: JPEGData) -> np.ndarray:
         # JPEG IDCT: f = (1/4) sum c(u)c(v) F cos cos with c(0)=1/sqrt(2),
         # c(u>0)=1. Our idct2d uses c'(0)=1, c'(u>0)=sqrt(2) = sqrt(2)*c(u),
         # so f = (1/8) sum c'(u)c'(v) F cos cos -> scale coefficients by 1/8.
-        pix = idct2d(blocks * 0.125, 8, 8)
+        # idct2d consumes the transposed ([hfreq][vfreq]) layout for square
+        # blocks; JPEG blocks are natural, so swap axes first
+        pix = idct2d(np.swapaxes(blocks, -2, -1) * 0.125, 8, 8)
         plane = pix.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
         # upsample to full resolution
         fy = vmax // c.v_samp

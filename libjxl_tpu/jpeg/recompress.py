@@ -195,15 +195,23 @@ def reconstruct_jpeg(container: bytes) -> bytes:
     if container[:12] != CONTAINER_HEADER[:12]:
         raise JXLError("not a recompressed-JPEG container")
     blob = None
-    stream = None
+    stream_parts = []
     for btype, payload, _ in parse_boxes(container[12:]):
         if btype == b"jbrd":
             blob = payload
         elif btype == b"jxlc":
-            stream = payload
-    if blob is None or stream is None:
+            stream_parts.append(payload)
+        elif btype == b"jxlp":
+            stream_parts.append(payload[4:])  # strip the part index
+    if blob is None or not stream_parts:
         raise JXLError("missing jbrd/jxlc boxes")
-    if blob[:1] == b"\x02":  # VarDCT-frame transcode layout
+    stream = b"".join(stream_parts)
+    if blob[:1] not in (b"\x01", b"\x02"):
+        # reference jbrd bundle (jpeg_data.cc VisitFields)
+        from .jbrd import decode_jbrd
+
+        return _reconstruct_from_jbrd(decode_jbrd(blob), stream)
+    if blob[:1] == b"\x02":  # legacy round-1 VarDCT transcode layout
         from ..io.brotli import brotli_decompress
 
         return _reconstruct_from_vardct(brotli_decompress(blob[1:]), stream)
@@ -302,7 +310,8 @@ def recompress_jpeg_vardct(data: bytes) -> bytes:
         qz = np.asarray(jd.quant[comp.quant_idx], dtype=np.int32)
         nat = np.zeros(64, dtype=np.int32)
         nat[ZIGZAG] = qz
-        qtabs[jc] = nat.reshape(8, 8)
+        # RAW tables live in the transposed VarDCT coefficient layout
+        qtabs[jc] = nat.reshape(8, 8).T
     den = 1.0 / (8.0 * 255.0)  # JPEG->JXL DCT basis scale (F/8) / 255
 
     def matrices_setup(state):
@@ -323,6 +332,9 @@ def recompress_jpeg_vardct(data: bytes) -> bytes:
         hb, wb = comp.coeffs.shape[:2]
         nat = np.zeros((hb, wb, 64), dtype=np.int64)
         nat[:, :, ZIGZAG] = comp.coeffs
+        # VarDCT stores 8x8 coefficients transposed vs JPEG's natural
+        # layout (ComputeJPEGTranscodingData transposes likewise)
+        nat = nat.reshape(hb, wb, 8, 8).swapaxes(-2, -1).reshape(hb, wb, 64)
         for sby in range(min(hb, grids[jc][0])):
             for sbx in range(min(wb, grids[jc][1])):
                 blk = nat[sby, sbx].copy()
@@ -338,11 +350,100 @@ def recompress_jpeg_vardct(data: bytes) -> bytes:
     encode_vardct_subsampled(writer, None, fh,
                              precomputed={"qblocks": qblocks, "dc": dc},
                              matrices_setup=matrices_setup)
+    # reference-format reconstruction data (jpeg/enc_jpeg_data.cc:314) —
+    # the resulting container round-trips through libjxl's djxl too
+    from .jbrd import jbrd_from_jpeg, encode_jbrd
+    jb = jbrd_from_jpeg(data, jd)
     out = [CONTAINER_HEADER]
-    out.append(make_box(b"jbrd",
-                        b"\x02" + brotli_compress(_meta_blob(jd))))
+    out.append(make_box(b"jbrd", encode_jbrd(jb)))
     out.append(make_box(b"jxlc", writer.get_bytes()))
     return b"".join(out)
+
+
+def _capture_vardct_state(stream: bytes):
+    """Decode a transcoded VarDCT stream up to (but not through) the
+    restoration pipeline and return (state, frame_header)."""
+    from ..api.codestream import parse_codestream_header
+    from ..io.frame_header import FrameHeader
+    from ..vardct.frame import decode_vardct_frame
+
+    r = BitReader(stream)
+    meta = parse_codestream_header(r)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    captured = {}
+
+    def capture(state):
+        captured["state"] = state
+        state.restoration_done = True
+
+    decode_vardct_frame(r, fh, render_fn=capture)
+    return captured["state"], fh
+
+
+def _reconstruct_from_jbrd(jb, stream: bytes) -> bytes:
+    """Rebuild the original JPEG from a reference-format jbrd payload plus
+    the coefficients of the transcoded VarDCT frame (decode_to_jpeg.h:35 /
+    dec_frame.cc:432-473 analog)."""
+    from ..vardct.subsampled import _shifts
+    from .jbrd import jpeg_from_jbrd
+    from .data import ZIGZAG
+
+    st, fh = _capture_vardct_state(stream)
+    fd = st.fd
+    width = fh.nonserialized_metadata.size.xsize()
+    height = fh.nonserialized_metadata.size.ysize()
+    hs, vs = _shifts(fh)
+    njpeg = len(jb.component_ids)
+    if njpeg not in (1, 3):
+        raise JXLError("unsupported JPEG component count")
+    # jbrd quant values from the signaled RAW dequant table
+    # (dec_frame.cc:458-462: values are the transposed stored table)
+    den = 1.0 / (8.0 * 255.0)
+    qt_set = set()
+    for ji in range(njpeg):
+        jc = _JPEG_TO_JXL_CHANNEL[ji] if njpeg == 3 else 1
+        qpos = jb.comp_quant_idx[ji]
+        qt_set.add(qpos)
+        tab = np.round(st.matrices.dequant_matrix(0, jc) / den)
+        nat = tab.T.astype(np.int64)  # stored layout -> natural raster
+        jb.quant[qpos].values = [int(v) for v in nat.reshape(-1)]
+    for i, q in enumerate(jb.quant):
+        if i not in qt_set and i > 0 and q.values == [0] * 64:
+            q.values = list(jb.quant[i - 1].values)
+    fac = [st.quantizer.mul_dc(c) for c in range(3)]
+    hsm, vsm = max(hs), max(vs)
+    subsampled = hasattr(st, "qblocks_sub")
+    mcux = -(-width // (8 << hsm))
+    mcuy = -(-height // (8 << vsm))
+    components = []
+    for ji in range(njpeg):
+        jc = _JPEG_TO_JXL_CHANNEL[ji] if njpeg == 3 else 1
+        h_samp = 1 << (hsm - hs[jc])
+        v_samp = 1 << (vsm - vs[jc])
+        wb, hb = mcux * h_samp, mcuy * v_samp
+        coeffs = np.zeros((hb, wb, 64), dtype=np.int32)
+        for sby in range(hb):
+            for sbx in range(wb):
+                if subsampled:
+                    blk = st.qblocks_sub[jc].get((sby, sbx))
+                    dcv = st.dc_sub[jc][sby, sbx] \
+                        if sby < st.dc_sub[jc].shape[0] \
+                        and sbx < st.dc_sub[jc].shape[1] else 0.0
+                else:
+                    joint = st.qblocks.get((sby, sbx))
+                    blk = joint[jc] if joint is not None else None
+                    dcv = st.dc[jc, sby, sbx] \
+                        if sby < st.dc.shape[1] and sbx < st.dc.shape[2] \
+                        else 0.0
+                nat = np.zeros(64, dtype=np.int64)
+                if blk is not None:
+                    # stored transposed layout -> natural raster
+                    nat[:] = np.asarray(blk).reshape(8, 8).T.reshape(-1)
+                nat[0] = int(round(dcv / fac[jc]))
+                coeffs[sby, sbx] = nat[ZIGZAG]
+        components.append(dict(h_samp=h_samp, v_samp=v_samp, coeffs=coeffs))
+    return jpeg_from_jbrd(jb, width, height, components)
 
 
 def _reconstruct_from_vardct(blob: bytes, stream: bytes) -> bytes:
@@ -383,7 +484,8 @@ def _reconstruct_from_vardct(blob: bytes, stream: bytes) -> bytes:
                     dcv = st.dc[jc, sby, sbx]
                 nat = np.zeros(64, dtype=np.int64)
                 if blk is not None:
-                    nat[:] = np.asarray(blk).reshape(-1)
+                    # undo the VarDCT transposed layout (see encode side)
+                    nat[:] = np.asarray(blk).reshape(8, 8).T.reshape(-1)
                 nat[0] = int(round(dcv / fac[jc]))
                 coeffs[sby, sbx] = nat[ZIGZAG]
         comp.coeffs = coeffs.astype(np.int16)

@@ -52,14 +52,15 @@ def dct2d(pixels: np.ndarray) -> np.ndarray:
     out = fwd_matrix(r) @ pixels @ fwd_matrix(c).T
     if r < c:
         return out
-    if r > c:
-        return np.swapaxes(out, -2, -1)
-    return out
+    # tall AND square blocks are stored transposed ([hfreq][vfreq]) —
+    # ComputeScaledDCT's ROWS >= COLS branch skips the final transpose
+    # (dct-inl.h ComputeScaledDCT; verified against libjxl decodes)
+    return np.swapaxes(out, -2, -1)
 
 
 def idct2d(coeffs: np.ndarray, r: int, c: int) -> np.ndarray:
     """Inverse of dct2d: wide-layout (..., min, max) -> (..., R, C) pixels."""
-    if r > c:
+    if r >= c:
         coeffs = np.swapaxes(coeffs, -2, -1)
     return inv_matrix(r) @ coeffs @ inv_matrix(c).T
 
@@ -105,12 +106,12 @@ def make_jax_dct():
     def jdct2d(pixels, r, c):
         out = jnp.einsum("ur,...rc,vc->...uv", fwd[r], pixels, fwd[c],
                          precision=hi, preferred_element_type=jnp.float32)
-        if r > c:
+        if r >= c:
             out = jnp.swapaxes(out, -2, -1)
         return out
 
     def jidct2d(coeffs, r, c):
-        if r > c:
+        if r >= c:
             coeffs = jnp.swapaxes(coeffs, -2, -1)
         return jnp.einsum("ru,...uv,cv->...rc", inv[r], coeffs, inv[c],
                           precision=hi, preferred_element_type=jnp.float32)

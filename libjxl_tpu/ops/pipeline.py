@@ -64,17 +64,20 @@ def _consts():
 def idct8_blocks(blocks):
     """Batched 8x8 IDCT: one 8x8 matmul pair per block (MXU).
 
+    Blocks are in the bitstream's transposed layout ([hfreq][vfreq],
+    ComputeScaledDCT square convention) — the einsum untransposes for free.
     Precision HIGHEST keeps the TPU MXU in 3-pass bf16 (~f32) mode — the
     conformance error bounds (ISO 18181-3) do not survive plain bf16."""
     k = _consts()
-    return jnp.einsum("ru,...uv,cv->...rc", k["inv8"], blocks, k["inv8"],
+    return jnp.einsum("ru,...vu,cv->...rc", k["inv8"], blocks, k["inv8"],
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
 
 
 def dct8_blocks(blocks):
+    """Inverse of idct8_blocks: pixels -> transposed-layout coefficients."""
     k = _consts()
-    return jnp.einsum("ur,...rc,vc->...uv", k["fwd8"], blocks, k["fwd8"],
+    return jnp.einsum("ur,...rc,vc->...vu", k["fwd8"], blocks, k["fwd8"],
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
 
@@ -189,22 +192,23 @@ def _row_transform8(img, m):
 
 
 def idct8_image(coeffs):
-    """8x8 IDCT on image-layout coefficients (3, H, W): row transform,
-    transpose, row transform, transpose back — all tensors stay in wide
-    layouts."""
+    """8x8 IDCT on image-layout coefficients (3, H, W) stored in the
+    bitstream's per-block transposed layout: the two row transforms are
+    chained without the final global transpose-back, which exactly undoes
+    the per-block transpose while keeping every tensor in a wide layout."""
     k = _consts()
-    t = _row_transform8(coeffs, k["inv8"])
-    t = t.transpose(0, 2, 1)
-    t = _row_transform8(t, k["inv8"])
-    return t.transpose(0, 2, 1)
+    c, h, w = coeffs.shape
+    blocks = coeffs.reshape(c, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+    out = idct8_blocks(blocks)
+    return out.transpose(0, 1, 3, 2, 4).reshape(c, h, w)
 
 
 def dct8_image(pixels):
     k = _consts()
-    t = _row_transform8(pixels, k["fwd8"])
-    t = t.transpose(0, 2, 1)
-    t = _row_transform8(t, k["fwd8"])
-    return t.transpose(0, 2, 1)
+    c, h, w = pixels.shape
+    blocks = pixels.reshape(c, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+    out = dct8_blocks(blocks)
+    return out.transpose(0, 1, 3, 2, 4).reshape(c, h, w)
 
 
 def _block_to_px(block_map, h, w):

@@ -959,7 +959,7 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     tiles = crop.reshape(3, tby, rows, tbx, cols).transpose(0, 1, 3, 2, 4)
     co = np.einsum("ur,ctmrk,vk->ctmuv", fwd_matrix(rows), tiles,
                    fwd_matrix(cols), optimize=True)
-    if rows > cols:  # wide layout
+    if rows >= cols:  # wide layout, transposed for tall/square
         co = np.swapaxes(co, -2, -1)
     dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
                        for c in range(3)])  # (3, min, max), LLF zeroed
@@ -1377,7 +1377,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         from ..ops.dct import fwd_matrix
 
         f8 = fwd_matrix(8)
-        co = np.einsum("ur,cnmrk,vk->cnmuv", f8, blocks, f8,
+        # swap (u, v) at the end: coefficients are stored transposed
+        # ([hfreq][vfreq]), matching ComputeScaledDCT's square layout
+        co = np.einsum("ur,cnmrk,vk->cnmvu", f8, blocks, f8,
                    optimize=True)
         scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
             None, :, :, None, None]

@@ -201,7 +201,8 @@ def render_groups_sub(state) -> None:
             co = adjust_quant_bias(qblock, c) * dm * scaled
             co = co.reshape(8, 8).copy()
             co[0, 0] = state.dc_sub[c][sby, sbx]
-            pix = i8 @ co @ i8.T
+            # coefficients are stored transposed ([hfreq][vfreq])
+            pix = i8 @ co.T @ i8.T
             plane[sby * 8:sby * 8 + 8, sbx * 8:sbx * 8 + 8] = pix
         # upsample chroma to luma resolution (nearest/box)
         up = np.repeat(np.repeat(plane, 1 << vs[c], 0), 1 << hs[c], 1)
@@ -370,7 +371,7 @@ def encode_vardct_subsampled(writer: BitWriter, planes, fh,
         for sby in range(nby):
             for sbx in range(nbx):
                 block = plane[sby * 8:sby * 8 + 8, sbx * 8:sbx * 8 + 8]
-                co = f8 @ block @ f8.T
+                co = (f8 @ block @ f8.T).T  # transposed coefficient layout
                 q = np.round(co.reshape(-1) * dm_inv / scaled).astype(
                     np.int64)
                 q[0] = 0
@@ -413,7 +414,16 @@ def encode_vardct_subsampled(writer: BitWriter, planes, fh,
         state.matrices.encode_dc(w)
         state.quantizer.encode(w)
         w.write(1, 1)  # default block ctx map
-        w.write(1, 1)  # default cmap DC
+        # explicit all-zero cmap DC: the library default has
+        # base_correlation_b = kYToBRatio != 0, which fails the decoder's
+        # IsJPEGCompatible() check (chroma_from_luma.h:62-66)
+        from ..io.fields import f16_write
+        w.write(1, 0)           # not all_default
+        w.write(2, 0)           # color factor: Val(kDefaultColorFactor)
+        f16_write(0.0, w)       # base_correlation_x
+        f16_write(0.0, w)       # base_correlation_b
+        w.write(8, 128)         # ytox_dc = 0 (offset by int8 min)
+        w.write(8, 128)         # ytob_dc = 0
         w.write(1, 1)  # has global tree
         w.append_bits_from(tree_writer)
         w.append_bits_from(histo_writer)
