@@ -140,6 +140,54 @@ def test_all_dct8_modes_interop():
     assert _rmse(codestream.decode(data2)[0], oracle.decode(data2)[0]) < 0.5
 
 
+@pytest.mark.parametrize("strategy", range(27))
+def test_every_ac_strategy_decodes_identically(strategy):
+    """Force a uniform strategy map and require the reference decoder to
+    reconstruct the same pixels we do (catches per-strategy coefficient
+    layout and dequant-table orientation bugs for the whole zoo of
+    ac_strategy.h:35-79 transforms)."""
+    from libjxl_tpu.vardct import ac_strategy as acs
+    from libjxl_tpu.vardct import frame as vf
+
+    cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
+    n = max(cx, cy) * 8 * 2  # at least 2 tiles per axis
+    n = max(n, 32)
+    yy, xx = np.mgrid[0:n, 0:n]
+    base = (np.sin(xx * 0.21) * 40 + np.cos(yy * 0.13) * 40
+            + np.sin((xx + 2 * yy) * 0.07) * 30)
+    img = np.clip(128 + base, 0, 255).astype(np.uint8)
+    rgb = np.stack([img, 255 - img, np.roll(img, 3, axis=1)], axis=-1)
+
+    def force(state, xyb):
+        state.strategy[:, :] = strategy
+        state.is_origin[:, :] = False
+        for by in range(0, state.fd.ysize_blocks - cy + 1, cy):
+            for bx in range(0, state.fd.xsize_blocks - cx + 1, cx):
+                state.is_origin[by, bx] = True
+        # cover any ragged edge with plain DCT8
+        cov = np.zeros_like(state.is_origin, dtype=bool)
+        for by in range(state.fd.ysize_blocks):
+            for bx in range(state.fd.xsize_blocks):
+                if state.is_origin[by, bx]:
+                    cov[by:by + cy, bx:bx + cx] = True
+        for by in range(state.fd.ysize_blocks):
+            for bx in range(state.fd.xsize_blocks):
+                if not cov[by, bx]:
+                    state.strategy[by, bx] = acs.DCT
+                    state.is_origin[by, bx] = True
+
+    orig = vf._choose_ac_strategies
+    vf._choose_ac_strategies = force
+    try:
+        data = codestream.encode_lossy(rgb, distance=1.0, effort=5)
+    finally:
+        vf._choose_ac_strategies = orig
+    ours, _ = codestream.decode(data)
+    theirs, _ = oracle.decode(data)
+    assert _rmse(ours, theirs) < 0.6, \
+        (acs.STRATEGY_NAMES[strategy], _rmse(ours, theirs), _peak(ours, theirs))
+
+
 def test_noise_image_interop_both_directions():
     rng = np.random.default_rng(17)
     img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
