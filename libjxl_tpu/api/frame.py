@@ -192,7 +192,7 @@ def finalize_modular_frame(fh: FrameHeader, state: ModularFrameState):
 def decode_frame_sections(r: BitReader, fh: FrameHeader,
                           decode_dc_global, decode_dc_group,
                           decode_ac_global, decode_ac_group,
-                          runner=None) -> None:
+                          runner=None, decode_ac_bulk=None) -> None:
     """Reads TOC, dispatches section payloads to the callbacks.
 
     Callbacks receive a BitReader positioned at their section.
@@ -227,13 +227,25 @@ def decode_frame_sections(r: BitReader, fh: FrameHeader,
             (lambda g=g: decode_dc_group(g, section_reader(1 + g)))
             for g in range(fd.num_dc_groups)])
         decode_ac_global(section_reader(1 + fd.num_dc_groups))
-        tasks = []
-        for p in range(num_passes):
-            for g in range(fd.num_groups):
-                idx = 2 + fd.num_dc_groups + p * fd.num_groups + g
-                tasks.append(lambda g=g, p=p, idx=idx: decode_ac_group(
-                    g, p, section_reader(idx)))
-        runner.run(tasks)
+        handled = False
+        if decode_ac_bulk is not None:
+            # one native call per pass over all group sections
+            # (see vardct.frame.decode_ac_bulk_native)
+            per_pass = []
+            for p in range(num_passes):
+                i0 = 2 + fd.num_dc_groups + p * fd.num_groups
+                per_pass.append((
+                    [base + offsets[i0 + g] for g in range(fd.num_groups)],
+                    [sizes[i0 + g] for g in range(fd.num_groups)]))
+            handled = decode_ac_bulk(data, per_pass)
+        if not handled:
+            tasks = []
+            for p in range(num_passes):
+                for g in range(fd.num_groups):
+                    idx = 2 + fd.num_dc_groups + p * fd.num_groups + g
+                    tasks.append(lambda g=g, p=p, idx=idx: decode_ac_group(
+                        g, p, section_reader(idx)))
+            runner.run(tasks)
     # advance the outer reader past all sections
     r.skip_bits(total * 8)
 

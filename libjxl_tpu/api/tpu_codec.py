@@ -69,6 +69,23 @@ def _jitted():
                                 pass0_sigma_scale=pass0_scale,
                                 pass2_sigma_scale=pass2_scale)
 
+    @functools.partial(jax.jit,
+                       static_argnames=("epf_iters", "tile_shapes", "gab",
+                                        "to_rgb", "size_shapes"))
+    def dec_image(qimg, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
+                  x_dm_mult, b_dm_mult, gab_kernels, inv_sigma_px, sad_mul,
+                  channel_scale, epf_iters, pass0_scale, pass2_scale,
+                  extra_tiles, dct8_mask, size_passes, class_map,
+                  tile_shapes=(), gab=True, to_rgb=False, size_shapes=()):
+        return pl.decode_render_image(
+            qimg, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
+            x_dm_mult, b_dm_mult, gab_kernels if gab else None,
+            inv_sigma_px, sad_mul, channel_scale, epf_iters, to_rgb=to_rgb,
+            pass0_sigma_scale=pass0_scale, pass2_sigma_scale=pass2_scale,
+            extra_tiles=extra_tiles, dct8_mask=dct8_mask,
+            tile_shapes=tile_shapes, size_passes=size_passes,
+            size_shapes=size_shapes, class_map=class_map)
+
     @jax.jit
     def srgb2lin(srgb):
         import jax.numpy as jnp
@@ -77,7 +94,7 @@ def _jitted():
         return jnp.where(low, srgb / 12.92,
                          ((srgb + 0.055) / 1.055) ** 2.4)
 
-    return enc, dec, dec_full, srgb2lin
+    return enc, dec, dec_full, srgb2lin, dec_image
 
 
 def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
@@ -160,7 +177,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     x_dm_mult = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
     b_dm_mult = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
 
-    enc, _, _, srgb2lin = _jitted()
+    enc, _, _, srgb2lin, _ = _jitted()
     rgb = srgb2lin(srgb)
     qall, dc, qf, ytox_map, ytob_map, sharp = enc(
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
@@ -182,36 +199,222 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     return writer.get_bytes()
 
 
-def decode_tpu(data: bytes):
-    """Decode a bare codestream, running dequant+CfL+IDCT on device.
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
-    Falls back to the host render for streams with non-DCT8 strategies.
+
+def _gather_tiles(qimg, ys, xs, rows, cols, pad):
+    """(pad, 3, rows*cols) int32 tiles from the dense coefficient image
+    at block origins (ys, xs) — one fancy-indexed numpy gather."""
+    n = len(ys)
+    w = qimg.shape[-1]
+    base = (ys * 8 * w + xs * 8).astype(np.int64)
+    pattern = (np.arange(rows)[:, None] * w
+               + np.arange(cols)[None, :]).reshape(-1)
+    idx = base[:, None] + pattern[None, :]
+    flat = qimg.reshape(3, -1)
+    out = np.zeros((pad, 3, rows * cols), dtype=np.int32)
+    out[:n] = flat[:, idx].transpose(1, 0, 2)
+    return out
+
+
+def _prepare_batches(state, qimg):
+    """Group non-DCT8 blocks by strategy into padded device batches.
+
+    Returns (extra_tiles pytree list, tile_shapes, dct8_mask f32[H, W])
+    or None when an origin is not aligned to its own tile size (host
+    fallback; real encoders always emit aligned merges)."""
+    from ..ops.dct import resample_scales
+    from ..ops.pipeline import special_matrix
+    from ..vardct import ac_strategy as acs
+
+    fd = state.fd
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    inv_gs = state.quantizer.inv_global_scale
+    strat_map = state.strategy
+    origins = state.is_origin
+    dct8_mask = (strat_map == acs.DCT).astype(np.float32)
+    used = np.unique(strat_map[origins])
+    extra, shapes = [], []
+    size_passes, size_shapes = [], []
+    class_map = np.zeros((nby, nbx), dtype=np.int32)
+    for s in used:
+        s = int(s)
+        if s == acs.DCT:
+            continue
+        cx, cy = acs.COVERED_X[s], acs.COVERED_Y[s]
+        rows, cols = cy * 8, cx * 8
+        kind = acs.QUANT_TABLE[s]
+        pos = np.argwhere(origins & (strat_map == s))
+        ys, xs = pos[:, 0], pos[:, 1]
+        n = len(ys)
+        if (cy > 1 and (ys % cy).any()) or (cx > 1 and (xs % cx).any()):
+            return None  # unaligned origin: host render
+        plain = s in (acs.DCT16X16, acs.DCT32X32, acs.DCT16X8, acs.DCT8X16,
+                      acs.DCT32X8, acs.DCT8X32, acs.DCT32X16, acs.DCT16X32,
+                      acs.DCT64X64, acs.DCT64X32, acs.DCT32X64)
+        if plain and max(rows, cols) <= 64:
+            # dense full-grid pass (decode_size_pass): no gathers
+            from ..ops.dct import resample_scales as _rs
+
+            wr, wc = min(rows, cols), max(rows, cols)
+            dm = np.stack([state.matrices.dequant_matrix(kind, c)
+                           for c in range(3)]).astype(np.float32)
+            dm_tile = dm.reshape(3, rows, cols)
+            lh, lw = min(cy, cx), max(cy, cx)
+            mask_wide = np.zeros((wr, wc), dtype=bool)
+            mask_wide[:lh, :lw] = True
+            size_passes.append(dict(
+                dm_tile=dm_tile,
+                llf_sy=_rs(lh, lh * 8).astype(np.float32),
+                llf_sx=_rs(lw, lw * 8).astype(np.float32),
+                llf_mask=mask_wide.reshape(rows, cols)))
+            size_shapes.append((rows, cols))
+            class_map[strat_map == s] = len(size_passes)
+            continue
+        class_map[strat_map == s] = -1
+        pad = _next_pow2(n)
+        q = _gather_tiles(qimg, ys, xs, rows, cols, pad)
+        quant = state.raw_quant_field[ys, xs].astype(np.float64)
+        scaled = np.zeros(pad, dtype=np.float32)
+        scaled[:n] = inv_gs / quant
+        ty, tx = ys // 8, xs // 8
+        x_cc = np.zeros(pad, dtype=np.float32)
+        b_cc = np.zeros(pad, dtype=np.float32)
+        x_cc[:n] = state.ytox(state.ytox_map[ty, tx].astype(np.float64))
+        b_cc[:n] = state.ytob(state.ytob_map[ty, tx].astype(np.float64))
+        ys_p = np.zeros(pad, dtype=np.int32)
+        xs_p = np.zeros(pad, dtype=np.int32)
+        ys_p[:n] = ys // cy  # tile indices in the (rows, cols) grid
+        xs_p[:n] = xs // cx
+        dm = np.stack([state.matrices.dequant_matrix(kind, c)
+                       for c in range(3)]).astype(np.float32)
+        batch = dict(ys=ys_p, xs=xs_p, scaled=scaled, x_cc=x_cc, b_cc=b_cc)
+        if rows == 8 and cols == 8:
+            batch["q"] = q
+            batch["dm"] = dm.reshape(3, 64)
+            batch["mat"] = special_matrix(s)
+            dc = np.zeros((pad, 3), dtype=np.float32)
+            dc[:n] = state.dc[:, ys, xs].T
+            batch["dc"] = dc
+        else:
+            wr, wc = min(rows, cols), max(rows, cols)
+            batch["q"] = q.reshape(pad, 3, wr, wc)
+            batch["dm"] = dm
+            dc = np.zeros((pad, 3, cy, cx), dtype=np.float32)
+            dcp = np.pad(state.dc, ((0, 0), (0, cy), (0, cx)))
+            dc_pat = (np.arange(cy)[:, None] * (nbx + cx)
+                      + np.arange(cx)[None, :]).reshape(-1)
+            dc_idx = (ys * (nbx + cx) + xs)[:, None] + dc_pat[None, :]
+            dc[:n] = dcp.reshape(3, -1)[:, dc_idx].transpose(
+                1, 0, 2).reshape(n, 3, cy, cx)
+            batch["dc"] = dc
+            lh, lw = min(cy, cx), max(cy, cx)
+            batch["llf_sy"] = resample_scales(lh, lh * 8).astype(np.float32)
+            batch["llf_sx"] = resample_scales(lw, lw * 8).astype(np.float32)
+        extra.append(batch)
+        shapes.append((rows, cols))
+    mask_px = np.repeat(np.repeat(dct8_mask, 8, 0), 8, 1)
+    return (extra, tuple(shapes), mask_px,
+            size_passes, tuple(size_shapes), class_map)
+
+
+def decode_tpu(data: bytes):
+    """Decode a bare codestream with the device render path (all 27 AC
+    strategies batched on device; host does entropy decode only).
+
     Returns (uint8 image (H, W, 3), CodecMetadata)."""
     from ..io.frame_header import FrameHeader
     from ..ops.xyb import linear_to_srgb
-    from ..vardct import ac_strategy as acs
-    from ..vardct.frame import decode_vardct_frame, render_groups
+    from ..vardct.frame import decode_vardct_frame
 
     r = BitReader(data)
     meta = parse_codestream_header(r)
     fh = FrameHeader(meta)
     fh.read(r)
-    _, dec, dec_full, _ = _jitted()
+    out = {}
+    chans = decode_vardct_frame(r, fh, render_fn=make_device_render(fh, out),
+                                want_qimg=True)
+    if "u8" in out:
+        return out["u8"], meta
+    srgb = linear_to_srgb(np.stack(chans, axis=-1))
+    return (np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta)
+
+
+def _qblocks_from_qimg(state):
+    """Rebuild the per-block dict from the dense coefficient image so the
+    host render path can take over (rare fallback)."""
+    from ..vardct import ac_strategy as acs
+
+    qimg = state.qimg
+    for s in np.unique(state.strategy[state.is_origin]):
+        s = int(s)
+        cx, cy = acs.COVERED_X[s], acs.COVERED_Y[s]
+        pos = np.argwhere(state.is_origin & (state.strategy == s))
+        n = len(pos)
+        tiles = _gather_tiles(qimg, pos[:, 0], pos[:, 1], cy * 8, cx * 8, n)
+        for i, (by, bx) in enumerate(pos):
+            state.qblocks[(int(by), int(bx))] = tiles[i].astype(np.int64)
+
+
+def make_device_render(fh, out=None):
+    """render_fn for decode_vardct_frame: dequant + all-strategy inverse
+    transforms + Gaborish + EPF as one jitted XLA program. Subsampled
+    (YCbCr 420/422) and pathological streams fall back to the host."""
+    _, _, _, _, dec_image = _jitted()
+
+    def host_fallback(state):
+        if getattr(state, "qimg", None) is not None \
+                and not state.qblocks:
+            _qblocks_from_qimg(state)
+        from ..vardct.frame import render_groups
+
+        render_groups(state)
 
     def render_device(state):
         fd = state.fd
-        nby, nbx = fd.ysize_blocks, fd.xsize_blocks
-        if any(int(state.strategy[by, bx]) != acs.DCT
-               for (by, bx) in state.qblocks):
-            render_groups(state)  # host fallback: non-DCT8 stream
+        if getattr(state, "qblocks_sub", None) is not None \
+                or list(fh.chroma_subsampling.channel_mode) != [0, 0, 0]:
+            from ..vardct.subsampled import render_groups_sub
+
+            render_groups_sub(state)
             return
-        q = np.zeros((3, nby, nbx, 8, 8), dtype=np.int32)
-        for (by, bx), blk in state.qblocks.items():
-            q[:, by, bx] = blk.reshape(3, 8, 8)
+        if getattr(state, "qimg", None) is None:
+            # the bulk entropy path didn't run (small image / lz77 /
+            # prefix streams): assemble the dense image from qblocks
+            from ..vardct import ac_strategy as acs
+
+            fdh, fdw = fd.ysize_blocks * 8, fd.xsize_blocks * 8
+            state.qimg = np.zeros((3, fdh, fdw), dtype=np.int32)
+            q5 = state.qimg.reshape(3, fd.ysize_blocks, 8,
+                                    fd.xsize_blocks, 8)
+            for (by, bx), blk in state.qblocks.items():
+                s = int(state.strategy[by, bx])
+                cx, cy = acs.COVERED_X[s], acs.COVERED_Y[s]
+                state.qimg[:, by * 8:(by + cy) * 8,
+                           bx * 8:(bx + cx) * 8] = \
+                    np.asarray(blk).reshape(3, cy * 8, cx * 8)
+        from ..io.frame_header import CT_XYB
+
+        if fh.color_transform != CT_XYB or \
+                getattr(state, "color_factor", 84) != 84 or \
+                getattr(state, "base_x", 0.0) != 0.0 or \
+                getattr(state, "base_b", 1.0) != 1.0:
+            # non-XYB or custom color correlation: host render
+            host_fallback(state)
+            return
+        prep = _prepare_batches(state, state.qimg)
+        if prep is None:
+            host_fallback(state)
+            return
+        extra, shapes, mask_px, size_passes, size_shapes, class_map = prep
+        nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+        h, w = nby * 8, nbx * 8
+        qimg = state.qimg
         dm = np.stack([state.matrices.dequant_matrix(0, c)
                        for c in range(3)]).astype(np.float32)
         lf = fh.loop_filter
-        gab_kernels = None
+        gab_kernels = np.zeros((3, 3, 3), dtype=np.float32)
         if lf.gab:
             from ..render.pipeline import gaborish_kernel
 
@@ -219,7 +422,6 @@ def decode_tpu(data: bytes):
                 gaborish_kernel(getattr(lf, f"gab_{ch}_weight1"),
                                 getattr(lf, f"gab_{ch}_weight2"))
                 for ch in "xyb"]).astype(np.float32)
-        h, w = nby * 8, nbx * 8
         if lf.epf_iters > 0:
             from ..render.pipeline import _sad_mul_map, compute_sigma
 
@@ -233,21 +435,33 @@ def decode_tpu(data: bytes):
         else:
             inv_sigma_px = np.zeros((h, w), dtype=np.float32)
             sad_mul = np.ones((h, w), dtype=np.float32)
-        xyb = dec_full(q, state.raw_quant_field.astype(np.int32),
-                       state.dc.astype(np.float32),
-                       state.ytox_map.astype(np.int32),
-                       state.ytob_map.astype(np.int32), dm,
-                       np.float32(state.quantizer.inv_global_scale),
-                       np.float32(state.x_dm_mult),
-                       np.float32(state.b_dm_mult), gab_kernels,
-                       inv_sigma_px, sad_mul,
-                       tuple(np.float32(v) for v in lf.epf_channel_scale),
-                       int(lf.epf_iters),
-                       np.float32(lf.epf_pass0_sigma_scale),
-                       np.float32(lf.epf_pass2_sigma_scale))
-        state.xyb = np.asarray(xyb, dtype=np.float64)
+        # with no post-render features the whole write stage (XYB->sRGB
+        # u8) stays on device and the host never touches pixel floats
+        direct_u8 = (out is not None and state.patches is None
+                     and state.splines is None and state.noise_lut is None
+                     and fh.upsampling == 1
+                     and fd.ysize == h and fd.xsize == w)
+        result = dec_image(
+            qimg, state.raw_quant_field.astype(np.int32),
+            state.dc.astype(np.float32),
+            state.ytox_map.astype(np.int32),
+            state.ytob_map.astype(np.int32), dm,
+            np.float32(state.quantizer.inv_global_scale),
+            np.float32(state.x_dm_mult), np.float32(state.b_dm_mult),
+            gab_kernels, inv_sigma_px, sad_mul,
+            tuple(np.float32(v) for v in lf.epf_channel_scale),
+            int(lf.epf_iters),
+            np.float32(lf.epf_pass0_sigma_scale),
+            np.float32(lf.epf_pass2_sigma_scale),
+            tuple(extra), mask_px, tuple(size_passes), class_map,
+            tile_shapes=shapes, gab=bool(lf.gab),
+            to_rgb="u8srgb" if direct_u8 else False,
+            size_shapes=size_shapes)
+        if direct_u8:
+            out["u8"] = np.asarray(result)
+            state.device_output_done = True
+        else:
+            state.xyb = np.asarray(result, dtype=np.float64)
         state.restoration_done = True
 
-    chans = decode_vardct_frame(r, fh, render_fn=render_device)
-    srgb = linear_to_srgb(np.stack(chans, axis=-1))
-    return (np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta)
+    return render_device

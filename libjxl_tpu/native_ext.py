@@ -14,7 +14,8 @@ import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRCS = (_ROOT / "native" / "modular_decode.c",
-         _ROOT / "native" / "ans_write.c")
+         _ROOT / "native" / "ans_write.c",
+         _ROOT / "native" / "vardct_decode.c")
 _SO = _ROOT / "native" / "_jxl_native.so"
 
 _lib = None
@@ -24,8 +25,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", *map(str, _SRCS),
-             "-o", str(_SO)],
+            ["cc", "-O3", "-march=native", "-fno-math-errno", "-shared",
+             "-fPIC", *map(str, _SRCS), "-o", str(_SO)],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -48,6 +49,9 @@ def get_lib():
     lib.decode_channel_nowp.restype = ctypes.c_int
     try:
         lib.ans_write_tokens.restype = ctypes.c_int
+        lib.decode_ac_group.restype = ctypes.c_int
+        lib.decode_ac_image.restype = ctypes.c_int
+        lib.place_ac_metadata.restype = ctypes.c_int
     except AttributeError:
         pass
     _lib = lib
@@ -130,6 +134,121 @@ def ans_write_native(lib, histo: np.ndarray, tok: np.ndarray,
         raise RuntimeError(f"native ans write failed (rc={rc})")
     nbytes = (total.value + 7) // 8
     return st.value, bytes(out[:nbytes]), total.value
+
+
+def place_ac_metadata_native(lib, acs_row, qf_row, count, sharp,
+                             x0, y0, rw, rh, nbx, nby, quant_max,
+                             strategy, origin, qf, sharp_out):
+    """C AC-metadata placement; returns blocks consumed (-1 = corrupt)."""
+    from .vardct import ac_strategy as acs
+
+    assert strategy.dtype == np.int32 and qf.dtype == np.int32
+    assert origin.dtype == np.bool_ and sharp_out.dtype == np.int32
+    cov_x = np.asarray(acs.COVERED_X, dtype=np.int32)
+    cov_y = np.asarray(acs.COVERED_Y, dtype=np.int32)
+    return lib.place_ac_metadata(
+        _ptr(np.ascontiguousarray(acs_row, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(qf_row, dtype=np.int32), ctypes.c_int32),
+        ctypes.c_int32(count),
+        _ptr(np.ascontiguousarray(sharp, dtype=np.int32), ctypes.c_int32),
+        ctypes.c_int(x0), ctypes.c_int(y0), ctypes.c_int(rw),
+        ctypes.c_int(rh), ctypes.c_int(nbx), ctypes.c_int(nby),
+        _ptr(cov_x, ctypes.c_int32), _ptr(cov_y, ctypes.c_int32),
+        ctypes.c_int(quant_max),
+        _ptr(strategy, ctypes.c_int32),
+        origin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(qf, ctypes.c_int32),
+        _ptr(sharp_out, ctypes.c_int32))
+
+
+def decode_ac_image_native(lib, data: bytes, group_off, group_size,
+                           xsize_groups, group_dim_blocks, ncodes,
+                           state_maps, luts, histo_bits, num_ac_ctx,
+                           num_ctxs, shift, planes):
+    """Whole-image AC decode (native/vardct_decode.c decode_ac_image).
+    planes: 3 contiguous int32 (H, W) arrays. Returns 0 or error code."""
+    dview = np.frombuffer(data, dtype=np.uint8)
+    strategy, origin, qf = state_maps
+    (bctx_lut, qf_thr, ord_img_off, ord_img_flat,
+     cov_x, cov_y, log2cb, ord_lut) = luts
+    nby, nbx = strategy.shape
+    return lib.decode_ac_image(
+        _ptr(dview, ctypes.c_uint8), ctypes.c_size_t(len(data)),
+        _ptr(group_off, ctypes.c_uint64), _ptr(group_size, ctypes.c_uint64),
+        ctypes.c_int(len(group_off)), ctypes.c_int(xsize_groups),
+        ctypes.c_int(group_dim_blocks),
+        _ptr(ncodes.cutoff, ctypes.c_uint16),
+        _ptr(ncodes.right, ctypes.c_uint16),
+        _ptr(ncodes.freq0, ctypes.c_uint16),
+        _ptr(ncodes.offsets1, ctypes.c_uint16),
+        _ptr(ncodes.freq1, ctypes.c_uint16),
+        ctypes.c_int(ncodes.log_alpha_size),
+        _ptr(ncodes.context_map, ctypes.c_uint8),
+        _ptr(ncodes.cfg_split, ctypes.c_uint32),
+        _ptr(ncodes.cfg_msb, ctypes.c_uint32),
+        _ptr(ncodes.cfg_lsb, ctypes.c_uint32),
+        _ptr(strategy, ctypes.c_int32),
+        origin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(qf, ctypes.c_int32),
+        ctypes.c_int(nby), ctypes.c_int(nbx),
+        _ptr(bctx_lut, ctypes.c_int32),
+        _ptr(qf_thr, ctypes.c_int64), ctypes.c_int(len(qf_thr)),
+        _ptr(ord_img_off, ctypes.c_int64),
+        _ptr(ord_img_flat, ctypes.c_int32),
+        _ptr(cov_x, ctypes.c_int32), _ptr(cov_y, ctypes.c_int32),
+        _ptr(log2cb, ctypes.c_int32), _ptr(ord_lut, ctypes.c_int32),
+        ctypes.c_int(histo_bits), ctypes.c_int(num_ac_ctx),
+        ctypes.c_int(num_ctxs), ctypes.c_int(shift),
+        ctypes.c_int(planes[0].shape[1]),
+        _ptr(planes[0], ctypes.c_int32), _ptr(planes[1], ctypes.c_int32),
+        _ptr(planes[2], ctypes.c_int32))
+
+
+def decode_ac_group_native(lib, data: bytes, bitpos: int, state: int,
+                           ncodes: NativeCodes, blocks: dict,
+                           bw: int, bh: int, ctx_offset: int, shift: int,
+                           num_ctxs: int, out_flat: np.ndarray):
+    """C AC-group decode (native/vardct_decode.c). `blocks` carries the
+    per-block arrays prepared by the caller; coefficients accumulate into
+    out_flat (int32). Returns (new_bitpos, new_state)."""
+    bp = ctypes.c_uint64(bitpos)
+    st = ctypes.c_uint32(state)
+    dview = np.frombuffer(data, dtype=np.uint8)
+    nz = np.zeros(3 * bh * bw, dtype=np.int32)
+    rc = lib.decode_ac_group(
+        _ptr(dview, ctypes.c_uint8), ctypes.c_size_t(len(data)),
+        ctypes.byref(bp), ctypes.byref(st),
+        _ptr(ncodes.cutoff, ctypes.c_uint16),
+        _ptr(ncodes.right, ctypes.c_uint16),
+        _ptr(ncodes.freq0, ctypes.c_uint16),
+        _ptr(ncodes.offsets1, ctypes.c_uint16),
+        _ptr(ncodes.freq1, ctypes.c_uint16),
+        ctypes.c_int(ncodes.log_alpha_size),
+        _ptr(ncodes.context_map, ctypes.c_uint8),
+        _ptr(ncodes.cfg_split, ctypes.c_uint32),
+        _ptr(ncodes.cfg_msb, ctypes.c_uint32),
+        _ptr(ncodes.cfg_lsb, ctypes.c_uint32),
+        ctypes.c_int(len(blocks["bx"])),
+        _ptr(blocks["bx"], ctypes.c_int32),
+        _ptr(blocks["by"], ctypes.c_int32),
+        _ptr(blocks["cx"], ctypes.c_int32),
+        _ptr(blocks["cy"], ctypes.c_int32),
+        _ptr(blocks["log2cb"], ctypes.c_int32),
+        _ptr(blocks["size"], ctypes.c_int32),
+        _ptr(blocks["bctx"], ctypes.c_int32),
+        _ptr(blocks["order_off"], ctypes.c_int64),
+        _ptr(blocks["orders_flat"], ctypes.c_int32),
+        _ptr(blocks["out_off"], ctypes.c_int64),
+        ctypes.c_int(bw), ctypes.c_int(bh),
+        ctypes.c_int(ctx_offset), ctypes.c_int(shift),
+        ctypes.c_int(num_ctxs),
+        _ptr(nz, ctypes.c_int32),
+        _ptr(out_flat, ctypes.c_int32))
+    if rc != 0:
+        from .base.status import JXLError
+
+        raise JXLError(f"invalid AC stream (native rc={rc})")
+    return bp.value, st.value
 
 
 def decode_channel_native(lib, data: bytes, bitpos: int, state: int,

@@ -253,19 +253,195 @@ def decode_xyb_image(qimg, qf, dc, ytox_map, ytob_map, dm,
     return idct8_image(coeffs)
 
 
+@functools.lru_cache(maxsize=None)
+def special_matrix(strategy: int) -> np.ndarray:
+    """(64, 64) f32: pixels_flat = M @ coeffs_flat for an 8x8-tile
+    strategy (IDENTITY/DCT2X2/DCT4X4/DCT8X4/DCT4X8/AFV0-3 and DCT8).
+    Every TransformToPixels case is linear, so the whole per-strategy
+    special-case code collapses to one MXU matmul on device."""
+    from ..vardct.transforms import transform_to_pixels
+
+    m = np.zeros((64, 64), dtype=np.float64)
+    for k in range(64):
+        e = np.zeros(64)
+        e[k] = 1.0
+        m[:, k] = transform_to_pixels(strategy, e.reshape(8, 8)).reshape(64)
+    return m.astype(np.float32)
+
+
+def decode_special_tiles(q, dc, scaled, x_cc, b_cc, dm_kind, mat,
+                         x_dm_mult, b_dm_mult):
+    """Batched dequant + CfL + inverse transform for one 8x8-tile
+    strategy. q: i32[n, 3, 64]; dc: f32[n, 3]; scaled/x_cc/b_cc: f32[n];
+    dm_kind: f32[3, 64]; mat: f32[64, 64]. Returns f32[n, 3, 8, 8]."""
+    s = scaled[:, None]
+    dq_y = adjust_quant_bias_jax(q[:, 1], 1) * dm_kind[1] * s
+    dq_x = adjust_quant_bias_jax(q[:, 0], 0) * dm_kind[0] * s * x_dm_mult \
+        + x_cc[:, None] * dq_y
+    dq_b = adjust_quant_bias_jax(q[:, 2], 2) * dm_kind[2] * s * b_dm_mult \
+        + b_cc[:, None] * dq_y
+    co = jnp.stack([dq_x, dq_y, dq_b], axis=1)
+    co = co.at[:, :, 0].set(dc)
+    pix = jnp.einsum("ncs,ps->ncp", co, mat,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return pix.reshape(-1, 3, 8, 8)
+
+
+def decode_big_tiles(q, dc_tiles, scaled, x_cc, b_cc, dm_kind,
+                     x_dm_mult, b_dm_mult, rows, cols, llf_sy, llf_sx):
+    """Batched dequant + LLF-from-DC + IDCT for one plain-DCT size
+    > 8x8 (jnp port of vardct.frame._render_dct_batch).
+
+    q: i32[n, 3, wr, wc] wide layout; dc_tiles: f32[n, 3, cy, cx];
+    dm_kind: f32[3, wr, wc]; llf_sy/llf_sx: f32 resample scales.
+    Returns f32[n, 3, rows, cols] pixel tiles."""
+    from .dct import make_jax_dct
+
+    jdct2d, jidct2d = make_jax_dct()
+    s = scaled[:, None, None]
+    dq_y = adjust_quant_bias_jax(q[:, 1], 1) * dm_kind[1] * s
+    dq_x = adjust_quant_bias_jax(q[:, 0], 0) * dm_kind[0] * s * x_dm_mult \
+        + x_cc[:, None, None] * dq_y
+    dq_b = adjust_quant_bias_jax(q[:, 2], 2) * dm_kind[2] * s * b_dm_mult \
+        + b_cc[:, None, None] * dq_y
+    co = jnp.stack([dq_x, dq_y, dq_b], axis=1)
+    cy, cx = dc_tiles.shape[-2:]
+    llf = jdct2d(dc_tiles, cy, cx)
+    lh, lw = min(cy, cx), max(cy, cx)
+    llf = llf / (llf_sy[:, None] * llf_sx[None, :])
+    co = co.at[:, :, :lh, :lw].set(llf)
+    return jidct2d(co, rows, cols)
+
+
+def decode_size_pass(qimg, qf_px, dc, ytox_px, ytob_px, dm_tile,
+                     x_dm_mult, b_dm_mult, rows, cols, llf_sy, llf_sx,
+                     llf_mask_tile):
+    """Dense full-grid dequant + LLF + IDCT for one plain-DCT tile size
+    (rows, cols), 16x16 .. 64x64. No gathers or scatters: every aligned
+    tile of the grid is transformed and the caller mask-selects the
+    pixels whose covering block really uses this size — trading a few
+    extra MXU passes for an XLA-fusable dense pipeline (the TPU-native
+    reformulation of dec_group.cc's per-block loop).
+
+    qf_px/ytox_px/ytob_px: per-pixel f32 maps (constant within a tile by
+    construction); dm_tile: f32[3, rows, cols] dequant weights laid out
+    in tile order; llf_mask_tile: bool[rows, cols] True at LLF slots.
+    """
+    from .dct import make_jax_dct
+
+    jdct2d, jidct2d = make_jax_dct()
+    _, h, w = qimg.shape
+    nty, ntx = h // rows, w // cols
+    cy, cx = rows // 8, cols // 8
+    wr, wc = min(rows, cols), max(rows, cols)
+    dmt = jnp.tile(dm_tile, (1, nty, ntx))
+    dq_y = adjust_quant_bias_jax(qimg[1], 1) * dmt[1] * qf_px
+    dq_x = adjust_quant_bias_jax(qimg[0], 0) * dmt[0] * qf_px * x_dm_mult \
+        + ytox_px * dq_y
+    dq_b = adjust_quant_bias_jax(qimg[2], 2) * dmt[2] * qf_px * b_dm_mult \
+        + ytob_px * dq_y
+    co = jnp.stack([dq_x, dq_y, dq_b])
+    # LLF from DC: per-tile DCT of the (cy, cx) DC patch, rescaled
+    # (LowestFrequenciesFromDC, dec_transforms-inl.h:688-816)
+    dct = dc.reshape(3, nty, cy, ntx, cx).transpose(0, 1, 3, 2, 4)
+    llf = jdct2d(dct, cy, cx) / (llf_sy[:, None] * llf_sx[None, :])
+    lh, lw = llf.shape[-2:]
+    # LLF lives at wide-layout [:lh, :lw]; the tile stores the wide array
+    # reshaped row-major to (rows, cols)
+    llf_wide = jnp.zeros((3, nty, ntx, wr, wc), llf.dtype)
+    llf_wide = llf_wide.at[..., :lh, :lw].set(llf)
+    llf_img = llf_wide.reshape(3, nty, ntx, rows, cols).transpose(
+        0, 1, 3, 2, 4).reshape(3, h, w)
+    mask_img = jnp.tile(llf_mask_tile, (nty, ntx))
+    co = jnp.where(mask_img[None], llf_img, co)
+    # IDCT: tile layout row-major == wide layout reshaped; reshape back
+    tiles = co.reshape(3, nty, rows, ntx, cols).transpose(0, 1, 3, 2, 4)
+    wide = tiles.reshape(3, nty, ntx, wr, wc)
+    pix = jidct2d(wide, rows, cols)
+    return pix.transpose(0, 1, 3, 2, 4).reshape(3, h, w)
+
+
+def scatter_tiles(acc5, pix, ys, xs):
+    """Scatter-add aligned (rows, cols) pixel tiles into a 5D image view
+    (3, H//rows, rows, W//cols, cols) at tile indices (ys, xs).
+
+    The separated advanced indices put the tile axis first, so the
+    update operand is (n, 3, rows, cols) — pix directly."""
+    return acc5.at[:, ys, :, xs, :].add(pix)
+
+
 def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
                         inv_global_scale, x_dm_mult, b_dm_mult,
                         gab_kernels, inv_sigma_px, sad_mul, channel_scale,
                         epf_iters, to_rgb=True,
-                        pass0_sigma_scale=0.9, pass2_sigma_scale=6.5):
-    """Full device decode on image-layout coefficients."""
+                        pass0_sigma_scale=0.9, pass2_sigma_scale=6.5,
+                        extra_tiles=None, dct8_mask=None, tile_shapes=None,
+                        size_passes=None, size_shapes=None, class_map=None):
+    """Full device decode on image-layout coefficients.
+
+    size_passes: per-size dicts for the dense full-grid plain-DCT passes
+    (decode_size_pass); size_shapes: static (rows, cols) per pass;
+    class_map: i32[nby, nbx], 0 = DCT8, 1.. = size pass index + 1,
+    -1 = batched extra tile. extra_tiles: per-batch dicts for the
+    remaining strategies (8x8 specials, > 64px, unaligned); tile_shapes:
+    static (rows, cols) per batch. dct8_mask (f32[H, W]) is the legacy
+    two-way mask used when size_passes is None."""
     xyb = decode_xyb_image(qimg, qf, dc, ytox_map, ytob_map, dm,
                            inv_global_scale, x_dm_mult, b_dm_mult)
+    _, h, w = xyb.shape
+    if size_passes:
+        cls_px = jnp.repeat(jnp.repeat(class_map, 8, 0), 8, 1)[None]
+        nby, nbx = qf.shape
+        scaled_px = _block_to_px(
+            inv_global_scale / qf.astype(jnp.float32), h, w)
+        tile_px = 8 * COLOR_TILE_BLOCKS
+        xcc_px = jnp.repeat(jnp.repeat(
+            ytox_map.astype(jnp.float32), tile_px, 0), tile_px, 1)[:h, :w] \
+            / 84.0
+        bcc_px = 1.0 + jnp.repeat(jnp.repeat(
+            ytob_map.astype(jnp.float32), tile_px, 0), tile_px, 1)[:h, :w] \
+            / 84.0
+        for i, (sp, (rows, cols)) in enumerate(
+                zip(size_passes, size_shapes)):
+            pix = decode_size_pass(
+                qimg, scaled_px, dc, xcc_px, bcc_px,
+                sp["dm_tile"], x_dm_mult, b_dm_mult, rows, cols,
+                sp["llf_sy"], sp["llf_sx"], sp["llf_mask"])
+            xyb = jnp.where(cls_px == i + 1, pix, xyb)
+    if extra_tiles:
+        acc = jnp.zeros_like(xyb)
+        for b, (rows, cols) in zip(extra_tiles, tile_shapes):
+            if rows == 8 and cols == 8:
+                pix = decode_special_tiles(
+                    b["q"], b["dc"], b["scaled"], b["x_cc"], b["b_cc"],
+                    b["dm"], b["mat"], x_dm_mult, b_dm_mult)
+            else:
+                pix = decode_big_tiles(
+                    b["q"], b["dc"], b["scaled"], b["x_cc"], b["b_cc"],
+                    b["dm"], x_dm_mult, b_dm_mult, rows, cols,
+                    b["llf_sy"], b["llf_sx"])
+            acc5 = acc.reshape(3, h // rows, rows, w // cols, cols)
+            acc = scatter_tiles(acc5, pix, b["ys"], b["xs"]).reshape(
+                3, h, w)
+        if size_passes:
+            xyb = jnp.where(cls_px < 0, acc, xyb)
+        else:
+            xyb = jnp.where(dct8_mask[None] > 0, xyb, acc)
     if gab_kernels is not None:
         xyb = gaborish_jax(xyb, gab_kernels)
     if epf_iters > 0:
         xyb = epf_jax(xyb, inv_sigma_px, sad_mul, channel_scale, epf_iters,
                       pass0_sigma_scale, pass2_sigma_scale)
+    if to_rgb == "u8srgb":
+        # full write stage on device: XYB -> linear RGB -> sRGB u8 HWC
+        rgb = xyb_to_rgb_jax(xyb)
+        low = rgb <= 0.0031308
+        srgb = jnp.where(low, rgb * 12.92,
+                         1.055 * jnp.maximum(rgb, 1e-12) ** (1 / 2.4)
+                         - 0.055)
+        u8 = jnp.clip(jnp.round(srgb * 255.0), 0, 255).astype(jnp.uint8)
+        return u8.transpose(1, 2, 0)
     if to_rgb:
         return xyb_to_rgb_jax(xyb)
     return xyb

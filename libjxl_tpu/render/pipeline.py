@@ -64,15 +64,21 @@ def compute_sigma(lf, quant_scale, raw_quant_field, epf_sharpness):
 
 def _sad_mul_map(h, w, border_mul):
     """Per-pixel SAD multiplier: border rows/cols of each 8-block get
-    border_mul, others 1 (stage_epf.cc:85-106)."""
-    ys = np.ones(h)
-    xs = np.ones(w)
-    ys[0::BLOCK_DIM] = border_mul
-    ys[BLOCK_DIM - 1::BLOCK_DIM] = border_mul
-    xs[0::BLOCK_DIM] = border_mul
-    xs[BLOCK_DIM - 1::BLOCK_DIM] = border_mul
-    return np.maximum.outer(ys == border_mul, xs == border_mul) * (
-        border_mul - 1.0) + 1.0
+    border_mul, others 1 (stage_epf.cc:85-106). Content-independent, so
+    cached per geometry."""
+    return _sad_mul_map_cached(h, w, float(border_mul))
+
+
+@functools.lru_cache(maxsize=8)
+def _sad_mul_map_cached(h, w, border_mul):
+    ys = np.zeros(h, dtype=bool)
+    xs = np.zeros(w, dtype=bool)
+    ys[0::BLOCK_DIM] = True
+    ys[BLOCK_DIM - 1::BLOCK_DIM] = True
+    xs[0::BLOCK_DIM] = True
+    xs[BLOCK_DIM - 1::BLOCK_DIM] = True
+    border = ys[:, None] | xs[None, :]
+    return np.where(border, border_mul, 1.0).astype(np.float32)
 
 
 _PLUS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))

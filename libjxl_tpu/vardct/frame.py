@@ -279,6 +279,191 @@ def _block_list(state: VarDCTState, gx: int, gy: int):
     return out, bx0, by0, bw, bh
 
 
+def _decode_ac_group_native(r: BitReader, state: VarDCTState, reader,
+                            blocks, bx0: int, by0: int, bw: int, bh: int,
+                            ctx_offset: int, shift: int,
+                            pass_idx: int) -> bool:
+    """Whole-group AC decode in C (native/vardct_decode.c); returns False
+    to fall back to the Python token loop."""
+    from ..native_ext import NativeCodes, decode_ac_group_native, get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    code = state.ac_code[pass_idx]
+    cmap = state.ac_context_map[pass_idx]
+    ncodes = getattr(code, "_native_codes", None)
+    if ncodes is None or ncodes.context_map_src is not cmap:
+        ncodes = NativeCodes(code, cmap)
+        ncodes.context_map_src = cmap
+        code._native_codes = ncodes
+    bcm = state.block_ctx_map
+    key = (bx0, by0)
+    cache = getattr(state, "_ac_native", None)
+    if cache is None:
+        cache = state._ac_native = {}
+    prep = cache.get(key)
+    if prep is None:
+        n = len(blocks)
+        bxa = np.fromiter((b[0] for b in blocks), np.int32, n)
+        bya = np.fromiter((b[1] for b in blocks), np.int32, n)
+        strat = np.fromiter((b[2] for b in blocks), np.int32, n)
+        cxa = np.asarray(acs.COVERED_X, np.int32)[strat]
+        cya = np.asarray(acs.COVERED_Y, np.int32)[strat]
+        l2a = np.asarray(acs.LOG2_COVERED, np.int32)[strat]
+        sizea = (cxa * cya * 64).astype(np.int32)
+        orda = np.asarray(acs.STRATEGY_ORDER, np.int32)[strat]
+        quant = state.raw_quant_field[by0 + bya, bx0 + bxa].astype(np.int64)
+        # vectorized BlockCtxMap.context (ac_context.h:85-148), dc_idx = 0
+        qft = np.asarray(bcm.qf_thresholds, np.int64)
+        qf_idx = (quant[:, None] > qft[None, :]).sum(axis=1) \
+            if len(qft) else np.zeros(len(quant), np.int64)
+        cmap_arr = np.asarray(bcm.ctx_map, np.int32)
+        bctx = np.empty((n, 3), dtype=np.int32)
+        from .ac_strategy import NUM_ORDERS
+        for c in range(3):
+            cidx = (c ^ 1) if c < 2 else 2
+            idx = ((cidx * NUM_ORDERS + orda) * (len(qft) + 1) + qf_idx) \
+                * bcm.num_dc_ctxs
+            bctx[:, c] = cmap_arr[idx]
+        out_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(3 * sizea[:-1], out=out_off[1:])
+        total = int(out_off[-1] + 3 * sizea[-1]) if n else 0
+        out_flat = np.zeros(total, dtype=np.int32)
+        prep = dict(bx=bxa, by=bya, cx=cxa, cy=cya, log2cb=l2a, size=sizea,
+                    bctx=np.ascontiguousarray(bctx), strat=strat, orda=orda,
+                    out_off=out_off, out_flat=out_flat, pass_orders={})
+        cache[key] = prep
+        # expose per-block views through the regular qblocks dict
+        for i, (bx, by, _s) in enumerate(blocks):
+            o = int(out_off[i])
+            state.qblocks[(by0 + by, bx0 + bx)] = \
+                out_flat[o:o + 3 * sizea[i]].reshape(3, int(sizea[i]))
+    if pass_idx not in prep["pass_orders"]:
+        # coefficient orders: one entry per (order class, channel); custom
+        # orders are signaled per pass
+        pass_orders = state.orders[pass_idx] \
+            if pass_idx < len(state.orders) else {}
+        strat, orda = prep["strat"], prep["orda"]
+        order_chunks = []
+        order_pos = {}
+        pos = 0
+        for o in np.unique(orda):
+            for c in range(3):
+                arr = pass_orders.get((int(o), c))
+                if arr is None:
+                    s_first = int(strat[orda == o][0])
+                    arr = acs.natural_coeff_order(s_first)
+                arr = np.ascontiguousarray(arr, dtype=np.int32)
+                order_chunks.append(arr)
+                order_pos[(int(o), c)] = pos
+                pos += len(arr)
+        orders_flat = np.concatenate(order_chunks) if order_chunks \
+            else np.zeros(1, np.int32)
+        n = len(orda)
+        order_off = np.empty((n, 3), dtype=np.int64)
+        for c in range(3):
+            order_off[:, c] = [order_pos[(int(o), c)] for o in orda]
+        prep["pass_orders"][pass_idx] = (
+            orders_flat, np.ascontiguousarray(order_off))
+    orders_flat, order_off = prep["pass_orders"][pass_idx]
+    call = dict(prep)
+    call["orders_flat"] = orders_flat
+    call["order_off"] = order_off
+    bitpos, fstate = decode_ac_group_native(
+        lib, r.data, r.total_bits_consumed(), reader.state, ncodes, call,
+        bw, bh, ctx_offset, shift, bcm.num_ctxs, prep["out_flat"])
+    r.seek_bits(bitpos)
+    reader.state = fstate
+    return True
+
+
+def decode_ac_bulk_native(state: VarDCTState, data: bytes,
+                          per_pass) -> bool:
+    """Whole-image AC decode: one C call per pass over every group
+    section, coefficients written straight into dense image-layout planes
+    (state.qimg, i32[3, nby*8, nbx*8]). Populated only on the device
+    decode path (state.want_qimg); state.qblocks stays empty."""
+    from ..native_ext import (NativeCodes, decode_ac_image_native, get_lib)
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    for code in state.ac_code:
+        if code.lz77.enabled or code.use_prefix_code:
+            return False
+    fd = state.fd
+    nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+    h, w = nby * 8, nbx * 8
+    bcm = state.block_ctx_map
+    nqf = len(bcm.qf_thresholds)
+    if bcm.num_dc_ctxs != 1:
+        return False  # dc-conditioned block contexts: rare; python path
+    histo_bits = (state.num_histograms - 1).bit_length() \
+        if state.num_histograms > 1 else 0
+    # block-context LUT over (c_idx, order class, qf bucket)
+    cmap_arr = np.asarray(bcm.ctx_map, np.int32)
+    bctx_lut = np.empty((3, acs.NUM_ORDERS, nqf + 1), dtype=np.int32)
+    for cidx in range(3):
+        for o in range(acs.NUM_ORDERS):
+            for qi in range(nqf + 1):
+                bctx_lut[cidx, o, qi] = cmap_arr[
+                    ((cidx * acs.NUM_ORDERS + o) * (nqf + 1) + qi)
+                    * bcm.num_dc_ctxs]
+    qf_thr = np.asarray(bcm.qf_thresholds, dtype=np.int64)
+    cov_x = np.asarray(acs.COVERED_X, np.int32)
+    cov_y = np.asarray(acs.COVERED_Y, np.int32)
+    log2cb = np.asarray(acs.LOG2_COVERED, np.int32)
+    ord_lut = np.asarray(acs.STRATEGY_ORDER, np.int32)
+    used_strategies = np.unique(state.strategy[state.is_origin])
+    qimg = np.zeros((3, h, w), dtype=np.int32)
+    planes = [qimg[0], qimg[1], qimg[2]]
+    state.qimg = qimg
+    for p, (offs, sizes) in enumerate(per_pass):
+        # image-relative coefficient-order LUTs per (strategy, channel)
+        pass_orders = state.orders[p] if p < len(state.orders) else {}
+        chunks, off_tab = [], np.zeros((acs.NUM_STRATEGIES, 3),
+                                       dtype=np.int64)
+        pos = 0
+        for s in used_strategies:
+            s = int(s)
+            # qimg stores each tile as the wide-layout vector reshaped
+            # row-major to the tile shape (cy*8, cx*8)
+            cols = acs.COVERED_X[s] * 8
+            for c in range(3):
+                order = pass_orders.get((acs.STRATEGY_ORDER[s], c))
+                if order is None:
+                    order = acs.natural_coeff_order(s)
+                order = np.asarray(order, dtype=np.int64)
+                oimg = ((order // cols) * w + order % cols).astype(np.int32)
+                chunks.append(oimg)
+                off_tab[s, c] = pos
+                pos += len(oimg)
+        oflat = np.concatenate(chunks) if chunks else np.zeros(1, np.int32)
+        shift = state.fh.passes.shift[p] \
+            if state.fh.passes.num_passes > 1 else 0
+        code = state.ac_code[p]
+        cmap = state.ac_context_map[p]
+        ncodes = getattr(code, "_native_codes", None)
+        if ncodes is None or ncodes.context_map_src is not cmap:
+            ncodes = NativeCodes(code, cmap)
+            ncodes.context_map_src = cmap
+            code._native_codes = ncodes
+        rc = decode_ac_image_native(
+            lib, data, np.asarray(offs, dtype=np.uint64),
+            np.asarray(sizes, dtype=np.uint64), fd.xsize_groups,
+            fd.group_dim // 8, ncodes,
+            (state.strategy, state.is_origin, state.raw_quant_field),
+            (np.ascontiguousarray(bctx_lut), qf_thr,
+             np.ascontiguousarray(off_tab), oflat,
+             cov_x, cov_y, log2cb, ord_lut),
+            histo_bits, bcm.num_ac_contexts(), bcm.num_ctxs, shift, planes)
+        if rc != 0:
+            raise JXLError(f"invalid AC stream (group {rc - 1000}, "
+                           f"pass {p})")
+    return True
+
+
 def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
                     pass_idx: int = 0) -> None:
     """Read one group x pass section: accumulate quantized coefficients
@@ -298,6 +483,12 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
     shift = state.fh.passes.shift[pass_idx] \
         if state.fh.passes.num_passes > 1 else 0
     reader = ANSSymbolReader(code, r)
+    if not code.lz77.enabled and not code.use_prefix_code and blocks:
+        if _decode_ac_group_native(r, state, reader, blocks, bx0, by0,
+                                   bw, bh, ctx_offset, shift, pass_idx):
+            if not reader.check_final_state():
+                raise JXLError("AC group ANS final state mismatch")
+            return
     nzeros_map = np.zeros((3, bh, bw), dtype=np.int32)
     bcm = state.block_ctx_map
     pass_orders = state.orders[pass_idx] if pass_idx < len(state.orders) \
@@ -581,6 +772,17 @@ def decode_dc_group(r: BitReader, state: VarDCTState, dc_group_id: int) -> None:
     acs_row = img.channel[2].data[0]
     qf_row = img.channel[2].data[1]
     sharp = img.channel[3].data
+    from ..native_ext import get_lib, place_ac_metadata_native
+
+    lib = get_lib()
+    if lib is not None:
+        ok = place_ac_metadata_native(
+            lib, acs_row, qf_row, count, sharp, x0, y0, rw, rh,
+            fd.xsize_blocks, fd.ysize_blocks, QUANT_MAX, state.strategy,
+            state.is_origin, state.raw_quant_field, state.epf_sharpness)
+        if ok != count:
+            raise JXLError("corrupted AC metadata stream")
+        return
     num = 0
     for iy in range(rh):
         for ix in range(rw):
@@ -675,7 +877,7 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         reference_frames=None, return_xyb: bool = False,
                         extra_out: list = None, reference_extra=None,
                         render_fn=None, dc_frames=None,
-                        runner=None):
+                        runner=None, want_qimg: bool = False):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
@@ -690,6 +892,7 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
 
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
+    state.want_qimg = want_qimg
     mstate = ModularFrameState()
     subsampled = False
     from ..io.frame_header import CT_YCBCR as _CT_YCBCR_D
@@ -790,8 +993,14 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         decode_modular_group(sr, fh, fd, mstate, rect, min_shift, max_shift,
                              modular_ac_stream_id(fd, g, p))
 
+    ac_bulk = None
+    if (getattr(state, "want_qimg", False) and not subsampled
+            and fh.nonserialized_metadata.m.num_extra_channels == 0):
+        def ac_bulk(data, per_pass):
+            return decode_ac_bulk_native(state, data, per_pass)
+
     decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group,
-                          runner=runner)
+                          runner=runner, decode_ac_bulk=ac_bulk)
     extra_planes = None
     if mstate.full_image is not None and mstate.full_image.channel:
         img = finalize_modular_frame(fh, mstate)
@@ -799,6 +1008,9 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     if render_fn is not None:
         # device render path: must fill state.xyb from state.qblocks
         render_fn(state)
+        if getattr(state, "device_output_done", False):
+            # final pixels were produced on device (decode_tpu fast path)
+            return None
     elif subsampled:
         from .subsampled import render_groups_sub
 

@@ -74,7 +74,7 @@ def test_group_sections_decode_order_independent():
     orig = af.decode_frame_sections
 
     def shuffled(r, fh, dc_global, dc_group, ac_global, ac_group,
-                 runner=None):
+                 runner=None, **_kw):
         calls = []
 
         def rec_ac(g, p, sr):

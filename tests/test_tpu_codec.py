@@ -69,6 +69,8 @@ def test_device_decode_matches_host_pixels():
     data = encode_lossy_tpu(img, distance=1.0)
     o_host, _ = decode(data)
     o_dev, _ = decode_tpu(data)
-    np.testing.assert_array_equal(o_dev, o_host[:, :, :3])
+    # float32 device vs float64 host: isolated +-1 rounding flips allowed
+    diff = np.abs(o_dev.astype(int) - o_host[:, :, :3].astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-3
     err = np.abs(o_dev.astype(int) - img.astype(int)).mean()
     assert err < 6.0
