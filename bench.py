@@ -26,6 +26,7 @@ sequential end-to-end rate through the tunnel for transparency.
 
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -58,9 +59,11 @@ def main():
     mp = n * n / 1e6
     B = 4
     img = _make_image(n)
+    print("bench: encoding...", file=sys.stderr, flush=True)
     t0 = time.time()
     stream = codestream.encode_lossy(img, distance=1.0, effort=3)
     t_enc = time.time() - t0
+    print(f"bench: encoded in {t_enc:.0f}s", file=sys.stderr, flush=True)
 
     # --- host entropy decode (C hot loop) of the real bitstream
     def entropy_decode():
@@ -146,8 +149,13 @@ def main():
 
         return jax.lax.map(one, salts).sum()
 
+    print("bench: compiling device program...", file=sys.stderr,
+          flush=True)
     salts = jnp.arange(1, B + 1, dtype=jnp.int32)
+    t0 = time.time()
     chk = int(decode_batch(qimg_dev, salts))  # compile + warm
+    print(f"bench: compiled+ran in {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     times = []
     for i in range(3):
         s = jnp.arange(1 + i, B + 1 + i, dtype=jnp.int32)
@@ -160,6 +168,7 @@ def main():
     # --- sequential end-to-end through the tunnel (uploads + readback)
     from libjxl_tpu.api.tpu_codec import decode_tpu
 
+    print("bench: e2e pass...", file=sys.stderr, flush=True)
     decode_tpu(stream)  # warm/compile
     t0 = time.time()
     out, _ = decode_tpu(stream)

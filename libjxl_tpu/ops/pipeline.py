@@ -455,7 +455,7 @@ def gaborish_jax(xyb, kernels):
     cannot tile onto the MXU and run ~25x slower than this form."""
     k = jnp.asarray(kernels, dtype=xyb.dtype)
     h, w = xyb.shape[-2:]
-    p = jnp.pad(xyb, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    p = jnp.pad(xyb, ((0, 0), (1, 1), (1, 1)), mode="symmetric")
     out = None
     for dy in range(3):
         for dx in range(3):
@@ -478,7 +478,7 @@ def _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
     static slices of one padded array — XLA fuses the stencil."""
     pad = 4
     h, w = xyb.shape[-2:]
-    p = jnp.pad(xyb, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    p = jnp.pad(xyb, ((0, 0), (pad, pad), (pad, pad)), mode="symmetric")
 
     def sh(dy, dx):
         return p[:, pad + dy:pad + dy + h, pad + dx:pad + dx + w]
@@ -554,7 +554,7 @@ def gaborish_inverse_jax(xyb, kernel):
     Shift-add avoids the channel-1 conv path that can't use the MXU."""
     k = np.asarray(kernel, dtype=np.float32)
     h, w = xyb.shape[-2:]
-    p = jnp.pad(xyb, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    p = jnp.pad(xyb, ((0, 0), (2, 2), (2, 2)), mode="symmetric")
     out = None
     for dy in range(5):
         for dx in range(5):

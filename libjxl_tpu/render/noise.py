@@ -95,7 +95,7 @@ def random_3planes(visible_frame: int, nonvisible_frame: int, x0: int,
 def convolve_noise(plane: np.ndarray) -> np.ndarray:
     """ConvolveNoiseStage: out = 0.16*sum(5x5 box minus center) - 3.84*center
     (stage_noise.cc:241-279)."""
-    p = np.pad(plane, 2, mode="edge")
+    p = np.pad(plane, 2, mode="symmetric")
     h, w = plane.shape
     acc = np.zeros((h, w), dtype=np.float64)
     for dy in range(5):

@@ -30,7 +30,7 @@ def _conv2d_np(img: np.ndarray, kern: np.ndarray) -> np.ndarray:
     """Small-kernel 2D convolution with edge padding (NumPy, host path)."""
     kh, kw = kern.shape
     py, px = kh // 2, kw // 2
-    p = np.pad(img, ((py, py), (px, px)), mode="edge")
+    p = np.pad(img, ((py, py), (px, px)), mode="symmetric")
     out = np.zeros_like(img, dtype=np.float64)
     for dy in range(kh):
         for dx in range(kw):
@@ -95,7 +95,7 @@ def _shift(img, dy, dx, pad):
 
 
 def _np_pad_edge(x, pad):
-    return np.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    return np.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="symmetric")
 
 
 def _epf_pass(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,

@@ -1078,9 +1078,12 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         extra_out.extend(extra_planes)
     xyb = state.xyb[:, :fd.ysize, :fd.xsize]
     if fh.upsampling > 1:
-        from ..render.upsample import upsample
+        from ..render.upsample import kernels_from_metadata, upsample
 
-        xyb = np.stack([upsample(xyb[c], fh.upsampling) for c in range(3)])
+        kern = kernels_from_metadata(fh.nonserialized_metadata,
+                                     fh.upsampling)
+        xyb = np.stack([upsample(xyb[c], fh.upsampling, kernels=kern)
+                        for c in range(3)])
         xyb = xyb[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
     if return_xyb:
         # save_before_color_transform path: fully rendered XYB (dec_cache.cc

@@ -52,7 +52,7 @@ def apply_gaborish_inverse(xyb: np.ndarray) -> np.ndarray:
     out = np.empty_like(xyb)
     pad = 2
     for c in range(3):
-        p = np.pad(xyb[c], pad, mode="edge")
+        p = np.pad(xyb[c], pad, mode="symmetric")
         acc = np.zeros_like(xyb[c])
         for dy in range(5):
             for dx in range(5):
@@ -145,7 +145,7 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
                     optimize=True).reshape(
             3, nby * 8, nbx * 8)
         if gab is not None:
-            pad = np.pad(pix, ((0, 0), (1, 1), (1, 1)), mode="edge")
+            pad = np.pad(pix, ((0, 0), (1, 1), (1, 1)), mode="symmetric")
             blurred = np.zeros_like(pix)
             for c in range(3):
                 for dy in range(3):
