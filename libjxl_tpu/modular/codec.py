@@ -123,16 +123,19 @@ def _decode_channel(r: BitReader, reader: ANSSymbolReader, context_map,
         return
     tree, uses_wp, max_prop = filter_tree(global_tree, (chan, group_id))
 
-    # Native C fast path: WP-free trees without reference properties or
-    # LZ77 (native/modular_decode.c).
-    if (not uses_wp and max_prop < NUM_NONREF_PROPERTIES - 1
+    # Native C fast paths (native/modular_decode.c): WP-free trees and
+    # weighted-predictor trees, both limited to non-reference properties
+    # and plain rANS streams.
+    needs_wp = uses_wp or any(n.predictor == P_WEIGHTED for n in tree
+                              if n.property == -1)
+    if (max_prop < NUM_NONREF_PROPERTIES - (0 if needs_wp else 1)
             and not reader.use_prefix_code
-            and getattr(reader, "lz77_window", None) is None
-            and all(n.predictor != P_WEIGHTED for n in tree if n.property == -1)):
+            and getattr(reader, "lz77_window", None) is None):
         from ..native_ext import (
             NativeCodes,
             NativeTree,
             decode_channel_native,
+            decode_channel_wp_native,
             get_lib,
         )
 
@@ -142,9 +145,15 @@ def _decode_channel(r: BitReader, reader: ANSSymbolReader, context_map,
             if ncodes is None:
                 ncodes = NativeCodes(reader.code, context_map)
                 reader._native_codes = ncodes
-            out, bitpos, state = decode_channel_native(
-                lib, r.data, r.total_bits_consumed(), reader.state,
-                ncodes, NativeTree(tree), chan, group_id, w, h)
+            if needs_wp:
+                out, bitpos, state = decode_channel_wp_native(
+                    lib, r.data, r.total_bits_consumed(), reader.state,
+                    ncodes, NativeTree(tree), wp_header, chan, group_id,
+                    w, h)
+            else:
+                out, bitpos, state = decode_channel_native(
+                    lib, r.data, r.total_bits_consumed(), reader.state,
+                    ncodes, NativeTree(tree), chan, group_id, w, h)
             channel.data[:, :] = out
             r.seek_bits(bitpos)
             reader.state = state

@@ -52,6 +52,7 @@ def get_lib():
         lib.decode_ac_group.restype = ctypes.c_int
         lib.decode_ac_image.restype = ctypes.c_int
         lib.place_ac_metadata.restype = ctypes.c_int
+        lib.decode_channel_wp.restype = ctypes.c_int
     except AttributeError:
         pass
     _lib = lib
@@ -134,6 +135,50 @@ def ans_write_native(lib, histo: np.ndarray, tok: np.ndarray,
         raise RuntimeError(f"native ans write failed (rc={rc})")
     nbytes = (total.value + 7) // 8
     return st.value, bytes(out[:nbytes]), total.value
+
+
+def decode_channel_wp_native(lib, data: bytes, bitpos: int, state: int,
+                             ncodes: NativeCodes, ntree: NativeTree,
+                             wp_header, chan: int, group_id: int,
+                             w: int, h: int):
+    """Weighted-predictor channel decode (native/modular_decode.c).
+    Returns (out int32 (h, w), new_bitpos, new_state)."""
+    out = np.zeros((h, w), dtype=np.int32)
+    bp = ctypes.c_uint64(bitpos)
+    st = ctypes.c_uint32(state)
+    dview = np.frombuffer(data, dtype=np.uint8)
+    params = np.array([wp_header.p1c, wp_header.p2c, wp_header.p3ca,
+                       wp_header.p3cb, wp_header.p3cc, wp_header.p3cd,
+                       wp_header.p3ce, *wp_header.w], dtype=np.int32)
+    rc = lib.decode_channel_wp(
+        _ptr(dview, ctypes.c_uint8), ctypes.c_size_t(len(data)),
+        ctypes.byref(bp), ctypes.byref(st),
+        _ptr(ncodes.cutoff, ctypes.c_uint16),
+        _ptr(ncodes.right, ctypes.c_uint16),
+        _ptr(ncodes.freq0, ctypes.c_uint16),
+        _ptr(ncodes.offsets1, ctypes.c_uint16),
+        _ptr(ncodes.freq1, ctypes.c_uint16),
+        ctypes.c_int(ncodes.log_alpha_size),
+        _ptr(ncodes.context_map, ctypes.c_uint8),
+        _ptr(ncodes.cfg_split, ctypes.c_uint32),
+        _ptr(ncodes.cfg_msb, ctypes.c_uint32),
+        _ptr(ncodes.cfg_lsb, ctypes.c_uint32),
+        _ptr(ntree.property, ctypes.c_int32),
+        _ptr(ntree.splitval, ctypes.c_int32),
+        _ptr(ntree.lchild, ctypes.c_int32),
+        _ptr(ntree.rchild, ctypes.c_int32),
+        _ptr(ntree.predictor, ctypes.c_int32),
+        _ptr(ntree.offset, ctypes.c_int64),
+        _ptr(ntree.multiplier, ctypes.c_int32),
+        _ptr(params, ctypes.c_int32),
+        ctypes.c_int(chan), ctypes.c_int(group_id),
+        ctypes.c_int(w), ctypes.c_int(h),
+        _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        from .base.status import JXLError
+
+        raise JXLError(f"native WP decode failed (rc={rc})")
+    return out, bp.value, st.value
 
 
 def place_ac_metadata_native(lib, acs_row, qf_row, count, sharp,

@@ -223,3 +223,16 @@ def test_oracle_jpeg_recompression_our_reconstruction():
     jxl = oracle.encode_jpeg(jpeg)
     rec = recompress.reconstruct_jpeg(jxl)
     assert rec == jpeg
+
+
+@pytest.mark.parametrize("effort", [8, 9])
+def test_oracle_wp_lossless_bit_exact(effort):
+    """High-effort reference lossless streams lean on the self-correcting
+    Weighted predictor; the native WP decode path (context_predict.h
+    analog in C) must reproduce them bit-exactly."""
+    rng = np.random.default_rng(31)
+    img = np.clip(np.cumsum(rng.normal(0, 3, (160, 192, 3)), axis=1)
+                  + 128, 0, 255).astype(np.uint8)
+    data = oracle.encode(img, lossless=True, effort=effort, modular=True)
+    dec, _ = codestream.decode(data)
+    assert np.array_equal(dec[:, :, :3], img)
