@@ -108,73 +108,67 @@ def main():
     dm = np.stack([st.matrices.dequant_matrix(0, c)
                    for c in range(3)]).astype(np.float32)
     chs = tuple(np.float32(v) for v in lf.epf_channel_scale)
-    consts = dict(
-        qf=jax.device_put(st.raw_quant_field.astype(np.int32)),
-        dc=jax.device_put(st.dc.astype(np.float32)),
-        ytox=jax.device_put(st.ytox_map.astype(np.int32)),
-        ytob=jax.device_put(st.ytob_map.astype(np.int32)),
-        dm=jax.device_put(dm),
-        gab=jax.device_put(gab),
-        isp=jax.device_put(isp),
-        sad=jax.device_put(sad),
-        extra=jax.device_put(tuple(extra)),
-        cls=jax.device_put(class_map),
-        sp=jax.device_put(tuple(size_passes)),
-    )
-    qimg_dev = jax.device_put(st.qimg)
     igs = np.float32(st.quantizer.inv_global_scale)
     xdm = np.float32(st.x_dm_mult)
     bdm = np.float32(st.b_dm_mult)
     epf_iters = int(lf.epf_iters)
     p0 = np.float32(lf.epf_pass0_sigma_scale)
     p2 = np.float32(lf.epf_pass2_sigma_scale)
+    import functools
 
-    @jax.jit
-    def decode_batch(qimg, salts):
+    @functools.partial(jax.jit,
+                       static_argnames=("epf_iters", "tile_shapes",
+                                       "size_shapes"))
+    def decode_batch(qimg, salts, qf, dc, ytox, ytob, dmk, gabk, ispk,
+                     sadk, extra_t, sp_t, cls, epf_iters=2,
+                     tile_shapes=(), size_shapes=()):
         # B unique images per dispatch: each lane perturbs one coefficient
         # per block row, so no execution cache can serve a repeat; the
-        # scalar checksum keeps the readback off the slow tunnel.
+        # scalar checksum keeps the readback off the slow tunnel. All
+        # arrays travel as arguments (closure-captured buffers overflow
+        # the remote-compile request on the dev rig).
         def one(salt):
             q = qimg.at[:, ::8, 0].add(salt)
             u8 = pl.decode_render_image(
-                q, consts["qf"], consts["dc"], consts["ytox"],
-                consts["ytob"], consts["dm"], igs, xdm, bdm,
-                consts["gab"], consts["isp"], consts["sad"], chs,
+                q, qf, dc, ytox, ytob, dmk, igs, xdm, bdm,
+                gabk, ispk, sadk, chs,
                 epf_iters, to_rgb="u8srgb", pass0_sigma_scale=p0,
-                pass2_sigma_scale=p2, extra_tiles=consts["extra"],
-                dct8_mask=None, tile_shapes=shapes,
-                size_passes=consts["sp"], size_shapes=size_shapes,
-                class_map=consts["cls"])
+                pass2_sigma_scale=p2, extra_tiles=extra_t,
+                dct8_mask=None, tile_shapes=tile_shapes,
+                size_passes=sp_t, size_shapes=size_shapes,
+                class_map=cls)
             return u8.astype(jnp.int32).sum()
 
         return jax.lax.map(one, salts).sum()
 
+    dp = jax.device_put
+    dev_args = (dp(st.raw_quant_field.astype(np.int32)),
+                dp(st.dc.astype(np.float32)),
+                dp(st.ytox_map.astype(np.int32)),
+                dp(st.ytob_map.astype(np.int32)), dp(dm), dp(gab),
+                dp(isp), dp(sad), dp(tuple(extra)),
+                dp(tuple(size_passes)), dp(class_map))
+    qimg_dev = dp(st.qimg)
+
     print("bench: compiling device program...", file=sys.stderr,
           flush=True)
+    def run(salts):
+        return int(decode_batch(
+            qimg_dev, salts, *dev_args, epf_iters=epf_iters,
+            tile_shapes=shapes, size_shapes=size_shapes))
+
     salts = jnp.arange(1, B + 1, dtype=jnp.int32)
     t0 = time.time()
-    chk = int(decode_batch(qimg_dev, salts))  # compile + warm
+    chk = run(salts)  # compile + warm
     print(f"bench: compiled+ran in {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
     times = []
     for i in range(3):
-        s = jnp.arange(1 + i, B + 1 + i, dtype=jnp.int32)
         t0 = time.time()
-        v = int(decode_batch(qimg_dev, s))
+        run(jnp.arange(1 + i, B + 1 + i, dtype=jnp.int32))
         times.append(time.time() - t0)
     t_dev = statistics.median(times)
     device_mp_s = B * mp / t_dev
-
-    # --- sequential end-to-end through the tunnel (uploads + readback)
-    from libjxl_tpu.api.tpu_codec import decode_tpu
-
-    print("bench: e2e pass...", file=sys.stderr, flush=True)
-    decode_tpu(stream)  # warm/compile
-    t0 = time.time()
-    out, _ = decode_tpu(stream)
-    t_e2e = time.time() - t0
-    err = float(np.abs(out.astype(np.int64)
-                       - img.astype(np.int64)).mean())
 
     value = round(device_mp_s, 2)
     print(json.dumps({
@@ -183,9 +177,7 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(value / 400.0, 3),
         "entropy_mp_s": round(mp / t_entropy, 2),
-        "e2e_tunnel_mp_s": round(mp / t_e2e, 2),
         "encode_s": round(t_enc, 1),
-        "mean_abs_err": round(err, 2),
         "checksum": chk,
     }))
 

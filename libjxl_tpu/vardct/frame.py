@@ -873,6 +873,47 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 
 
 # ------------------------------------------------------------ frame orchestr.
+def decode_dc_global(r: BitReader, state: VarDCTState) -> None:
+    """Standalone DC-global section decode for the suspendable decoder
+    (api.decoder); the whole-frame path uses the closure variant that
+    also wires image features and modular extra channels."""
+    from ..api.frame import ModularFrameState, decode_global_info
+
+    state.matrices.decode_dc(r)
+    state.quantizer.decode(r)
+    state.block_ctx_map = decode_block_ctx_map(r)
+    decode_cmap_dc(r, state)
+    mstate = ModularFrameState()
+    decode_global_info(r, state.fh, state.fd, mstate)
+    state.tree = mstate.tree
+    state.code = mstate.code
+    state.context_map = mstate.context_map
+
+
+def decode_ac_global(r: BitReader, state: VarDCTState) -> None:
+    """Standalone AC-global section decode (api.decoder companion)."""
+    fh, fd = state.fh, state.fd
+    if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
+        fac = [state.quantizer.mul_dc(c) for c in range(3)]
+        state.dc = adaptive_dc_smoothing(state.dc, fac)
+    state.matrices.decode(r, num_dc_groups=fd.num_dc_groups,
+                          global_tree=state.tree,
+                          global_code=state.code,
+                          global_ctx_map=state.context_map)
+    nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 else 0
+    state.num_histograms = 1 + (r.read_bits(nbits) if nbits else 0)
+    from .coeff_order import decode_coeff_orders
+
+    for _ in range(fh.passes.num_passes):
+        used_orders = u32_read(ORDER_ENC, r)
+        state.orders.append(decode_coeff_orders(used_orders, r))
+        num_contexts = (state.num_histograms
+                        * state.block_ctx_map.num_ac_contexts())
+        code, cmap = decode_histograms(r, num_contexts)
+        state.ac_code.append(code)
+        state.ac_context_map.append(cmap)
+
+
 def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         reference_frames=None, return_xyb: bool = False,
                         extra_out: list = None, reference_extra=None,

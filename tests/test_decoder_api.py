@@ -1,0 +1,151 @@
+"""Suspendable decoder state machine (api.decoder vs decode.h protocol).
+
+Mirrors the reference decode_test.cc style: feed input in chunks, check
+the event order, flush partial images at truncation points and require
+monotonic improvement, and match the one-shot decoder at the end.
+"""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api import codestream, decoder
+from libjxl_tpu.base.status import JXLError
+
+
+def _image(h=160, w=200, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 // w), (yy * 255 // h),
+                    ((xx + yy) * 255 // (h + w))], axis=-1).astype(np.int32)
+    img += rng.integers(-12, 13, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _rmse(a, b):
+    return float(np.sqrt(((a.astype(np.float64)
+                           - b.astype(np.float64)) ** 2).mean()))
+
+
+def test_event_order_and_final_image():
+    img = _image()
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3)
+    oneshot, _ = codestream.decode(stream)
+
+    dec = decoder.Decoder()
+    dec.set_input(stream)
+    dec.close_input()
+    events = []
+    for _ in range(10):
+        ev = dec.process()
+        events.append(ev)
+        if ev == decoder.SUCCESS or ev == decoder.FULL_IMAGE:
+            break
+    assert events[:3] == [decoder.BASIC_INFO, decoder.COLOR_ENCODING,
+                          decoder.FRAME]
+    assert decoder.FULL_IMAGE in events
+    info = dec.basic_info
+    assert (info["xsize"], info["ysize"]) == (200, 160)
+    assert np.array_equal(dec.image, oneshot[:, :, :3])
+    assert dec.process() == decoder.SUCCESS
+
+
+def test_incremental_feeding_need_more_input():
+    img = _image(seed=5)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3)
+    dec = decoder.Decoder()
+    pos = 0
+    chunk = 97
+    events = []
+    while True:
+        ev = dec.process()
+        if ev == decoder.NEED_MORE_INPUT:
+            if pos >= len(stream):
+                dec.close_input()
+                continue
+            dec.set_input(stream[pos:pos + chunk])
+            pos += chunk
+            continue
+        events.append(ev)
+        if ev in (decoder.FULL_IMAGE, decoder.SUCCESS):
+            break
+    assert decoder.BASIC_INFO in events
+    assert decoder.FULL_IMAGE in events
+    oneshot, _ = codestream.decode(stream)
+    assert np.array_equal(dec.image, oneshot[:, :, :3])
+
+
+def test_flush_is_monotone_and_progressive():
+    # big enough for several 256px AC groups
+    img = _image(300, 560, seed=9)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3)
+    final, _ = codestream.decode(stream)
+    final = final[:, :, :3].astype(np.float64)
+
+    fractions = [0.35, 0.55, 0.75, 0.9, 1.0]
+    last_err = None
+    flushed_any = False
+    for frac in fractions:
+        dec = decoder.Decoder()
+        dec.set_input(stream[:int(len(stream) * frac)])
+        while dec.process() not in (decoder.NEED_MORE_INPUT,
+                                    decoder.FULL_IMAGE, decoder.SUCCESS):
+            pass
+        partial = dec.flush_image()
+        if partial is None:
+            assert frac < 0.5, "flush should work once DC arrived"
+            continue
+        flushed_any = True
+        err = _rmse(partial[:, :, :3], final)
+        if last_err is not None:
+            assert err <= last_err + 1e-6, (frac, err, last_err)
+        last_err = err
+    assert flushed_any
+    assert last_err == 0.0  # full input flush == final image
+
+
+def test_truncation_every_stride_never_crashes():
+    img = _image(128, 128, seed=11)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3)
+    for cut in range(1, len(stream), 173):
+        dec = decoder.Decoder()
+        dec.set_input(stream[:cut])
+        ev = None
+        for _ in range(8):
+            ev = dec.process()
+            if ev in (decoder.NEED_MORE_INPUT, decoder.FULL_IMAGE,
+                      decoder.SUCCESS):
+                break
+        dec.flush_image()  # must never raise
+        if cut < len(stream) // 2:
+            assert ev == decoder.NEED_MORE_INPUT
+        # closing a truncated stream must raise a clean JXLError
+        if cut < len(stream) - 1:
+            dec.close_input()
+            with pytest.raises(JXLError):
+                while dec.process() not in (decoder.FULL_IMAGE,
+                                            decoder.SUCCESS):
+                    pass
+
+
+def test_rewind_redelivers_events():
+    img = _image(96, 96, seed=13)
+    stream = codestream.encode_lossless(img)
+    dec = decoder.Decoder()
+    dec.set_input(stream)
+    dec.close_input()
+    assert dec.process() == decoder.BASIC_INFO
+    dec.rewind()
+    assert dec.process() == decoder.BASIC_INFO
+
+
+def test_whole_stream_fallback_lossless():
+    img = _image(80, 90, seed=17)
+    stream = codestream.encode_lossless(img)
+    dec = decoder.Decoder()
+    dec.set_input(stream)
+    dec.close_input()
+    while True:
+        ev = dec.process()
+        if ev in (decoder.FULL_IMAGE, decoder.SUCCESS):
+            break
+    assert np.array_equal(dec.image[:, :, :3], img)
