@@ -166,11 +166,24 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         meta.m.num_extra_channels = len(meta.m.extra_channel_info)
         extra_channels = (extra_channels or []) + [
             np.asarray(plane, dtype=np.int32)]
+    cms_linear = None
     if icc is not None:
-        meta.m.all_default = False
-        meta.m.color_encoding.all_default = False
-        meta.m.color_encoding.want_icc = True
-        meta.m.color_encoding.icc = icc
+        # CMS: pixels carrying a non-sRGB ICC profile are converted to
+        # linear sRGB before XYB (cms/jxl_cms.cc role; lcms2 backend).
+        # Like the reference's lossy path the stream then signals sRGB
+        # (uses_original_profile stays false, decode.h:209); without
+        # lcms2 the profile is embedded untouched as in round 1.
+        from ..extras import cms as _cms
+
+        if _cms.available() and _cms.profile_is_rgb(icc):
+            cms_linear = np.moveaxis(
+                _cms.icc_to_linear_srgb(image, icc), -1, 0).astype(
+                    np.float64)
+        else:
+            meta.m.all_default = False
+            meta.m.color_encoding.all_default = False
+            meta.m.color_encoding.want_icc = True
+            meta.m.color_encoding.icc = icc
     pv_img = None
     if preview:
         # downscale so the long side fits `preview` px (8px multiples)
@@ -235,8 +248,11 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         fh.passes.num_passes = progressive
         fh.passes.shift = [progressive - 1 - i for i in range(progressive)] \
             + [0] * (11 - progressive)
-    rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
-    rgb = np.moveaxis(rgb, -1, 0)
+    if cms_linear is not None:
+        rgb = cms_linear
+    else:
+        rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
+        rgb = np.moveaxis(rgb, -1, 0)
     if resampling > 1:
         from ..render.upsample import (
             downsample2_iterative,
