@@ -119,27 +119,24 @@ def main():
     @functools.partial(jax.jit,
                        static_argnames=("epf_iters", "tile_shapes",
                                        "size_shapes"))
-    def decode_batch(qimg, salts, qf, dc, ytox, ytob, dmk, gabk, ispk,
-                     sadk, extra_t, sp_t, cls, epf_iters=2,
-                     tile_shapes=(), size_shapes=()):
-        # B unique images per dispatch: each lane perturbs one coefficient
-        # per block row, so no execution cache can serve a repeat; the
-        # scalar checksum keeps the readback off the slow tunnel. All
-        # arrays travel as arguments (closure-captured buffers overflow
-        # the remote-compile request on the dev rig).
-        def one(salt):
-            q = qimg.at[:, ::8, 0].add(salt)
-            u8 = pl.decode_render_image(
-                q, qf, dc, ytox, ytob, dmk, igs, xdm, bdm,
-                gabk, ispk, sadk, chs,
-                epf_iters, to_rgb="u8srgb", pass0_sigma_scale=p0,
-                pass2_sigma_scale=p2, extra_tiles=extra_t,
-                dct8_mask=None, tile_shapes=tile_shapes,
-                size_passes=sp_t, size_shapes=size_shapes,
-                class_map=cls)
-            return u8.astype(jnp.int32).sum()
-
-        return jax.lax.map(one, salts).sum()
+    def decode_one(qimg, salt, qf, dc, ytox, ytob, dmk, gabk, ispk,
+                   sadk, extra_t, sp_t, cls, epf_iters=2,
+                   tile_shapes=(), size_shapes=()):
+        # The salt perturbs one coefficient per block row on device, so
+        # repeated dispatches are unique inputs (no execution cache can
+        # serve them); the scalar checksum keeps the readback off the
+        # slow tunnel. All arrays travel as arguments (closure-captured
+        # buffers overflow the dev rig's remote-compile request).
+        q = qimg.at[:, ::8, 0].add(salt)
+        u8 = pl.decode_render_image(
+            q, qf, dc, ytox, ytob, dmk, igs, xdm, bdm,
+            gabk, ispk, sadk, chs,
+            epf_iters, to_rgb="u8srgb", pass0_sigma_scale=p0,
+            pass2_sigma_scale=p2, extra_tiles=extra_t,
+            dct8_mask=None, tile_shapes=tile_shapes,
+            size_passes=sp_t, size_shapes=size_shapes,
+            class_map=cls)
+        return u8.astype(jnp.int32).sum()
 
     dp = jax.device_put
     dev_args = (dp(st.raw_quant_field.astype(np.int32)),
@@ -152,23 +149,22 @@ def main():
 
     print("bench: compiling device program...", file=sys.stderr,
           flush=True)
-    def run(salts):
-        return int(decode_batch(
-            qimg_dev, salts, *dev_args, epf_iters=epf_iters,
+    def run(salt):
+        return int(decode_one(
+            qimg_dev, jnp.int32(salt), *dev_args, epf_iters=epf_iters,
             tile_shapes=shapes, size_shapes=size_shapes))
 
-    salts = jnp.arange(1, B + 1, dtype=jnp.int32)
     t0 = time.time()
-    chk = run(salts)  # compile + warm
+    chk = run(1)  # compile + warm
     print(f"bench: compiled+ran in {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
     times = []
-    for i in range(3):
+    for i in range(2, 2 + 2 * B):
         t0 = time.time()
-        run(jnp.arange(1 + i, B + 1 + i, dtype=jnp.int32))
+        run(i)
         times.append(time.time() - t0)
     t_dev = statistics.median(times)
-    device_mp_s = B * mp / t_dev
+    device_mp_s = mp / t_dev
 
     value = round(device_mp_s, 2)
     print(json.dumps({

@@ -24,6 +24,19 @@ from .frame import (
 SIGNATURE = b"\xff\x0a"
 
 
+def _calibrated_distance(distance: float) -> float:
+    """Map the public --distance scale onto the internal quant scale.
+
+    Measured against reference cjxl output (equal-bytes comparison on a
+    textured corpus): our adaptive-quant field runs ~2x coarser than the
+    reference's at the same nominal distance, so streams came out half
+    the size at ~0.5 butteraugli worse. Halving the internal distance
+    aligns both the size and the d -> butteraugli mapping with the
+    reference (docs/RD_CURVE.md)."""
+    return max(0.02, distance * 0.5)
+
+
+
 def parse_codestream_header(r: BitReader) -> CodecMetadata:
     if r.read_bits(8) != 0xFF or r.read_bits(8) != 0x0A:
         raise JXLError("not a JPEG XL codestream (bad signature)")
@@ -135,6 +148,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     from ..ops.xyb import srgb_to_linear
     from ..vardct.frame import encode_vardct_frame
 
+    distance = _calibrated_distance(distance)
     if image.ndim == 2:
         image = image[:, :, None]
     if image.shape[2] == 1:
@@ -306,6 +320,7 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
     get_chunk(px0, py0, w, h) -> (3, h, w) linear RGB float (with
     width/height given). hosts > 1 encodes disjoint DC-group slices in
     parallel — the multi-host decomposition demo."""
+    distance = _calibrated_distance(distance)
     from ..io.frame_header import (
         CT_XYB,
         ENC_VARDCT,

@@ -101,6 +101,9 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
                      adaptive_quant: bool = True, cfl: bool = True) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily with the device
     compute path. Returns a bare JPEG XL codestream (DCT8 strategy)."""
+    from .codestream import _calibrated_distance
+
+    distance = _calibrated_distance(distance)
     from ..io.frame_header import (
         CT_XYB,
         ENC_VARDCT,

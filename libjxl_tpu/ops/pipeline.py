@@ -661,10 +661,19 @@ def encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,
             / color_factor)[:, :, None, None]
     b_cc = (1.0 + _tile_to_blocks(ytob_map, nby, nbx).astype(jnp.float32)
             / color_factor)[:, :, None, None]
-    qy = jnp.round(co[1] * dm_inv[1] / scaled)
+    from ..vardct.frame import _deadzone_thresholds
+
+    def _dz(vals, c):
+        # dead-zone thresholds (QuantizeBlockAC, enc_group.cc:46-91)
+        thr = jnp.asarray(_deadzone_thresholds(1, 1, c),
+                          dtype=jnp.float32)
+        r = jnp.round(vals)
+        return jnp.where(jnp.abs(vals) < thr, 0.0, r)
+
+    qy = _dz(co[1] * dm_inv[1] / scaled, 1)
     dy = adjust_quant_bias_jax(qy, 1) * dm[1] * scaled
-    qx = jnp.round((co[0] - x_cc * dy) * dm_inv[0] / (scaled * x_dm_mult))
-    qb = jnp.round((co[2] - b_cc * dy) * dm_inv[2] / (scaled * b_dm_mult))
+    qx = _dz((co[0] - x_cc * dy) * dm_inv[0] / (scaled * x_dm_mult), 0)
+    qb = _dz((co[2] - b_cc * dy) * dm_inv[2] / (scaled * b_dm_mult), 2)
     q = jnp.stack([qx, qy, qb]).astype(jnp.int32)
     q = q.at[:, :, :, 0, 0].set(0)
     dc = co[:, :, :, 0, 0]

@@ -18,6 +18,8 @@ strategies and per-tile CfL.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..base.status import JXLError
@@ -873,6 +875,35 @@ def tokenize_dc_group(state: VarDCTState, dc_group_id: int, dec_tree,
 
 
 # ------------------------------------------------------------ frame orchestr.
+@functools.lru_cache(maxsize=64)
+def _deadzone_thresholds(cy: int, cx: int, c: int) -> np.ndarray:
+    """Per-position quantization dead-zone thresholds in quantized-value
+    space (QuantizeBlockAC, enc_group.cc:46-91): values below the
+    threshold are zeroed instead of rounded — the modern realization of
+    the encoder's "error diffusion" stage. Quadrant layout over the wide
+    coefficient array; defaults are the fast-tier constants
+    (QuantizeRoundtripYBlockAC, enc_group.cc:321-353)."""
+    wr, wc = min(cy, cx) * 8, max(cy, cx) * 8
+    ys_b, xs_b = min(cy, cx), max(cy, cx)  # CoefficientLayout
+    if c == 1:
+        t = np.array([0.56, 0.62, 0.62, 0.62])
+    else:
+        t = np.array([0.58, 0.64, 0.64, 0.64])
+        if cx * cy >= 4:
+            t = np.maximum(t - 0.00744 * ys_b * xs_b, 0.5)
+    yy, xx = np.mgrid[0:wr, 0:wc]
+    quad = (yy >= wr // 2).astype(int) * 2 + (xx >= wc // 2).astype(int)
+    return t[quad]
+
+
+def quantize_deadzone(val: np.ndarray, cy: int, cx: int,
+                      c: int) -> np.ndarray:
+    """Threshold-quantize pre-round values in wide layout (..., wr, wc)."""
+    thr = _deadzone_thresholds(cy, cx, c)
+    r = np.round(val)
+    return np.where(np.abs(val) < thr, 0.0, r)
+
+
 def decode_dc_global(r: BitReader, state: VarDCTState) -> None:
     """Standalone DC-global section decode for the suspendable decoder
     (api.decoder); the whole-frame path uses the closure variant that
@@ -1639,7 +1670,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                    optimize=True)
         scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
             None, :, :, None, None]
-        qy = np.round(co[1] * dm_inv[1] / scaled[0])
+        qy = quantize_deadzone(co[1] * dm_inv[1] / scaled[0], 1, 1, 1)
         dy = adjust_quant_bias(qy, 1) * dm_y * scaled[0]
         if cfl:
             state.ytox_map, state.ytob_map = fit_cfl(co[0], co[1], co[2],
@@ -1650,10 +1681,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         b_cc = (state.base_b + np.repeat(np.repeat(
             state.ytob_map, 8, 0), 8, 1)[:nby, :nbx]
             / state.color_factor)[:, :, None, None]
-        qx = np.round((co[0] - x_cc * dy) * dm_inv[0]
-                      / (scaled[0] * state.x_dm_mult))
-        qb = np.round((co[2] - b_cc * dy) * dm_inv[2]
-                      / (scaled[0] * state.b_dm_mult))
+        qx = quantize_deadzone((co[0] - x_cc * dy) * dm_inv[0]
+                               / (scaled[0] * state.x_dm_mult), 1, 1, 0)
+        qb = quantize_deadzone((co[2] - b_cc * dy) * dm_inv[2]
+                               / (scaled[0] * state.b_dm_mult), 1, 1, 2)
         qall = np.stack([qx, qy, qb]).astype(np.int64)
         qall[:, :, :, 0, 0] = 0  # LLF not coded
         coeffs_q = {}
@@ -1678,14 +1709,21 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                 co2 = np.stack([
                     transform_from_pixels(strategy, block[c]).reshape(-1)
                     for c in range(3)])
-                qy2 = np.round(co2[1] * dmi[1] / sc)
+                wr2 = min(cy_, cx_) * 8
+                wc2 = max(cy_, cx_) * 8
+
+                def _dz(vals, ch):
+                    return quantize_deadzone(
+                        vals.reshape(wr2, wc2), cy_, cx_, ch).reshape(-1)
+
+                qy2 = _dz(co2[1] * dmi[1] / sc, 1)
                 dy2 = adjust_quant_bias(qy2, 1) * dm_y2 * sc
                 xcc = float(x_cc[by, bx, 0, 0])
                 bcc = float(b_cc[by, bx, 0, 0])
-                qx2 = np.round((co2[0] - xcc * dy2) * dmi[0]
-                               / (sc * state.x_dm_mult))
-                qb2 = np.round((co2[2] - bcc * dy2) * dmi[2]
-                               / (sc * state.b_dm_mult))
+                qx2 = _dz((co2[0] - xcc * dy2) * dmi[0]
+                          / (sc * state.x_dm_mult), 0)
+                qb2 = _dz((co2[2] - bcc * dy2) * dmi[2]
+                          / (sc * state.b_dm_mult), 2)
                 q2 = np.stack([qx2, qy2, qb2]).astype(np.int64)
                 # LLF positions (wide layout [:min, :max]) are not coded; also
                 # update the DC image from the transform's LLF so the decoder

@@ -52,7 +52,9 @@ def host_encode_dct8(img):
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
     rgb = np.moveaxis(srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0)
-    encode_vardct_frame(bw, rgb, fh, distance=1.0,
+    from libjxl_tpu.api.codestream import _calibrated_distance
+
+    encode_vardct_frame(bw, rgb, fh, distance=_calibrated_distance(1.0),
                         ac_strategy_search=False)
     return bw.get_bytes()
 
