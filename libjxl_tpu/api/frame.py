@@ -427,8 +427,10 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
                 ("ac", g, p, modular_ac_stream_id(fd, g, p), chans))
 
     stream_tokens = {}
+    stream_widths = {}
     for kind, g, p, sid, chans in group_streams:
         tokens = []
+        width = 0
         if chans:
             gi = ModularImage(1, 1, image.bitdepth, 0)
             for (c, rx0, ry0, rw, rh) in chans:
@@ -436,21 +438,33 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
                 gi.channel.append(Channel(
                     rw, rh, fc.hshift, fc.vshift,
                     fc.data[ry0:ry0 + rh, rx0:rx0 + rw].copy()))
+                width = max(width, rw)
             for i in range(len(gi.channel)):
                 _tokenize_channel(gi, i, sid, dec_tree, header.wp_header,
                                   tokens)
         stream_tokens[sid] = tokens
+        stream_widths[sid] = width
 
     # One histogram set over all streams (two-phase, like
     # ModularFrameEncoder::ComputeEncodingData + EncodeGlobalInfo).
     all_token_lists = [global_tokens] + [stream_tokens[sid]
                                          for _, _, _, sid, _ in group_streams]
+    global_width = max((ch.w for ch in tmp.channel), default=0)
+    widths = [global_width] + [stream_widths[sid]
+                               for _, _, _, sid, _ in group_streams]
+    if not options.lz77 or options.use_prefix:
+        lz77_method = "none"
+    elif options.effort >= 7:
+        # hash-chain match search (enc_ans.cc kLZ77, slow-tier default)
+        lz77_method = "lz77"
+    else:
+        lz77_method = "rle"
     histo_writer = BitWriter()
     codes, context_map = build_and_encode_histograms(
         all_token_lists, num_tree_contexts(dec_tree), histo_writer,
-        lz77_method="rle" if options.lz77 and not options.use_prefix
-        else "none",
+        lz77_method=lz77_method,
         lz77_dist_symbol=1,  # modular readers have a distance multiplier
+        lz77_widths=widths,
         use_prefix=options.use_prefix)
     if codes.lz77_tokens is not None:
         global_tokens = codes.lz77_tokens[0]

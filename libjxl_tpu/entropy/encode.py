@@ -249,6 +249,104 @@ def _apply_lz77_rle(tokens_list, num_contexts, lz77, uint_config,
     return out_lists, accepted
 
 
+def _apply_lz77_chain(tokens_list, num_contexts, lz77, uint_config,
+                      widths=None):
+    """ApplyLZ77_LZ77 (enc_ans.cc:1273-1370): hash-chain match search with
+    greedy-lazy emission, run in C (native/lz77_match.c). Returns
+    (new_lists, accepted). widths: per-stream decoder distance
+    multiplier (0 = none)."""
+    from ..native_ext import get_lib, _ptr
+    import ctypes
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lz77_find_matches"):
+        return tokens_list, False
+    lib.lz77_find_matches.restype = ctypes.c_int
+    from .decode import NUM_SPECIAL_DISTANCES, special_distance
+
+    histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config)
+    cost_mat = np.full((num_contexts, _MAX_TOK), 14.0)
+    for c, h in enumerate(histograms):
+        arr = np.asarray(h, dtype=np.float64)
+        total = arr.sum()
+        if total == 0:
+            continue
+        nz = arr > 0
+        row = cost_mat[c, :len(arr)]
+        row[nz] = np.log2(total) - np.log2(arr[nz])
+
+    bit_decrease = 0.0
+    total_symbols = 0
+    out_lists = []
+    min_length = lz77.min_length
+    lut_cache = {}
+    for si, tokens in enumerate(tokens_list):
+        mult = widths[si] if widths else 0
+        ctx, val, _ = flatten_tokens(tokens)
+        n = len(val)
+        total_symbols += n
+        if n < 16:
+            out_lists.append(tokens)
+            continue
+        tok, nbits, _ = uint_config.encode_array(val.astype(np.uint64))
+        costs = cost_mat[ctx, tok] + nbits
+        cum = np.concatenate(([0.0], np.cumsum(costs))).astype(np.float32)
+        if mult not in lut_cache:
+            if mult:
+                sds = [special_distance(i, mult)
+                       for i in range(NUM_SPECIAL_DISTANCES)]
+                max_sd = max(sds)
+                lut = np.full(max_sd + 1, -1, dtype=np.int32)
+                for i in reversed(range(NUM_SPECIAL_DISTANCES)):
+                    lut[sds[i]] = i
+                lut_cache[mult] = (lut, max_sd, NUM_SPECIAL_DISTANCES)
+            else:
+                lut_cache[mult] = (np.full(1, -1, dtype=np.int32), 0, 0)
+        lut, max_sd, n_special = lut_cache[mult]
+        vals32 = np.ascontiguousarray(val, dtype=np.uint32)
+        m_pos = np.zeros(n, dtype=np.uint32)
+        m_len = np.zeros(n, dtype=np.uint32)
+        m_dist = np.zeros(n, dtype=np.uint32)
+        bd = ctypes.c_float(0)
+        nm = lib.lz77_find_matches(
+            _ptr(vals32, ctypes.c_uint32), ctypes.c_uint32(n),
+            _ptr(cum, ctypes.c_float), ctypes.c_float(10.0),
+            ctypes.c_uint32(min_length),
+            _ptr(lut, ctypes.c_int32), ctypes.c_int(max_sd),
+            ctypes.c_int(n_special),
+            _ptr(m_pos, ctypes.c_uint32), _ptr(m_len, ctypes.c_uint32),
+            _ptr(m_dist, ctypes.c_uint32), ctypes.byref(bd))
+        if nm <= 0:
+            out_lists.append(tokens)
+            continue
+        bit_decrease += bd.value
+        starts = m_pos[:nm].astype(np.int64)
+        lens = m_len[:nm].astype(np.int64)
+        dists = m_dist[:nm].astype(np.int64)
+        ends = starts + lens
+        # kept literals = outside accepted matches
+        d = np.zeros(n + 1, dtype=np.int32)
+        d[starts] += 1
+        d[np.minimum(ends, n)] -= 1
+        keep = np.cumsum(d[:n]) == 0
+        pos_kept = np.flatnonzero(keep)
+        k = nm
+        keys = np.concatenate([pos_kept * 4, starts * 4 + 1,
+                               starts * 4 + 2])
+        order = np.argsort(keys, kind="stable")
+        out_ctx = np.concatenate([
+            ctx[pos_kept], ctx[starts],
+            np.full(k, num_contexts, dtype=np.int32)])[order]
+        out_val = np.concatenate([
+            val[pos_kept], lens - min_length, dists])[order]
+        out_lz = np.concatenate([
+            np.zeros(len(pos_kept), dtype=bool), np.ones(k, dtype=bool),
+            np.zeros(k, dtype=bool)])[order]
+        out_lists.append([TokenArray(out_ctx, out_val, out_lz)])
+    accepted = bit_decrease > total_symbols * 0.2 + 16
+    return out_lists, accepted
+
+
 def encode_context_map(context_map, num_histograms, writer: BitWriter) -> None:
     """enc_context_map.cc:63-150 (simplified: chooses simple vs MTF-ANS)."""
     if num_histograms == 1:
@@ -280,6 +378,7 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
                                 strategy: str = "fast",
                                 lz77_method: str = "none",
                                 lz77_dist_symbol: int = 0,
+                                lz77_widths=None,
                                 force_log_alpha: int = None,
                                 use_prefix: bool = False):
     """BuildAndEncodeHistograms (enc_ans.cc:1521-1608 via HistogramBuilder).
@@ -290,12 +389,23 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
     estimated saving clears the reference's acceptance threshold).
     """
     codes = EntropyEncodingData()
-    if lz77_method == "rle" and num_contexts + 1 <= 256:
+    if lz77_method in ("rle", "lz77") and num_contexts + 1 <= 256:
         lz77 = LZ77Params()
         lz77.set_default()
-        new_lists, accepted = _apply_lz77_rle(tokens_list, num_contexts,
-                                              lz77, uint_config,
-                                              lz77_dist_symbol)
+        if lz77_method == "lz77":
+            new_lists, accepted = _apply_lz77_chain(
+                tokens_list, num_contexts, lz77, uint_config,
+                widths=lz77_widths)
+            if not accepted:
+                # screenshot-free content: the cheap RLE transform may
+                # still clear the acceptance bar (enc_ans.cc kRLE)
+                new_lists, accepted = _apply_lz77_rle(
+                    tokens_list, num_contexts, lz77, uint_config,
+                    lz77_dist_symbol)
+        else:
+            new_lists, accepted = _apply_lz77_rle(tokens_list, num_contexts,
+                                                  lz77, uint_config,
+                                                  lz77_dist_symbol)
         if accepted:
             lz77.enabled = True
             tokens_list = new_lists

@@ -86,3 +86,26 @@ def test_rle_not_forced_when_unhelpful():
     out, _ = decode(rle)
     np.testing.assert_array_equal(out, img)
     assert len(rle) <= len(plain) + 8
+
+
+def test_lz77_chain_beats_rle_on_repetitive_content():
+    """Hash-chain match search (enc_ans.cc kLZ77 analog) must win over
+    the RLE-only transform on screenshot-style tiled content and stay
+    decodable (including by the reference decoder when present)."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(4)
+    tile = rng.integers(0, 256, (8, 32, 3), dtype=np.uint8)
+    img = np.tile(tile, (8, 4, 1))
+    e7 = codestream.encode_lossless(img, effort=7)
+    e3 = codestream.encode_lossless(img, effort=3)
+    assert len(e7) < len(e3)
+    dec, _ = codestream.decode(e7)
+    assert np.array_equal(dec[:, :, :3], img)
+    from libjxl_tpu.extras import oracle
+
+    if oracle.available():
+        od, _ = oracle.decode(e7)
+        assert np.array_equal(od[:, :, :3], img)
