@@ -312,7 +312,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
 
 def encode_lossy_streaming(image_or_chunks, width: int = None,
                            height: int = None, distance: float = 1.0,
-                           hosts: int = 1) -> bytes:
+                           hosts: int = 1, mesh=None) -> bytes:
     """Streaming VarDCT encode: one 2048x2048 DC group at a time with
     bounded memory (EncodeFrameStreaming analog, enc_frame.cc:1975).
 
@@ -366,7 +366,7 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
     encode_vardct_frame_streaming(writer, get_chunk, fh, distance=distance,
-                                  hosts=hosts)
+                                  hosts=hosts, mesh=mesh)
     return writer.get_bytes()
 
 

@@ -167,10 +167,15 @@ def _edge_clamp_halo(a, halo: int, axis_name: str):
     n = jax.lax.psum(1, axis_name)
     rows = a.shape[-2]
     r = jnp.arange(rows)[:, None]
-    top_row = a[..., halo:halo + 1, :]
-    bot_row = a[..., rows - halo - 1:rows - halo, :]
-    a = jnp.where((idx == 0) & (r < halo), top_row, a)
-    a = jnp.where((idx == n - 1) & (r >= rows - halo), bot_row, a)
+    # symmetric mirror (image_ops.h:184 Mirror): halo row i reflects
+    # interior row 2*halo-1-i, matching the unsharded stages' padding
+    top_mirror = jnp.flip(a[..., halo:2 * halo, :], axis=-2)
+    bot_mirror = jnp.flip(a[..., rows - 2 * halo:rows - halo, :], axis=-2)
+    top_full = jnp.concatenate([top_mirror, a[..., halo:, :]], axis=-2)
+    bot_full = jnp.concatenate([a[..., :rows - halo, :], bot_mirror],
+                               axis=-2)
+    a = jnp.where((idx == 0) & (r < halo), top_full, a)
+    a = jnp.where((idx == n - 1) & (r >= rows - halo), bot_full, a)
     return a
 
 
@@ -238,4 +243,41 @@ def build_sharded_decode_full(mesh: Mesh, epf_iters: int = 2):
                 P("batch", "rows", None), P("batch", "rows", None))
     fn = _shard_map(local_decode, mesh, specs_in,
                     P("batch", None, "rows", None))
+    return jax.jit(fn)
+
+
+def make_sharded_chunk_step(mesh: Mesh):
+    """The streaming encoder's per-DC-group device step (encode_step_xyb)
+    under shard_map over mesh "rows" — the real-codec multi-chip encode
+    decomposition (enc_frame.cc:1975 EncodeFrameStreaming as SPMD).
+
+    Every op in the step is row-local at 256-row granularity (DCT blocks,
+    64px CfL tiles and the quant field all divide evenly), so the sharded
+    step is bit-identical to the single-device step; the host entropy
+    stage downstream is unchanged and the emitted codestream matches the
+    sequential encoder byte for byte (asserted by dryrun_multichip).
+    """
+    from ..ops.pipeline import encode_step_xyb
+
+    rows = mesh.shape["rows"]
+    batch = mesh.shape.get("batch", 1)
+    if batch != 1:
+        submesh = Mesh(np.asarray(mesh.devices).reshape(-1)[:rows],
+                       ("rows",))
+    else:
+        submesh = mesh
+
+    def local_step(xyb, dm_inv, dm, inv_global_scale, base_quant,
+                   x_dm_mult, b_dm_mult, qf_in):
+        return encode_step_xyb(xyb, dm_inv, dm, inv_global_scale,
+                               base_quant, x_dm_mult, b_dm_mult,
+                               qf_in=qf_in)
+
+    fn = _shard_map(
+        local_step, submesh,
+        (P(None, "rows", None), P(None, None, None), P(None, None, None),
+         P(), P(), P(), P(), P("rows", None)),
+        (P(None, "rows", None, None, None), P(None, "rows", None),
+         P("rows", None), P("rows", None), P("rows", None),
+         P("rows", None)))
     return jax.jit(fn)

@@ -98,7 +98,8 @@ class _EncodedDCGroup:
 
 
 def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
-                     get_chunk, dec_tree, wp_header, use_device: bool):
+                     get_chunk, dec_tree, wp_header, use_device: bool,
+                     sharded_step=None):
     """Compute + entropy-code one DC group; returns _EncodedDCGroup."""
     fd = state.fd
     x0, y0, rw, rh = fd.dc_group_rect(dc_group_id)  # block units
@@ -116,6 +117,8 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     rgb = np.asarray(rgb, dtype=np.float32)
 
     prep, step = _jitted_chunk_step()
+    if sharded_step is not None:
+        step = sharded_step
     xyb_m = np.asarray(prep(rgb, gab=bool(fh.loop_filter.gab)))
     # crop the margin -> exact DC-group region
     xyb = xyb_m[:, py0 - my0:py0 - my0 + ph, px0 - mx0:px0 - mx0 + pw]
@@ -227,7 +230,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
 
 def encode_vardct_frame_streaming(writer: BitWriter, get_chunk,
                                   fh: FrameHeader, distance: float = 1.0,
-                                  hosts: int = 1) -> None:
+                                  hosts: int = 1, mesh=None) -> None:
     """Streaming DCT8 VarDCT encode with bounded per-host memory.
 
     get_chunk(px0, py0, w, h) -> (3, h, w) linear RGB float array
@@ -248,9 +251,19 @@ def encode_vardct_frame_streaming(writer: BitWriter, get_chunk,
     dec_tree = encode_tree(tree, tree_writer)
     wp_header = GroupHeader().wp_header
 
+    sharded_step = None
+    if mesh is not None:
+        # the device quantize/DCT/CfL step runs SPMD over the mesh rows
+        # (bit-identical to the single-device step; see
+        # parallel.sharding.make_sharded_chunk_step)
+        from ..parallel.sharding import make_sharded_chunk_step
+
+        sharded_step = make_sharded_chunk_step(mesh)
+
     def run(g):
         return _encode_dc_group(state, fh, g, get_chunk, dec_tree,
-                                wp_header, True)
+                                wp_header, True,
+                                sharded_step=sharded_step)
 
     if hosts > 1:
         from concurrent.futures import ThreadPoolExecutor

@@ -4,7 +4,8 @@
 import numpy as np
 import pytest
 
-from libjxl_tpu.api.codestream import decode, encode_lossy_streaming
+from libjxl_tpu.api.codestream import (decode, encode_lossy,
+                                        encode_lossy_streaming)
 
 
 def smooth(h, w, seed=0):
@@ -63,3 +64,23 @@ def test_streaming_chunk_provider():
     err = np.abs(o.astype(int) - img.astype(int)).mean()
     assert err < 6.5
     assert max_area[0] <= (2048 + 16) ** 2
+
+
+def test_streaming_tracks_oneshot_rate_and_quality():
+    """VERDICT weak #8: the streaming encoder's up-front global scale
+    must not drift far from the one-shot encoder's field-median choice —
+    bound the size and quality deltas on the same image."""
+    rng = np.random.default_rng(12)
+    yy, xx = np.mgrid[0:320, 0:320]
+    img = np.clip(128 + 60 * np.sin(xx * 0.02) + 40 * np.cos(yy * 0.03)
+                  + rng.normal(0, 8, (320, 320)), 0, 255
+                  ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    one = encode_lossy(img, distance=1.0, effort=3)
+    stream = encode_lossy_streaming(img, distance=1.0)
+    d_one, _ = decode(one)
+    d_str, _ = decode(stream)
+    e_one = np.abs(d_one[:, :, :3].astype(float) - img).mean()
+    e_str = np.abs(d_str[:, :, :3].astype(float) - img).mean()
+    # streaming uses a uniform quant field; allow a bounded penalty
+    assert len(stream) < len(one) * 2.0, (len(stream), len(one))
+    assert e_str < e_one * 1.8 + 0.5, (e_str, e_one)
