@@ -1329,22 +1329,73 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
                           (by + 1, bx, acs.DCT8X16)]))
         return min(opts, key=lambda o: o[0])
 
+    # upward merge ladder past 32x32 (TryMergeAcs reaches 256x256,
+    # enc_ac_strategy.cc:601; 64-level merges capture the bulk of the
+    # win on smooth content)
+    big = min(nby, nbx) >= 8
+    c64 = c64x32 = c32x64 = None
+    if big:
+        c64 = _batched_tile_cost(state, xyb, 64, 64,
+                                 acs.QUANT_TABLE[acs.DCT64X64])
+        c64x32 = _batched_tile_cost(state, xyb, 64, 32,
+                                    acs.QUANT_TABLE[acs.DCT64X32])
+        c32x64 = _batched_tile_cost(state, xyb, 32, 64,
+                                    acs.QUANT_TABLE[acs.DCT32X64])
+    MUL64 = 1.0     # measured: unbiased 64-level costs pick
+    MUL_HALF64 = 1.0  # correctly on both smooth and textured corpora
+
+    def best_32(by0, bx0):
+        """-> (cost, placements) for the 4x4-block supertile."""
+        quads = [best_quadrant(by0 + dy, bx0 + dx)
+                 for dy in (0, 2) for dx in (0, 2)]
+        qcost = sum(q[0] for q in quads)
+        qplace = [p for _, pl in quads for p in pl]
+        c = float(c32[by0 // 4, bx0 // 4]) * MUL32
+        if c < qcost:
+            return c, [(by0, bx0, acs.DCT32X32)]
+        return qcost, qplace
+
+    def best_64(by0, bx0):
+        subs = [best_32(by0 + dy, bx0 + dx)
+                for dy in (0, 4) for dx in (0, 4)]
+        cost = sum(s[0] for s in subs)
+        place64 = [p for _, pl in subs for p in pl]
+        opts = [(cost, place64)]
+        sy, sx = by0 // 8, bx0 // 8
+        opts.append((float(c64[sy, sx]) * MUL64,
+                     [(by0, bx0, acs.DCT64X64)]))
+        opts.append(((float(c64x32[sy, bx0 // 4])
+                      + float(c64x32[sy, bx0 // 4 + 1])) * MUL_HALF64,
+                     [(by0, bx0, acs.DCT64X32),
+                      (by0, bx0 + 4, acs.DCT64X32)]))
+        opts.append(((float(c32x64[by0 // 4, sx])
+                      + float(c32x64[by0 // 4 + 1, sx])) * MUL_HALF64,
+                     [(by0, bx0, acs.DCT32X64),
+                      (by0 + 4, bx0, acs.DCT32X64)]))
+        return min(opts, key=lambda o: o[0])
+
+    done = np.zeros((nby, nbx), dtype=bool)
+    if big:
+        for sy in range(nby // 8):
+            for sx in range(nbx // 8):
+                by0, bx0 = sy * 8, sx * 8
+                _, placements = best_64(by0, bx0)
+                for (by, bx, s) in placements:
+                    place(by, bx, s)
+                done[by0:by0 + 8, bx0:bx0 + 8] = True
     for sy in range(nby // 4):
         for sx in range(nbx // 4):
             by0, bx0 = sy * 4, sx * 4
-            quads = [best_quadrant(by0 + dy, bx0 + dx)
-                     for dy in (0, 2) for dx in (0, 2)]
-            qcost = sum(q[0] for q in quads)
-            if float(c32[sy, sx]) * MUL32 < qcost:
-                place(by0, bx0, acs.DCT32X32)
-            else:
-                for _, placements in quads:
-                    for (by, bx, s) in placements:
-                        place(by, bx, s)
+            if done[by0, bx0]:
+                continue
+            _, placements = best_32(by0, bx0)
+            for (by, bx, s) in placements:
+                place(by, bx, s)
+            done[by0:by0 + 4, bx0:bx0 + 4] = True
     # leftover 16x16 quadrants outside the 32-aligned area
     for by in range(0, (nby // 2) * 2, 2):
         for bx in range(0, (nbx // 2) * 2, 2):
-            if by < (nby // 4) * 4 and bx < (nbx // 4) * 4:
+            if done[by, bx]:
                 continue
             cost, placements = best_quadrant(by, bx)
             for (pby, pbx, s) in placements:
