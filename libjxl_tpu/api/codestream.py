@@ -302,6 +302,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                         custom_quant=custom_quant,
                         butteraugli_iters=butteraugli_iters,
                         detect_dots=effort >= 8,
+                        ctx_model=effort >= 6,
                         debug_cb=debug_cb)
     if stats is not None:
         from .stats import collect_stats

@@ -113,6 +113,106 @@ def encode_block_ctx_map_default(w) -> None:
     w.write(1, 1)
 
 
+def find_best_block_entropy_model(qf_field: np.ndarray,
+                                  strategy_map: np.ndarray,
+                                  origins: np.ndarray,
+                                  distance: float) -> BlockCtxMap:
+    """FindBestBlockEntropyModel (enc_heuristics.cc:1208): cluster
+    (order class, quant bucket) cells by occupancy into block contexts,
+    with a coarser chroma split. Returns the default map for small
+    images."""
+    b = BlockCtxMap()
+    tot = int(qf_field.size)
+    size_for_ctx_model = (1 << 10) * max(distance, 0.04)
+    if tot < size_for_ctx_model:
+        return b
+    ords = np.asarray(STRATEGY_ORDER, np.int64)[strategy_map]
+    qf = np.clip(qf_field.astype(np.int64) - 1, 0, 255)
+    qf_counts = np.bincount(qf.reshape(-1), minlength=256)
+    qf_ord = np.zeros((NUM_ORDERS, 256), dtype=np.int64)
+    np.add.at(qf_ord, (ords.reshape(-1), qf.reshape(-1)), 1)
+
+    size_for_qf_split = (1 << 13) * max(distance, 0.04)
+    num_qf_segments = 1 if tot < size_for_qf_split else 2
+    qft = []
+    cumsum = 0
+    nxt = 1
+    last_cut = 256
+    cut = tot * nxt // num_qf_segments
+    for j in range(256):
+        cumsum += int(qf_counts[j])
+        if cumsum > cut:
+            if j != 0:
+                qft.append(j)
+            last_cut = j
+            while cumsum > cut:
+                nxt += 1
+                cut = tot * nxt // num_qf_segments
+        elif nxt > len(qft) + 1:
+            if j - 1 == last_cut and j != 0:
+                qft.append(j)
+    nseg = len(qft) + 1
+    counts = np.zeros(NUM_ORDERS * nseg, dtype=np.int64)
+    qft_pos = 0
+    for j in range(256):
+        if qft_pos < len(qft) and j == qft[qft_pos]:
+            qft_pos += 1
+        counts[qft_pos + np.arange(NUM_ORDERS) * nseg] += qf_ord[:, j]
+
+    remap = list(range(nseg * NUM_ORDERS))
+    clusters = list(remap)
+    nb_clusters = max(2, min(9, tot // int(size_for_ctx_model) // 2))
+    nb_clusters_chroma = max(1, min(5, tot // int(size_for_ctx_model) // 3))
+    counts = counts.tolist()
+    while len(clusters) > nb_clusters:
+        clusters.sort(key=lambda a: -counts[a])
+        counts[clusters[-2]] += counts[clusters[-1]]
+        counts[clusters[-1]] = 0
+        remap[clusters[-1]] = clusters[-2]
+        clusters.pop()
+    for i in range(len(remap)):
+        while remap[remap[i]] != remap[i]:
+            remap[i] = remap[remap[i]]
+    remap_remap = [len(remap)] * len(remap)
+    num = 0
+    for i in range(len(remap)):
+        if remap_remap[remap[i]] == len(remap):
+            remap_remap[remap[i]] = num
+            num += 1
+        remap[i] = remap_remap[remap[i]]
+    ctx_map = list(remap)
+    for i in range(len(remap), len(remap) * 3):
+        ctx_map.append(num + max(0, min(nb_clusters_chroma - 1,
+                                        remap[i % len(remap)])))
+    b.qf_thresholds = qft
+    b.ctx_map = ctx_map
+    b.num_ctxs = max(ctx_map) + 1
+    b.num_dc_ctxs = 1
+    return b
+
+
+def encode_block_ctx_map(b: BlockCtxMap, w) -> None:
+    """Inverse of decode_block_ctx_map (entropy_coder.cc:25-60)."""
+    default = (not b.qf_thresholds and not any(b.dc_thresholds)
+               and list(b.ctx_map) == DEFAULT_CTX_MAP)
+    if default:
+        w.write(1, 1)
+        return
+    from ..entropy.encode import encode_context_map
+    from ..io.fields import BitsOffset, Bits, U32Enc, u32_write
+
+    qf_threshold_enc = U32Enc(Bits(2), BitsOffset(3, 4), BitsOffset(5, 12),
+                              BitsOffset(8, 44))
+    w.write(1, 0)
+    for j in range(3):
+        w.write(4, len(b.dc_thresholds[j]))
+        assert not b.dc_thresholds[j], "dc thresholds unsupported"
+    w.write(4, len(b.qf_thresholds))
+    for t in b.qf_thresholds:
+        u32_write(qf_threshold_enc, t - 1, w)
+    encode_context_map(b.ctx_map, b.num_ctxs, w)
+
+
 def predict_nzeros(nzeros_map: np.ndarray, c: int, by: int, bx: int) -> int:
     """PredictFromTopAndLeft (entropy_coder.h:25-35) over the per-channel
     nzeros map."""

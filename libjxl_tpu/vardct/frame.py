@@ -1460,6 +1460,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         input_is_xyb: bool = False,
                         use_dc_frame: bool = False,
                         detect_dots: bool = False,
+                        ctx_model: bool = False,
                         debug_cb=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
@@ -1650,19 +1651,28 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         state.is_origin[:, :] = True
         if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
             _choose_ac_strategies(state, xyb)
-        if butteraugli_iters > 0:
-            # after the strategy choice, like the reference dependency
-            # graph (enc_heuristics.cc:1060-1074: ... -> ACS -> EPF ->
-            # quant field)
-            from .heuristics import refine_quant_field
-
-            refine_quant_field(state, xyb, xyb_orig, distance,
-                               iters=butteraugli_iters)
         if fh.loop_filter.epf_iters > 0:
             from .heuristics import epf_sharpness_field
 
             state.epf_sharpness = epf_sharpness_field(
                 xyb[1], fd.ysize_blocks, fd.xsize_blocks)
+        if butteraugli_iters > 0:
+            # after the strategy choice and EPF field, like the reference
+            # dependency graph (enc_heuristics.cc:1060-1074:
+            # ... -> ACS -> EPF -> quant field)
+            from .heuristics import refine_quant_field
+
+            refine_quant_field(state, xyb, xyb_orig, distance,
+                               iters=butteraugli_iters)
+        if ctx_model:
+            # cluster (order class, quant bucket) cells into block
+            # contexts (FindBestBlockEntropyModel, enc_heuristics.cc:1208)
+            from .ctx import find_best_block_entropy_model
+
+            state.block_ctx_map = find_best_block_entropy_model(
+                state.raw_quant_field, state.strategy, state.is_origin,
+                state.nonserialized_distance
+                if hasattr(state, "nonserialized_distance") else distance)
         # DC = DCT DC coefficients = 8x8 block means
         if use_dc_frame:
             # DC-frame pyramid (kUseDcFrame, frame_header.h:348): the
@@ -1927,7 +1937,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             encode_noise(noise_lut, w)
         state.matrices.encode_dc(w)
         state.quantizer.encode(w)
-        w.write(1, 1)  # default block ctx map
+        from .ctx import encode_block_ctx_map
+
+        encode_block_ctx_map(state.block_ctx_map, w)
         encode_cmap_dc_default(w)
         # modular global info: has_tree=1, tree, histograms, global image
         w.write(1, 1)
