@@ -31,6 +31,11 @@ def load_image(path, return_icc: bool = False):
     if suffix == ".npy":
         arr = np.load(path)
         return (arr, None) if return_icc else arr
+    if suffix == ".exr":
+        from .exr import load_exr
+
+        arr = load_exr(path.read_bytes())
+        return (arr, None) if return_icc else arr
     if suffix == ".jxl":
         from ..api.codestream import decode
         from ..io.container import extract_codestream, is_container
@@ -56,6 +61,23 @@ def load_image(path, return_icc: bool = False):
         raise JXLError(f"cannot load {path}: PIL unavailable") from e
 
 
+def load_animation(path):
+    """GIF/APNG frames -> (frames list of (H, W, C) uint8, durations_ms).
+
+    The extras/dec/{gif,apng}.cc reading surface, via PIL."""
+    from PIL import Image, ImageSequence
+
+    img = Image.open(pathlib.Path(path))
+    frames, durations = [], []
+    for frame in ImageSequence.Iterator(img):
+        f = frame.convert("RGBA" if "A" in frame.getbands()
+                          or frame.info.get("transparency") is not None
+                          else "RGB")
+        frames.append(np.asarray(f))
+        durations.append(int(frame.info.get("duration", 100)))
+    return frames, durations
+
+
 def save_image(path, image: np.ndarray, icc: bytes = None) -> None:
     path = pathlib.Path(path)
     suffix = path.suffix.lower()
@@ -70,6 +92,16 @@ def save_image(path, image: np.ndarray, icc: bytes = None) -> None:
         return
     if suffix == ".npy":
         np.save(path, image)
+        return
+    if suffix == ".exr":
+        from .exr import save_exr
+
+        img = image
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        elif img.dtype == np.uint16:
+            img = img.astype(np.float32) / 65535.0
+        path.write_bytes(save_exr(img))
         return
     from PIL import Image
 
