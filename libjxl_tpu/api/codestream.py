@@ -120,6 +120,7 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
 def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  group_size_shift: int = 1,
                  photon_noise_iso: float = None,
+                 noise: bool = False,
                  resampling: int = 1,
                  progressive: int = 1,
                  icc: bytes = None,
@@ -253,7 +254,6 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         from ..render.noise import photon_noise_lut
 
         noise_lut = photon_noise_lut(photon_noise_iso)
-        fh.flags |= FLAG_NOISE
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True  # decoder blurs; encoder pre-sharpens
     fh.loop_filter.epf_iters = 2  # reference default (loop_filter.cc:56)
@@ -267,6 +267,14 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     else:
         rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
         rgb = np.moveaxis(rgb, -1, 0)
+    if noise and noise_lut is None:
+        # content-based estimation (GetNoiseParameter, enc_noise.cc:328)
+        from ..ops.xyb import linear_rgb_to_xyb
+        from ..render.noise import estimate_noise
+
+        noise_lut = estimate_noise(linear_rgb_to_xyb(rgb))
+    if noise_lut is not None:
+        fh.flags |= FLAG_NOISE
     if resampling > 1:
         from ..render.upsample import (
             downsample2_iterative,
@@ -302,6 +310,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                         custom_quant=custom_quant,
                         butteraugli_iters=butteraugli_iters,
                         detect_dots=effort >= 8,
+                        detect_patches=effort >= 7,
                         ctx_model=effort >= 6,
                         debug_cb=debug_cb)
     if stats is not None:

@@ -100,6 +100,7 @@ JXL_ENC_NEED_MORE_OUTPUT = 2
 JXL_ENC_FRAME_SETTING_EFFORT = 0
 JXL_ENC_FRAME_SETTING_DECODING_SPEED = 1
 JXL_ENC_FRAME_SETTING_RESAMPLING = 2
+JXL_ENC_FRAME_SETTING_PHOTON_NOISE = 5
 JXL_ENC_FRAME_SETTING_MODULAR = 11
 
 JXL_COLOR_PROFILE_TARGET_ORIGINAL = 0
@@ -208,6 +209,8 @@ def _declare(lib):
     lib.JxlEncoderFrameSettingsCreate.restype = c_void_p
     lib.JxlEncoderFrameSettingsCreate.argtypes = [c_void_p, c_void_p]
     lib.JxlEncoderSetFrameDistance.argtypes = [c_void_p, c_float]
+    lib.JxlEncoderFrameSettingsSetFloatOption.argtypes = [
+        c_void_p, c_int, c_float]
     lib.JxlEncoderSetFrameLossless.argtypes = [c_void_p, c_int]
     lib.JxlEncoderFrameSettingsSetOption.argtypes = [
         c_void_p, c_int, ctypes.c_int64]
@@ -322,7 +325,8 @@ def decode(data: bytes, pixel_type: str = "uint8", want_jpeg: bool = False):
 # Encode
 
 def encode(image: np.ndarray, distance: float = 1.0, effort: int = 7,
-           lossless: bool = False, modular=None) -> bytes:
+           lossless: bool = False, modular=None,
+           photon_noise_iso: float = 0.0) -> bytes:
     """Encode (H, W, C) uint8/uint16 pixels with the system libjxl.
 
     Returns a bare codestream (no container) for lossy, container for none —
@@ -371,6 +375,10 @@ def encode(image: np.ndarray, distance: float = 1.0, effort: int = 7,
         if modular is not None:
             lib.JxlEncoderFrameSettingsSetOption(
                 st, JXL_ENC_FRAME_SETTING_MODULAR, 1 if modular else 0)
+        if photon_noise_iso > 0:
+            lib.JxlEncoderFrameSettingsSetFloatOption(
+                st, JXL_ENC_FRAME_SETTING_PHOTON_NOISE,
+                c_float(photon_noise_iso))
         fmt = JxlPixelFormat(nc, dt, JXL_LITTLE_ENDIAN, 0)
         # AddImageFrame takes the *frame settings* handle (encode.h:2412)
         if lib.JxlEncoderAddImageFrame(

@@ -164,3 +164,88 @@ def photon_noise_lut(iso: float = 800.0) -> list:
     xs = np.linspace(0, 1, NUM_NOISE_POINTS)
     # typical reference LUTs are a few percent of full scale
     return list(np.clip(s * (0.01 + 0.07 * np.sqrt(xs)), 0, 1.0))
+
+
+# -------------------------------------------------------------- estimation
+def _index_and_frac(x):
+    """IndexAndFrac (noise.h:42-55), vectorized."""
+    scale = 8 - 2  # kNumNoisePoints - 2
+    scaled = np.maximum(0.0, np.asarray(x, dtype=np.float64) * scale)
+    floor = np.floor(scaled)
+    frac = scaled - floor
+    over = scaled >= scale + 1
+    floor = np.where(over, scale, floor)
+    frac = np.where(over, 1.0, frac)
+    return floor.astype(np.int64), frac
+
+
+def estimate_noise(xyb: np.ndarray, quality_coef: float = 1.0):
+    """Content-based noise estimation (GetNoiseParameter,
+    enc_noise.cc:328): texture-mask 8x8 patches via center-window SADs,
+    measure Laplacian energy on the flat ones, and fit the 8-point
+    intensity->noise LUT with the reference's asymmetric regularized
+    loss. Returns the LUT (list of 8 floats) or None (no noise / image
+    too patterned)."""
+    v = 0.5 * (xyb[0] + xyb[1])
+    h, w = v.shape
+    hp, wp = h // 8, w // 8
+    if hp == 0 or wp == 0:
+        return None
+    p = v[:hp * 8, :wp * 8].reshape(hp, 8, wp, 8).transpose(0, 2, 1, 3)
+    # SAD texture score: 4x3 windows vs the center window at offset 2
+    center = p[:, :, 2:6, 2:5]
+    sads = np.empty((20, hp, wp))
+    i = 0
+    for ybl in range(4):
+        for xbl in range(5):
+            win = p[:, :, ybl:ybl + 4, xbl:xbl + 3]
+            sads[i] = np.abs(win - center).sum(axis=(2, 3))
+            i += 1
+    sads.sort(axis=0)
+    scores = sads[:10].mean(axis=0)  # robust lower half (ROAD-style)
+    bins = np.clip((scores * 256).astype(np.int64), 0, 255)
+    hist = np.bincount(bins.reshape(-1), minlength=256)
+    threshold = int(hist.argmax()) / 256.0
+    if threshold > 0.15 or threshold <= 0.0:
+        return None
+    flat = scores <= threshold
+    if not flat.any():
+        return None
+    # Laplacian noise level on flat patches (in-block reflect borders)
+    lapl = np.array([[-0.25, -1.0, -0.25],
+                     [-1.0, 5.0, -1.0],
+                     [-0.25, -1.0, -0.25]])
+    pp = np.pad(p, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+    filt = np.zeros_like(p)
+    for dy in range(3):
+        for dx in range(3):
+            filt += lapl[dy, dx] * pp[:, :, dy:dy + 8, dx:dx + 8]
+    noise_lvl = np.abs(filt).mean(axis=(2, 3))[flat]
+    intensity = p.mean(axis=(2, 3))[flat]
+    # fit the LUT (OptimizeNoiseParameters: asymmetric + smoothness reg)
+    k_reg, k_asym = 0.005, 1.1
+    n = len(intensity)
+    idx, frac = _index_and_frac(intensity)
+    idx = np.minimum(idx, 6)
+    wvec = np.full(8, noise_lvl.mean())
+    lr = 0.5
+    for _ in range(200):
+        val = wvec[idx] * (1 - frac) + wvec[idx + 1] * frac
+        dist = val - noise_lvl
+        asym = np.where(dist > 0, k_asym, 1.0)
+        grad = np.zeros(8)
+        np.add.at(grad, idx, asym * (1 - frac) * dist)
+        np.add.at(grad, idx + 1, asym * frac * dist)
+        diff = wvec[:-1] - wvec[1:]
+        grad[:-1] += k_reg * n * diff
+        grad[1:] -= k_reg * n * diff
+        wvec -= lr * grad / n
+    val = wvec[idx] * (1 - frac) + wvec[idx + 1] * frac
+    dist = val - noise_lvl
+    loss = float((np.where(dist > 0, k_asym, 1.0) * dist * dist).mean())
+    if loss > 1e-3:
+        return None
+    lut = [max(0.0, float(x)) * quality_coef * 1.4 for x in wvec]
+    if not any(x > 0 for x in lut):
+        return None
+    return lut

@@ -405,3 +405,218 @@ def get_references(st: PatchesState) -> int:
     for rp in st.ref_positions:
         mask |= 1 << rp.ref
     return mask
+
+
+# --------------------------------------------------------- text detection
+_XYB_DEQUANT = np.array([0.01615, 0.08875, 0.1922])
+_XYB_WEIGHTS = np.array([30.0, 3.0, 1.0])
+_SIMILAR_THRESHOLD = 0.8
+_VERY_SIMILAR_THRESHOLD = 0.03
+_MAX_PATCH_SIZE = 32          # kMaxPatchSize (enc_patch_dictionary.h:34)
+_MIN_PEAK = 2
+_MIN_PATCH_OCCURRENCES = 2
+_MIN_MAX_PATCH_SIZE = 20
+_DISTANCE_LIMIT = 50
+
+
+def _screenshot_cells(xyb: np.ndarray) -> np.ndarray:
+    """4x4-aligned cells of constant color whose 12x12 neighborhood is
+    >=7/8 equal to the cell color (FindTextLikePatches,
+    enc_patch_dictionary.cc:271-315)."""
+    _, h, w = xyb.shape
+    hc, wc = h // 4, w // 4
+    if hc == 0 or wc == 0:
+        return np.zeros((0, 0), dtype=bool)
+    cells = xyb[:, :hc * 4, :wc * 4].reshape(3, hc, 4, wc, 4)
+    corner = cells[:, :, 0, :, 0]
+    all_same = (np.abs(cells - corner[:, :, None, :, None]) <= 1e-4) \
+        .all(axis=(0, 2, 4))
+    if not all_same.any():  # photographic content: nothing flat, bail early
+        return all_same
+    # neighborhood vote: compare each pixel of the 12x12 window around the
+    # cell with the cell corner color (missing border pixels don't count)
+    pad = np.pad(xyb, ((0, 0), (4, 4 + 3), (4, 4 + 3)),
+                 mode="constant", constant_values=np.inf)
+    num = np.zeros((hc, wc), dtype=np.int32)
+    num_same = np.zeros((hc, wc), dtype=np.int32)
+    for iy in range(-4, 8):
+        for ix in range(-4, 8):
+            px = pad[:, 4 + iy:4 + iy + hc * 4:4, 4 + ix:4 + ix + wc * 4:4]
+            valid = np.isfinite(px[0])
+            num += valid
+            num_same += valid & (np.abs(np.where(valid, px, 0.0) - corner)
+                                 <= 1e-4).all(axis=0)
+    return all_same & (num_same * 8 >= num * 7)
+
+
+def find_text_patches(xyb: np.ndarray, max_patches: int = 1024):
+    """FindTextLikePatches (enc_patch_dictionary.cc:218-590): flood-fill
+    "background" outward from screenshot-like flat cells, take small
+    connected components of foreground as candidate patches, dedupe, and
+    bin-pack them into a reference sheet.
+
+    The flood fill runs as a frontier-parallel BFS (numpy) rather than
+    the reference's sequential queue, so tie-breaks between competing
+    source pixels may differ; that only shifts which background color a
+    boundary pixel inherits, and all emitted streams stay valid.
+
+    Returns (sheet (3, Hs, Ws) XYB residuals, placements
+    [(sx, sy, pw, ph, [(x, y), ...]), ...]) or None."""
+    from scipy import ndimage
+
+    _, h, w = xyb.shape
+    cells = _screenshot_cells(xyb)
+    if not cells.any():
+        return None
+    hc, wc = cells.shape
+
+    # ---- frontier BFS marking background + its inherited source color
+    visited = np.zeros((h, w), dtype=bool)
+    src_y = np.zeros((h, w), dtype=np.int32)
+    src_x = np.zeros((h, w), dtype=np.int32)
+    cy, cx = np.nonzero(cells)
+    seed_mask = np.zeros((h, w), dtype=bool)
+    for iy in range(4):
+        for ix in range(4):
+            seed_mask[cy * 4 + iy, cx * 4 + ix] = True
+    fy, fx = np.nonzero(seed_mask)
+    visited[fy, fx] = True
+    src_y[fy, fx] = fy
+    src_x[fy, fx] = fx
+    fsy, fsx = fy.copy(), fx.copy()
+    cell_map = np.zeros((h, w), dtype=bool)
+    cell_map[:hc * 4, :wc * 4] = np.repeat(np.repeat(cells, 4, 0), 4, 1)
+    while len(fy):
+        cand = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ny, nx = fy + dy, fx + dx
+                ok = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+                ny, nx, sy, sx = ny[ok], nx[ok], fsy[ok], fsx[ok]
+                ok = ~visited[ny, nx] \
+                    & (np.abs(nx - sx) + np.abs(ny - sy) <= _DISTANCE_LIMIT)
+                ny, nx, sy, sx = ny[ok], nx[ok], sy[ok], sx[ok]
+                if not len(ny):
+                    continue
+                d = np.abs(xyb[:, ny, nx] - xyb[:, sy, sx])
+                same = (d <= 1e-4).all(axis=0)
+                similar = (d * _XYB_WEIGHTS[:, None]).sum(axis=0) \
+                    <= _SIMILAR_THRESHOLD
+                ok = similar & (~cell_map[ny, nx] | same)
+                cand.append((ny[ok], nx[ok], sy[ok], sx[ok]))
+        if not cand:
+            break
+        ny = np.concatenate([c[0] for c in cand])
+        nx = np.concatenate([c[1] for c in cand])
+        sy = np.concatenate([c[2] for c in cand])
+        sx = np.concatenate([c[3] for c in cand])
+        if not len(ny):
+            break
+        _, first = np.unique(ny * w + nx, return_index=True)
+        ny, nx, sy, sx = ny[first], nx[first], sy[first], sx[first]
+        visited[ny, nx] = True
+        src_y[ny, nx] = sy
+        src_x[ny, nx] = sx
+        fy, fx, fsy, fsx = ny, nx, sy, sx
+    is_background = visited
+    bg = np.zeros_like(xyb)
+    vy, vx = np.nonzero(is_background)
+    bg[:, vy, vx] = xyb[:, src_y[vy, vx], src_x[vy, vx]]
+
+    # ---- connected components of foreground -> candidate patches
+    labels, n = ndimage.label(~is_background, structure=np.ones((3, 3)))
+    if n == 0:
+        return None
+    slices = ndimage.find_objects(labels)
+    info = {}  # (h, w, bytes) -> [positions]
+    fdata = {}
+    for li, sl in enumerate(slices):
+        if sl is None:
+            continue
+        ph = sl[0].stop - sl[0].start
+        pw = sl[1].stop - sl[1].start
+        if ph > _MAX_PATCH_SIZE or pw > _MAX_PATCH_SIZE:
+            continue
+        mask = labels[sl] == li + 1
+        # border = background 8-neighbors of the CC
+        gy0 = max(0, sl[0].start - 1)
+        gx0 = max(0, sl[1].start - 1)
+        gsl = (slice(gy0, min(h, sl[0].stop + 1)),
+               slice(gx0, min(w, sl[1].stop + 1)))
+        gmask = np.zeros((gsl[0].stop - gy0, gsl[1].stop - gx0), dtype=bool)
+        gmask[sl[0].start - gy0:sl[0].stop - gy0,
+              sl[1].start - gx0:sl[1].stop - gx0] = mask
+        border = ndimage.binary_dilation(
+            gmask, structure=np.ones((3, 3))) & ~gmask \
+            & is_background[gsl]
+        by, bx = np.nonzero(border)
+        if not len(by):
+            continue
+        bcol = bg[:, by + gy0, bx + gx0]
+        ref = bcol[:, 0]
+        dist = (np.abs(bcol - ref[:, None])
+                * _XYB_WEIGHTS[:, None]).sum(axis=0)
+        if (dist > _VERY_SIMILAR_THRESHOLD).any():
+            continue
+        # a similar-to-background pixel must exist near the bbox
+        ny0 = max(0, sl[0].start - 2)
+        nx0 = max(0, sl[1].start - 2)
+        near = xyb[:, ny0:min(h, sl[0].stop + 2),
+                   nx0:min(w, sl[1].stop + 2)]
+        ndist = (np.abs(near - ref[:, None, None])
+                 * _XYB_WEIGHTS[:, None, None]).sum(axis=0)
+        if not (ndist <= _VERY_SIMILAR_THRESHOLD).any():
+            continue
+        fpix = xyb[:, sl[0], sl[1]] - ref[:, None, None]
+        qpix = np.trunc(fpix / _XYB_DEQUANT[:, None, None]).astype(np.int32)
+        if np.abs(qpix).max() < _MIN_PEAK:
+            continue
+        key = (ph, pw, qpix.tobytes())
+        info.setdefault(key, []).append((sl[1].start, sl[0].start))
+        fdata.setdefault(key, fpix)
+    # keep patches occurring at least twice
+    kept = [(k, v) for k, v in info.items()
+            if len(v) >= _MIN_PATCH_OCCURRENCES]
+    if not kept or max(k[0] * k[1] for k, _ in kept) < _MIN_MAX_PATCH_SIZE:
+        return None
+    kept.sort(key=lambda kv: -(kv[0][0] * kv[0][1]))
+    kept = kept[:max_patches]
+
+    # ---- first-fit bin packing into the reference sheet
+    # (enc_patch_dictionary.cc:640-710)
+    total = sum(k[0] * k[1] for k, _ in kept)
+    max_w = max(k[1] for k, _ in kept)
+    max_h = max(k[0] for k, _ in kept)
+    ref_w = max(max_w, int(np.sqrt(total)))
+    ref_h = max(max_h, int(np.sqrt(total)))
+    while True:
+        ref_w = int(ref_w * 1.05) + 1
+        ref_h = int(ref_h * 1.05) + 1
+        occupied = np.zeros((ref_h, ref_w), dtype=bool)
+        spots = []
+        ok = True
+        for (ph, pw, _), _pos in kept:
+            placed = False
+            for y0 in range(ref_h - ph + 1):
+                for x0 in range(ref_w - pw + 1):
+                    if not occupied[y0:y0 + ph, x0:x0 + pw].any():
+                        occupied[y0:y0 + ph, x0:x0 + pw] = True
+                        spots.append((x0, y0))
+                        placed = True
+                        break
+                if placed:
+                    break
+            if not placed:
+                ok = False
+                break
+        if ok:
+            break
+    sheet = np.zeros((3, ref_h, ref_w))
+    placements = []
+    for ((ph, pw, _), poses), (x0, y0) in zip(kept, spots):
+        key = (ph, pw, _)
+        sheet[:, y0:y0 + ph, x0:x0 + pw] = fdata[key]
+        placements.append((x0, y0, pw, ph, poses))
+    return sheet, placements

@@ -1460,6 +1460,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         input_is_xyb: bool = False,
                         use_dc_frame: bool = False,
                         detect_dots: bool = False,
+                        detect_patches: bool = False,
                         ctx_model: bool = False,
                         debug_cb=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
@@ -1554,10 +1555,11 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                     fd.ysize_padded)
             draw_segments(xyb, segs, add=False)
             fh.flags |= FLAG_SPLINES
-        if detect_dots and patches is None:
-            # automatic dot extraction (FindBestPatchDictionary dot path):
-            # detected dots become an additive patch dictionary backed by
-            # a roundtripped kReferenceOnly sheet coded in XYB space
+        if (detect_dots or detect_patches) and patches is None:
+            # automatic patch extraction (FindBestPatchDictionary): text-like
+            # patches first, dot extraction as the fallback; either becomes
+            # an additive patch dictionary backed by a roundtripped
+            # kReferenceOnly sheet coded in XYB space
             from ..render.patches import (
                 BLEND_ADD,
                 PatchBlending,
@@ -1565,10 +1567,15 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                 PatchReferencePosition,
                 PatchesState,
                 find_dots,
+                find_text_patches,
             )
             from ..io.frame_header import FT_REFERENCE_ONLY
 
-            found = find_dots(xyb[:, :fd.ysize, :fd.xsize])
+            found = None
+            if detect_patches:
+                found = find_text_patches(xyb[:, :fd.ysize, :fd.xsize])
+            if found is None and detect_dots:
+                found = find_dots(xyb[:, :fd.ysize, :fd.xsize])
             if found is not None:
                 sheet, placements = found
                 reffh = FrameHeader(fh.nonserialized_metadata)

@@ -236,3 +236,26 @@ def test_oracle_wp_lossless_bit_exact(effort):
     data = oracle.encode(img, lossless=True, effort=effort, modular=True)
     dec, _ = codestream.decode(data)
     assert np.array_equal(dec[:, :, :3], img)
+
+
+def test_oracle_noise_synthesis_matches():
+    """Noise synthesis parity (dec_noise.cc RandomImage + stage_noise.cc).
+
+    Width deliberately NOT a multiple of 16: for 16-multiple widths the
+    0.7-era oracle consumed one extra RNG batch per row (fixed upstream
+    by 0.12, whose behavior we implement), so fields diverge there by
+    design. Elsewhere synthesis must agree pixel-for-pixel up to u8
+    rounding.
+    """
+    img = np.full((130, 130, 3), 128, np.uint8)
+    noisy = oracle.encode(img, distance=0.5, effort=5,
+                          photon_noise_iso=1600.0)
+    odec, _ = oracle.decode(noisy)
+    ours, _ = codestream.decode(noisy)
+    diff = np.abs(odec.astype(np.int32) - ours[:, :, :3].astype(np.int32))
+    assert diff.max() <= 2
+    assert diff.mean() < 0.05
+    # and the noise is real: the field must differ from the flat base
+    base, _ = oracle.decode(oracle.encode(img, distance=0.5, effort=5))
+    field = odec.astype(np.float32) - base.astype(np.float32)
+    assert field.std() > 0.2

@@ -55,3 +55,39 @@ def test_photon_noise_roundtrip():
     assert not np.array_equal(out_noise, out_plain)
     assert psnr(out_plain, out_noise) > 20
     assert psnr(img, out_noise) > 25
+
+
+def test_estimate_noise_detects_noise():
+    from libjxl_tpu.ops.xyb import linear_rgb_to_xyb, srgb_to_linear
+    from libjxl_tpu.render.noise import estimate_noise
+
+    def srgb_u8_to_xyb(img):
+        return linear_rgb_to_xyb(np.moveaxis(
+            srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0))
+
+    rng = np.random.default_rng(11)
+    smooth = np.clip(
+        128 + 40 * np.sin(np.arange(128)[:, None] * 0.03)
+        + 30 * np.cos(np.arange(128)[None, :] * 0.02), 0, 255
+    ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    noisy = np.clip(smooth.astype(np.float32)
+                    + rng.normal(0, 12, smooth.shape), 0, 255).astype(np.uint8)
+    lut_noisy = estimate_noise(srgb_u8_to_xyb(noisy))
+    lut_smooth = estimate_noise(srgb_u8_to_xyb(smooth))
+    assert lut_noisy is not None
+    assert max(lut_noisy) > 0.02
+    assert lut_smooth is None or max(lut_smooth) < max(lut_noisy) / 3
+
+
+def test_encode_lossy_noise_estimation_roundtrip():
+    from libjxl_tpu.api.codestream import encode_lossy, decode
+
+    rng = np.random.default_rng(12)
+    img = make_photoish(96, 96, seed=7)
+    img = np.clip(img.astype(np.float32) + rng.normal(0, 10, img.shape),
+                  0, 255).astype(np.uint8)
+    data = encode_lossy(img, distance=1.0, noise=True)
+    plain = encode_lossy(img, distance=1.0)
+    out, _ = decode(data)
+    assert not np.array_equal(out, decode(plain)[0])
+    assert psnr(img, out) > 24

@@ -86,3 +86,51 @@ def test_end_to_end_patches_roundtrip():
     mse = np.mean((out.astype(float) - final.astype(float)) ** 2)
     psnr = 10 * np.log10(255 ** 2 / mse)
     assert psnr > 26, psnr
+
+
+def _screenshot_image():
+    img = np.full((160, 240, 3), 230, np.uint8)
+    glyph = np.zeros((7, 5), bool)
+    glyph[0, :] = glyph[:, 0] = glyph[3, :3] = True
+    for (gy, gx) in [(20, 30), (20, 60), (50, 30), (50, 90),
+                     (90, 120), (90, 160), (120, 40), (120, 200)]:
+        img[gy:gy + 7, gx:gx + 5][glyph] = (20, 30, 180)
+    return img
+
+
+def test_find_text_patches_detects_glyphs():
+    from libjxl_tpu.ops.xyb import linear_rgb_to_xyb, srgb_to_linear
+    from libjxl_tpu.render.patches import find_text_patches
+
+    img = _screenshot_image()
+    xyb = linear_rgb_to_xyb(np.moveaxis(
+        srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0))
+    res = find_text_patches(xyb)
+    assert res is not None
+    sheet, placements = res
+    # one unique glyph, all eight occurrences found
+    assert len(placements) == 1
+    sx, sy, pw, ph, poses = placements[0]
+    assert (pw, ph) == (5, 7)
+    assert len(poses) == 8
+    # photographic content must NOT trigger the detector
+    rng = np.random.default_rng(3)
+    photo = np.clip(rng.normal(128, 30, (96, 96, 3)), 0, 255) \
+        .astype(np.uint8)
+    pxyb = linear_rgb_to_xyb(np.moveaxis(
+        srgb_to_linear(photo.astype(np.float64) / 255.0), -1, 0))
+    assert find_text_patches(pxyb) is None
+
+
+def test_text_patches_end_to_end():
+    from libjxl_tpu.api.codestream import decode, encode_lossy
+
+    img = _screenshot_image()
+    with_p = encode_lossy(img, distance=1.0, effort=7)
+    without = encode_lossy(img, distance=1.0, effort=6)
+    out, _ = decode(with_p)
+    err = np.abs(out[:, :, :3].astype(np.int32) - img.astype(np.int32))
+    assert err.mean() < 0.05
+    assert err.max() <= 16
+    # the dictionary must pay for itself on repeated glyphs
+    assert len(with_p) < len(without)
