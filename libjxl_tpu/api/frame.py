@@ -457,6 +457,10 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
     elif options.effort >= 7:
         # hash-chain match search (enc_ans.cc kLZ77, slow-tier default)
         lz77_method = "lz77"
+    elif options.effort <= 1:
+        # one-pass tier (enc_fast_lossless.cc analog): RLE without the
+        # histogram cost model
+        lz77_method = "rle_fast"
     else:
         lz77_method = "rle"
     histo_writer = BitWriter()
@@ -470,6 +474,12 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
         global_tokens = codes.lz77_tokens[0]
         for i, (_, _, _, sid, _) in enumerate(group_streams):
             stream_tokens[sid] = codes.lz77_tokens[1 + i]
+    # tokenized cache from the histogram pass, same order as
+    # all_token_lists (index 0 = global stream)
+    pretok_by_sid = {}
+    if codes.tokenized:
+        for i, (_, _, _, sid, _) in enumerate(group_streams):
+            pretok_by_sid[sid] = codes.tokenized[1 + i]
 
     # --- assemble sections
     global_has_channels = any(
@@ -485,7 +495,9 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
         gh.transforms = global_transforms
         gh.write(w)
         if global_has_channels:
-            write_tokens(global_tokens, codes, context_map, w)
+            write_tokens(global_tokens, codes, context_map, w,
+                         pretok=codes.tokenized[0]
+                         if codes.tokenized else None)
 
     def write_group(w, sid, chans):
         if not chans:
@@ -493,7 +505,8 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
         gh = GroupHeader()
         gh.use_global_tree = True
         gh.write(w)
-        write_tokens(stream_tokens[sid], codes, context_map, w)
+        write_tokens(stream_tokens[sid], codes, context_map, w,
+                     pretok=pretok_by_sid.get(sid))
 
     single = fd.num_groups == 1 and fh.passes.num_passes == 1
     sections = []

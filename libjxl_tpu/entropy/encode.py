@@ -108,6 +108,9 @@ class EntropyEncodingData:
         # transformed token lists when LZ77 was applied (same order as the
         # tokens_list passed to build_and_encode_histograms), else None
         self.lz77_tokens = None
+        # per-stream (ctx, tok, nbits, bits) cached by the histogram pass;
+        # pass codes.tokenized[i] to write_tokens to skip re-tokenizing
+        self.tokenized = None
         # per cluster: (freqs int32[alpha], reverse_map int32[alpha, maxfreq])
         self.encoding_info: list = []
 
@@ -125,7 +128,7 @@ class _MtfEncoder:
 
 def _tokenize_arrays(ctx, val, lz, uint_config, lz77):
     """-> (tok u32, nbits u8, bits u32) for flattened token arrays."""
-    tok, nbits, bits = uint_config.encode_array(val.astype(np.uint64))
+    tok, nbits, bits = uint_config.encode_array(val)
     if lz is not None and lz77 is not None and lz.any():
         lt, ln, lb = lz77.length_uint_config.encode_array(
             val[lz].astype(np.uint64))
@@ -144,13 +147,20 @@ def _tokenize_arrays(ctx, val, lz, uint_config, lz77):
 _MAX_TOK = 256
 
 
-def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None):
+def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None,
+                         collect=None):
+    """collect: optional list; receives (ctx, tok, nbits, bits) per stream
+    so the write pass can skip re-tokenizing."""
     counts = np.zeros(num_contexts * _MAX_TOK, dtype=np.int64)
     for tokens in tokens_list:
         ctx, val, lz = flatten_tokens(tokens)
         if len(val) == 0:
+            if collect is not None:
+                collect.append(None)
             continue
-        tok, _, _ = _tokenize_arrays(ctx, val, lz, uint_config, lz77)
+        tok, nbits, bits = _tokenize_arrays(ctx, val, lz, uint_config, lz77)
+        if collect is not None:
+            collect.append((ctx, tok, nbits, bits))
         flat = ctx.astype(np.int64) * _MAX_TOK + tok
         counts += np.bincount(flat, minlength=len(counts))
     grid = counts.reshape(num_contexts, _MAX_TOK)
@@ -163,25 +173,31 @@ def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None):
 
 
 def _apply_lz77_rle(tokens_list, num_contexts, lz77, uint_config,
-                    distance_symbol=0):
+                    distance_symbol=0, cost_free=False):
     """ApplyLZ77_RLE (enc_ans.cc:931-1001), vectorized: replace runs of
     repeated token values with (length, distance=1) pairs. Returns
     (new_lists, accepted). The distance token goes to the appended
     context `num_contexts`.
     distance_symbol: 0 when the decoding reader has no distance
     multiplier; 1 (kSpecialDistances[1] = {1,0}) when it does, as in
-    modular streams (enc_ans.cc:958-963)."""
-    # symbol cost estimator: -log2(p) from the original token histograms
-    histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config)
-    cost_mat = np.full((num_contexts, _MAX_TOK), 14.0)
-    for c, h in enumerate(histograms):
-        arr = np.asarray(h, dtype=np.float64)
-        total = arr.sum()
-        if total == 0:
-            continue
-        nz = arr > 0
-        row = cost_mat[c, :len(arr)]
-        row[nz] = np.log2(total) - np.log2(arr[nz])
+    modular streams (enc_ans.cc:958-963).
+    cost_free: one-pass mode (fast-lossless tier, enc_fast_lossless.cc
+    spirit): no histogram cost model; accept zero runs and long runs
+    outright and skip the global acceptance threshold."""
+    cost_mat = None
+    if not cost_free:
+        # symbol cost estimator: -log2(p) from the original token histograms
+        histograms = _estimate_token_cost(tokens_list, num_contexts,
+                                          uint_config)
+        cost_mat = np.full((num_contexts, _MAX_TOK), 14.0)
+        for c, h in enumerate(histograms):
+            arr = np.asarray(h, dtype=np.float64)
+            total = arr.sum()
+            if total == 0:
+                continue
+            nz = arr > 0
+            row = cost_mat[c, :len(arr)]
+            row[nz] = np.log2(total) - np.log2(arr[nz])
 
     bit_decrease = 0.0
     total_symbols = 0
@@ -194,9 +210,12 @@ def _apply_lz77_rle(tokens_list, num_contexts, lz77, uint_config,
         if n == 0:
             out_lists.append(tokens)
             continue
-        tok, nbits, _ = uint_config.encode_array(val.astype(np.uint64))
-        costs = cost_mat[ctx, tok] + nbits
-        cum = np.concatenate(([0.0], np.cumsum(costs)))
+        if cost_free:
+            cum = None
+        else:
+            tok, nbits, _ = uint_config.encode_array(val)
+            costs = cost_mat[ctx, tok] + nbits
+            cum = np.concatenate(([0.0], np.cumsum(costs)))
         # copyable[j]: token j repeats token j-1's value (j >= 1)
         copyable = np.zeros(n, dtype=bool)
         copyable[1:] = val[1:] == val[:-1]
@@ -211,19 +230,29 @@ def _apply_lz77_rle(tokens_list, num_contexts, lz77, uint_config,
             out_lists.append(tokens)
             continue
         lens = ends - starts
-        run_cost = cum[ends] - cum[starts]
         lz_len = lens - min_length
-        lz_cost = np.where(
-            lens >= min_length,
-            np.maximum(1, np.ceil(np.log2(np.maximum(lz_len, 0) + 2))) + 1,
-            0.0)
-        accept = (lens >= min_length) & (run_cost > lz_cost)
+        if cost_free:
+            # runs of zeros pay off at any length; other values only when
+            # clearly long enough to beat their (unknown) literal cost
+            accept = (lens >= min_length) \
+                & ((val[starts] == 0) | (lens >= 16))
+        else:
+            run_cost = cum[ends] - cum[starts]
+            lz_cost = np.where(
+                lens >= min_length,
+                np.maximum(1, np.ceil(
+                    np.log2(np.maximum(lz_len, 0) + 2))) + 1,
+                0.0)
+            accept = (lens >= min_length) & (run_cost > lz_cost)
         starts2, ends2 = starts[accept], ends[accept]
         lz_len2 = lz_len[accept]
         if len(starts2) == 0:
             out_lists.append(tokens)
             continue
-        bit_decrease += float((run_cost[accept] - lz_cost[accept]).sum())
+        if cost_free:
+            bit_decrease += float(lens[accept].sum())
+        else:
+            bit_decrease += float((run_cost[accept] - lz_cost[accept]).sum())
         # kept tokens = everything outside accepted runs
         d = np.zeros(n + 1, dtype=np.int32)
         d[starts2] += 1
@@ -288,7 +317,7 @@ def _apply_lz77_chain(tokens_list, num_contexts, lz77, uint_config,
         if n < 16:
             out_lists.append(tokens)
             continue
-        tok, nbits, _ = uint_config.encode_array(val.astype(np.uint64))
+        tok, nbits, _ = uint_config.encode_array(val)
         costs = cost_mat[ctx, tok] + nbits
         cum = np.concatenate(([0.0], np.cumsum(costs))).astype(np.float32)
         if mult not in lut_cache:
@@ -389,7 +418,7 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
     estimated saving clears the reference's acceptance threshold).
     """
     codes = EntropyEncodingData()
-    if lz77_method in ("rle", "lz77") and num_contexts + 1 <= 256:
+    if lz77_method in ("rle", "rle_fast", "lz77") and num_contexts + 1 <= 256:
         lz77 = LZ77Params()
         lz77.set_default()
         if lz77_method == "lz77":
@@ -403,9 +432,9 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
                     tokens_list, num_contexts, lz77, uint_config,
                     lz77_dist_symbol)
         else:
-            new_lists, accepted = _apply_lz77_rle(tokens_list, num_contexts,
-                                                  lz77, uint_config,
-                                                  lz77_dist_symbol)
+            new_lists, accepted = _apply_lz77_rle(
+                tokens_list, num_contexts, lz77, uint_config,
+                lz77_dist_symbol, cost_free=lz77_method == "rle_fast")
         if accepted:
             lz77.enabled = True
             tokens_list = new_lists
@@ -419,9 +448,10 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
         # LZ77 disabled
         writer.write(1, 0)
     # histograms per context
+    codes.tokenized = []
     histograms = _estimate_token_cost(tokens_list, num_contexts, uint_config,
                                       codes.lz77 if codes.lz77.enabled
-                                      else None)
+                                      else None, collect=codes.tokenized)
     if num_contexts > 1:
         if allow_clustering:
             clustered, context_map = cluster_histograms(histograms,
@@ -558,21 +588,29 @@ def _native_tables(codes: EntropyEncodingData):
 
 
 def write_tokens(tokens, codes: EntropyEncodingData, context_map,
-                 writer: BitWriter, context_offset: int = 0) -> int:
+                 writer: BitWriter, context_offset: int = 0,
+                 pretok=None) -> int:
     """WriteTokens ANS path (enc_ans.cc:1728-1813). Returns extra bits.
 
     Uses the native C rANS emitter (native/ans_write.c) when available;
-    falls back to a pure-Python loop otherwise."""
-    ctx, val, lz = flatten_tokens(tokens)
-    n = len(val)
+    falls back to a pure-Python loop otherwise.
+    pretok: optional (ctx, tok, nbits, bits) from codes.tokenized to skip
+    re-tokenizing."""
+    if pretok is not None:
+        ctx, tok, nbits, bits = pretok
+        n = len(tok)
+    else:
+        ctx, val, lz = flatten_tokens(tokens)
+        n = len(val)
     if n == 0:
         writer.write(32, ANS_SIGNATURE << 16)
         return 0
     cmap = np.asarray(context_map, dtype=np.int64)
     histo = cmap[ctx + context_offset]
-    # all clustered uint configs are identical in this encoder
-    cfg = codes.uint_config[0]
-    tok, nbits, bits = _tokenize_arrays(ctx, val, lz, cfg, codes.lz77)
+    if pretok is None:
+        # all clustered uint configs are identical in this encoder
+        cfg = codes.uint_config[0]
+        tok, nbits, bits = _tokenize_arrays(ctx, val, lz, cfg, codes.lz77)
     num_extra_bits = int(nbits.astype(np.int64).sum())
 
     if codes.use_prefix_code:

@@ -55,14 +55,18 @@ class HybridUintConfig:
     # ---- vectorized (NumPy) versions for bulk tokenization
     def encode_array(self, values: np.ndarray):
         """values: uint32 array -> (tokens, nbits, bits) arrays."""
-        values = values.astype(np.int64)
+        values = np.ascontiguousarray(values).astype(np.int64, copy=False)
         small = values < self.split_token
-        # bit_length - 1 for values >= 1; clamp to >= split to avoid log of 0
         safe = np.maximum(values, self.split_token)
-        n = np.floor(np.log2(safe.astype(np.float64))).astype(np.int64)
-        # correct potential float rounding at powers of two
-        n = np.where((np.int64(1) << n) > safe, n - 1, n)
-        n = np.where(((np.int64(1) << (n + 1)) <= safe), n + 1, n)
+        if safe.size and int(safe.max()) < (1 << 52):
+            # exact floor(log2) from the float64 exponent field (integers
+            # below 2^52 convert exactly)
+            n = (safe.astype(np.float64).view(np.int64) >> 52) - 1023
+        else:
+            n = np.floor(np.log2(safe.astype(np.float64))).astype(np.int64)
+            # correct potential float rounding at powers of two
+            n = np.where((np.int64(1) << n) > safe, n - 1, n)
+            n = np.where(((np.int64(1) << (n + 1)) <= safe), n + 1, n)
         m = safe - (np.int64(1) << n)
         msb, lsb = self.msb_in_token, self.lsb_in_token
         token_big = (self.split_token
