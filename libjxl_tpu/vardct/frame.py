@@ -1300,9 +1300,14 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
                                acs.QUANT_TABLE[acs.DCT8X16])
     c32 = _batched_tile_cost(state, xyb, 32, 32,
                              acs.QUANT_TABLE[acs.DCT32X32])
+    c32x16 = _batched_tile_cost(state, xyb, 32, 16,
+                                acs.QUANT_TABLE[acs.DCT32X16])
+    c16x32 = _batched_tile_cost(state, xyb, 16, 32,
+                                acs.QUANT_TABLE[acs.DCT16X32])
     MUL16 = 0.98    # slight bias toward merging (mirrors round-1 0.98)
     MUL_HALF = 0.985
     MUL32 = 0.94
+    MUL_HALF32 = 0.97
 
     def place(by, bx, strategy):
         cy_, cx_ = acs.COVERED_Y[strategy], acs.COVERED_X[strategy]
@@ -1345,15 +1350,24 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
     MUL_HALF64 = 1.0  # correctly on both smooth and textured corpora
 
     def best_32(by0, bx0):
-        """-> (cost, placements) for the 4x4-block supertile."""
+        """-> (cost, placements) for the 4x4-block supertile: 2x2 quadrant
+        compositions vs the square vs both half-splits
+        (FindBestFirstLevelDivisionForSquare, blocks=4)."""
         quads = [best_quadrant(by0 + dy, bx0 + dx)
                  for dy in (0, 2) for dx in (0, 2)]
-        qcost = sum(q[0] for q in quads)
-        qplace = [p for _, pl in quads for p in pl]
-        c = float(c32[by0 // 4, bx0 // 4]) * MUL32
-        if c < qcost:
-            return c, [(by0, bx0, acs.DCT32X32)]
-        return qcost, qplace
+        opts = [(sum(q[0] for q in quads),
+                 [p for _, pl in quads for p in pl])]
+        opts.append((float(c32[by0 // 4, bx0 // 4]) * MUL32,
+                     [(by0, bx0, acs.DCT32X32)]))
+        opts.append(((float(c32x16[by0 // 4, bx0 // 2])
+                      + float(c32x16[by0 // 4, bx0 // 2 + 1])) * MUL_HALF32,
+                     [(by0, bx0, acs.DCT32X16),
+                      (by0, bx0 + 2, acs.DCT32X16)]))
+        opts.append(((float(c16x32[by0 // 2, bx0 // 4])
+                      + float(c16x32[by0 // 2 + 1, bx0 // 4])) * MUL_HALF32,
+                     [(by0, bx0, acs.DCT16X32),
+                      (by0 + 2, bx0, acs.DCT16X32)]))
+        return min(opts, key=lambda o: o[0])
 
     def best_64(by0, bx0):
         subs = [best_32(by0 + dy, bx0 + dx)
@@ -1374,11 +1388,89 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
                       (by0 + 4, bx0, acs.DCT32X64)]))
         return min(opts, key=lambda o: o[0])
 
+    # 128/256 rungs: beyond the reference's merge heuristic (its comment
+    # at enc_ac_strategy.cc:905 lists them as "not yet included"), but
+    # the giant DCTs pay off on very smooth content and fewer, larger
+    # transforms also batch better on the MXU
+    big128 = min(nby, nbx) >= 16
+    big256 = min(nby, nbx) >= 32
+    c128 = c128x64 = c64x128 = c256 = c256x128 = c128x256 = None
+    if big128:
+        c128 = _batched_tile_cost(state, xyb, 128, 128,
+                                  acs.QUANT_TABLE[acs.DCT128X128])
+        c128x64 = _batched_tile_cost(state, xyb, 128, 64,
+                                     acs.QUANT_TABLE[acs.DCT128X64])
+        c64x128 = _batched_tile_cost(state, xyb, 64, 128,
+                                     acs.QUANT_TABLE[acs.DCT64X128])
+    if big256:
+        c256 = _batched_tile_cost(state, xyb, 256, 256,
+                                  acs.QUANT_TABLE[acs.DCT256X256])
+        c256x128 = _batched_tile_cost(state, xyb, 256, 128,
+                                      acs.QUANT_TABLE[acs.DCT256X128])
+        c128x256 = _batched_tile_cost(state, xyb, 128, 256,
+                                      acs.QUANT_TABLE[acs.DCT128X256])
+
+    def best_128(by0, bx0):
+        subs = [best_64(by0 + dy, bx0 + dx)
+                for dy in (0, 8) for dx in (0, 8)]
+        opts = [(sum(s[0] for s in subs),
+                 [p for _, pl in subs for p in pl])]
+        sy, sx = by0 // 16, bx0 // 16
+        opts.append((float(c128[sy, sx]) * MUL64,
+                     [(by0, bx0, acs.DCT128X128)]))
+        opts.append(((float(c128x64[sy, bx0 // 8])
+                      + float(c128x64[sy, bx0 // 8 + 1])) * MUL_HALF64,
+                     [(by0, bx0, acs.DCT128X64),
+                      (by0, bx0 + 8, acs.DCT128X64)]))
+        opts.append(((float(c64x128[by0 // 8, sx])
+                      + float(c64x128[by0 // 8 + 1, sx])) * MUL_HALF64,
+                     [(by0, bx0, acs.DCT64X128),
+                      (by0 + 8, bx0, acs.DCT64X128)]))
+        return min(opts, key=lambda o: o[0])
+
+    def best_256(by0, bx0):
+        subs = [best_128(by0 + dy, bx0 + dx)
+                for dy in (0, 16) for dx in (0, 16)]
+        opts = [(sum(s[0] for s in subs),
+                 [p for _, pl in subs for p in pl])]
+        sy, sx = by0 // 32, bx0 // 32
+        opts.append((float(c256[sy, sx]) * MUL64,
+                     [(by0, bx0, acs.DCT256X256)]))
+        opts.append(((float(c256x128[sy, bx0 // 16])
+                      + float(c256x128[sy, bx0 // 16 + 1])) * MUL_HALF64,
+                     [(by0, bx0, acs.DCT256X128),
+                      (by0, bx0 + 16, acs.DCT256X128)]))
+        opts.append(((float(c128x256[by0 // 16, sx])
+                      + float(c128x256[by0 // 16 + 1, sx])) * MUL_HALF64,
+                     [(by0, bx0, acs.DCT128X256),
+                      (by0 + 16, bx0, acs.DCT128X256)]))
+        return min(opts, key=lambda o: o[0])
+
     done = np.zeros((nby, nbx), dtype=bool)
+    if big256:
+        for sy in range(nby // 32):
+            for sx in range(nbx // 32):
+                by0, bx0 = sy * 32, sx * 32
+                _, placements = best_256(by0, bx0)
+                for (by, bx, s) in placements:
+                    place(by, bx, s)
+                done[by0:by0 + 32, bx0:bx0 + 32] = True
+    if big128:
+        for sy in range(nby // 16):
+            for sx in range(nbx // 16):
+                by0, bx0 = sy * 16, sx * 16
+                if done[by0, bx0]:
+                    continue
+                _, placements = best_128(by0, bx0)
+                for (by, bx, s) in placements:
+                    place(by, bx, s)
+                done[by0:by0 + 16, bx0:bx0 + 16] = True
     if big:
         for sy in range(nby // 8):
             for sx in range(nbx // 8):
                 by0, bx0 = sy * 8, sx * 8
+                if done[by0, bx0]:
+                    continue
                 _, placements = best_64(by0, bx0)
                 for (by, bx, s) in placements:
                     place(by, bx, s)
