@@ -454,6 +454,9 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
                                for _, _, _, sid, _ in group_streams]
     if not options.lz77 or options.use_prefix:
         lz77_method = "none"
+    elif options.effort >= 9:
+        # shortest-path DP over all matches (enc_ans.cc kOptimal)
+        lz77_method = "optimal"
     elif options.effort >= 7:
         # hash-chain match search (enc_ans.cc kLZ77, slow-tier default)
         lz77_method = "lz77"

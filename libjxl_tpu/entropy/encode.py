@@ -376,6 +376,120 @@ def _apply_lz77_chain(tokens_list, num_contexts, lz77, uint_config,
     return out_lists, accepted
 
 
+def _apply_lz77_optimal(tokens_list, num_contexts, lz77, uint_config,
+                        widths=None):
+    """ApplyLZ77_Optimal (enc_ans.cc:1376-1470): run the greedy-lazy
+    matcher first; if it pays off, re-derive symbol costs from the greedy
+    output's histograms and solve a shortest-path DP over all matches per
+    position (native/lz77_match.c lz77_optimal)."""
+    import ctypes
+
+    from ..native_ext import _ptr, get_lib
+
+    greedy_lists, accepted = _apply_lz77_chain(tokens_list, num_contexts,
+                                               lz77, uint_config, widths)
+    if not accepted:
+        return tokens_list, False
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lz77_optimal"):
+        return greedy_lists, True
+    lib.lz77_optimal.restype = ctypes.c_int
+    from .decode import NUM_SPECIAL_DISTANCES, special_distance
+
+    # cost model from the greedy result (SymbolCostEstimator analog):
+    # literal+length contexts 0..num_contexts-1, distances at num_contexts
+    histograms = _estimate_token_cost(greedy_lists, num_contexts + 1,
+                                      uint_config, lz77)
+    cost_mat = np.full((num_contexts + 1, _MAX_TOK), 14.0)
+    for c, h in enumerate(histograms):
+        arr = np.asarray(h, dtype=np.float64)
+        total = arr.sum()
+        if total == 0:
+            continue
+        nz = arr > 0
+        row = cost_mat[c, :len(arr)]
+        row[nz] = np.log2(total) - np.log2(arr[nz])
+    lcfg = lz77.length_uint_config
+    len_tok_cost = np.ascontiguousarray(
+        cost_mat[:num_contexts, lz77.min_symbol:lz77.min_symbol + 32],
+        dtype=np.float32)
+    dist_tok_cost = np.ascontiguousarray(cost_mat[num_contexts],
+                                         dtype=np.float32)
+
+    min_length = lz77.min_length
+    out_lists = []
+    lut_cache = {}
+    for si, tokens in enumerate(tokens_list):
+        mult = widths[si] if widths else 0
+        ctx, val, _ = flatten_tokens(tokens)
+        n = len(val)
+        if n < 16:
+            out_lists.append(tokens)
+            continue
+        tok, nbits, _ = uint_config.encode_array(val)
+        costs = cost_mat[ctx, tok] + nbits
+        cum = np.concatenate(([0.0], np.cumsum(costs))).astype(np.float32)
+        if mult not in lut_cache:
+            if mult:
+                sds = [special_distance(i, mult)
+                       for i in range(NUM_SPECIAL_DISTANCES)]
+                max_sd = max(sds)
+                lut = np.full(max_sd + 1, -1, dtype=np.int32)
+                for i in reversed(range(NUM_SPECIAL_DISTANCES)):
+                    lut[sds[i]] = i
+                lut_cache[mult] = (lut, max_sd, NUM_SPECIAL_DISTANCES)
+            else:
+                lut_cache[mult] = (np.full(1, -1, dtype=np.int32), 0, 0)
+        lut, max_sd, n_special = lut_cache[mult]
+        vals32 = np.ascontiguousarray(val, dtype=np.uint32)
+        ctx32 = np.ascontiguousarray(ctx, dtype=np.int32)
+        m_pos = np.zeros(n, dtype=np.uint32)
+        m_len = np.zeros(n, dtype=np.uint32)
+        m_dist = np.zeros(n, dtype=np.uint32)
+        bits = ctypes.c_float(0)
+        nm = lib.lz77_optimal(
+            _ptr(vals32, ctypes.c_uint32), _ptr(ctx32, ctypes.c_int32),
+            ctypes.c_uint32(n), _ptr(cum, ctypes.c_float),
+            _ptr(len_tok_cost, ctypes.c_float), ctypes.c_int(num_contexts),
+            ctypes.c_int(lcfg.split_exponent), ctypes.c_int(lcfg.msb_in_token),
+            ctypes.c_int(lcfg.lsb_in_token),
+            _ptr(dist_tok_cost, ctypes.c_float), ctypes.c_int(_MAX_TOK),
+            ctypes.c_int(uint_config.split_exponent),
+            ctypes.c_int(uint_config.msb_in_token),
+            ctypes.c_int(uint_config.lsb_in_token),
+            ctypes.c_uint32(min_length),
+            _ptr(lut, ctypes.c_int32), ctypes.c_int(max_sd),
+            ctypes.c_int(n_special),
+            _ptr(m_pos, ctypes.c_uint32), _ptr(m_len, ctypes.c_uint32),
+            _ptr(m_dist, ctypes.c_uint32), ctypes.byref(bits))
+        if nm <= 0:
+            out_lists.append(greedy_lists[si])
+            continue
+        starts = m_pos[:nm].astype(np.int64)
+        lens = m_len[:nm].astype(np.int64)
+        dists = m_dist[:nm].astype(np.int64)
+        ends = starts + lens
+        d = np.zeros(n + 1, dtype=np.int32)
+        d[starts] += 1
+        d[np.minimum(ends, n)] -= 1
+        keep = np.cumsum(d[:n]) == 0
+        pos_kept = np.flatnonzero(keep)
+        k = nm
+        keys = np.concatenate([pos_kept * 4, starts * 4 + 1,
+                               starts * 4 + 2])
+        order = np.argsort(keys, kind="stable")
+        out_ctx = np.concatenate([
+            ctx[pos_kept], ctx[starts],
+            np.full(k, num_contexts, dtype=np.int32)])[order]
+        out_val = np.concatenate([
+            val[pos_kept], lens - min_length, dists])[order]
+        out_lz = np.concatenate([
+            np.zeros(len(pos_kept), dtype=bool), np.ones(k, dtype=bool),
+            np.zeros(k, dtype=bool)])[order]
+        out_lists.append([TokenArray(out_ctx, out_val, out_lz)])
+    return out_lists, True
+
+
 def encode_context_map(context_map, num_histograms, writer: BitWriter) -> None:
     """enc_context_map.cc:63-150 (simplified: chooses simple vs MTF-ANS)."""
     if num_histograms == 1:
@@ -418,10 +532,19 @@ def build_and_encode_histograms(tokens_list, num_contexts, writer: BitWriter,
     estimated saving clears the reference's acceptance threshold).
     """
     codes = EntropyEncodingData()
-    if lz77_method in ("rle", "rle_fast", "lz77") and num_contexts + 1 <= 256:
+    if lz77_method in ("rle", "rle_fast", "lz77", "optimal") \
+            and num_contexts + 1 <= 256:
         lz77 = LZ77Params()
         lz77.set_default()
-        if lz77_method == "lz77":
+        if lz77_method == "optimal":
+            new_lists, accepted = _apply_lz77_optimal(
+                tokens_list, num_contexts, lz77, uint_config,
+                widths=lz77_widths)
+            if not accepted:
+                new_lists, accepted = _apply_lz77_rle(
+                    tokens_list, num_contexts, lz77, uint_config,
+                    lz77_dist_symbol)
+        elif lz77_method == "lz77":
             new_lists, accepted = _apply_lz77_chain(
                 tokens_list, num_contexts, lz77, uint_config,
                 widths=lz77_widths)

@@ -111,25 +111,34 @@ def _trunc_div2(v):
 
 def _token_entropy_bits(values: np.ndarray) -> float:
     """Estimated bits to code zigzagged residuals as hybrid-uint tokens."""
-    u = np.where(values >= 0, values * 2, -values * 2 - 1).astype(np.uint64)
-    # token id + raw bit count for config (4, 2, 0)
-    nbits = np.zeros_like(u, dtype=np.int64)
-    big = u >= 16
-    if big.any():
-        n = np.floor(np.log2(u[big].astype(np.float64))).astype(np.int64)
-        nbits[big] = n - 2
-    tokens = np.where(big, 16 + nbits * 4, u).astype(np.int64)
-    counts = np.bincount(tokens)
-    counts = counts[counts > 0]
+    u = np.where(values >= 0, values * 2, -values * 2 - 1)
+    from ..entropy.hybrid_uint import DEFAULT_UINT_CONFIG
+
+    tokens, _, _ = DEFAULT_UINT_CONFIG.encode_array(u)
+    return _token_hist_bits(np.bincount(tokens.astype(np.int64)))
+
+
+# raw-bit count is a function of the (4, 2, 0) hybrid-uint token alone:
+# token = 16 + (n - 4) * 4 + msb  =>  nbits = n - 2
+_NBITS_OF_TOKEN = np.array(
+    [0] * 16 + [(t - 16) // 4 + 2 for t in range(16, 256)], dtype=np.int64)
+
+
+def _token_hist_bits(counts: np.ndarray) -> float:
     total = counts.sum()
+    if total == 0:
+        return 0.0
+    extra = int((counts * _NBITS_OF_TOKEN[:len(counts)]).sum())
+    counts = counts[counts > 0]
     ent = float(-(counts * (np.log2(counts) - math.log2(total))).sum())
-    return ent + float(nbits.sum())
+    return ent + extra
 
 
 def _best_predictor(residuals: dict, idx: np.ndarray):
+    """residuals: predictor -> pre-tokenized hybrid-uint token array."""
     best_p, best_cost = P_GRADIENT, float("inf")
-    for p, res in residuals.items():
-        cost = _token_entropy_bits(res[idx])
+    for p, tok in residuals.items():
+        cost = _token_hist_bits(np.bincount(tok[idx]))
         if cost < best_cost:
             best_p, best_cost = p, cost
     return best_p, best_cost
@@ -163,7 +172,16 @@ def learn_tree(channels, max_nodes: int = 127, sample_step: int = 1,
     if not prop_samples:
         return [TreeNode(-1, 0, 0, 0, P_GRADIENT, 0, 1)]
     props = np.concatenate(prop_samples, axis=1)
-    residuals = {p: np.concatenate(v) for p, v in res_samples.items()}
+    from ..entropy.hybrid_uint import DEFAULT_UINT_CONFIG
+
+    # pre-tokenize every predictor's residuals once; the split search then
+    # only runs bincounts over index subsets
+    residuals = {}
+    for p, v in res_samples.items():
+        res = np.concatenate(v)
+        u = np.where(res >= 0, res * 2, -res * 2 - 1)
+        residuals[p] = DEFAULT_UINT_CONFIG.encode_array(u)[0].astype(
+            np.int64)
     n = props.shape[1]
 
     tree: Tree = []

@@ -15,7 +15,8 @@ import numpy as np
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRCS = (_ROOT / "native" / "modular_decode.c",
          _ROOT / "native" / "ans_write.c",
-         _ROOT / "native" / "vardct_decode.c")
+         _ROOT / "native" / "vardct_decode.c",
+         _ROOT / "native" / "lz77_match.c")
 _SO = _ROOT / "native" / "_jxl_native.so"
 
 _lib = None

@@ -29,7 +29,7 @@ static const float kLenCost[17] = {
     13.775477692278367f, 13.174027068768641f,
 };
 
-static const float kDistCost[131] = {
+static const float kDistCost[139] = {
     6.368282626312716f,  5.680793277090298f,  8.347404197105247f,
     7.641619201599141f,  6.914328374119438f,  7.959808291537444f,
     8.70023120759855f,   8.71378518934703f,   9.379132523982769f,
@@ -106,7 +106,7 @@ static inline float len_cost(uint32_t len) {
 static inline float dist_cost(uint32_t dist) {
   uint32_t tok, nbits;
   hybrid_encode(dist, 7, &tok, &nbits);
-  if (tok > 130) tok = 130;
+  if (tok > 138) tok = 138;
   return kDistCost[tok] + nbits;
 }
 
@@ -318,4 +318,236 @@ int lz77_find_matches(const uint32_t* vals, uint32_t n,
   free(c.headz); free(c.chainz); free(c.zeros);
   *bit_decrease_out = bit_decrease;
   return n_matches;
+}
+
+/* ---- optimal matching (ApplyLZ77_Optimal, enc_ans.cc:1376-1470) ---- */
+
+/* HybridUintConfig(split_exp, msb, lsb).Encode */
+static inline void hybrid_encode2(uint32_t value, int split_exp, int msb,
+                                  int lsb, uint32_t* token, uint32_t* nbits) {
+  uint32_t split = 1u << split_exp;
+  if (value < split) {
+    *token = value;
+    *nbits = 0;
+    return;
+  }
+  int bl = 0;
+  uint32_t v = value;
+  while (v >> bl) bl++;
+  uint32_t nn = (uint32_t)(bl - 1);
+  uint32_t m = value - (1u << nn);
+  *token = split + ((((nn - (uint32_t)split_exp) << (msb + lsb)) +
+                     ((m >> (nn - msb)) << lsb) + (m & ((1u << lsb) - 1))));
+  *nbits = nn - msb - lsb;
+}
+
+/* All matches at pos: record the lowest distance symbol per length in
+ * dist_for_len[min_length..*max_len]; mirrors the FindMatches callback +
+ * suffix-min pass of ApplyLZ77_Optimal. */
+static void chain_find_all(const Chain* c, uint32_t pos,
+                           uint32_t* dist_for_len, uint32_t* max_len_out) {
+  uint32_t wpos = pos & c->window_mask;
+  uint32_t hashval = get_hash(c, pos);
+  uint32_t hashpos = c->chain[wpos];
+  int prev_dist = 0;
+  uint32_t end = c->size;
+  uint32_t chainlength = 0;
+  uint32_t cur_max = 0;
+  for (;;) {
+    int dist = (hashpos <= wpos)
+                   ? (int)(wpos - hashpos)
+                   : (int)(wpos - hashpos + c->window_mask + 1);
+    if (dist < prev_dist) break;
+    prev_dist = dist;
+    uint32_t len = 0;
+    if (dist > 0) {
+      uint32_t i = pos;
+      uint32_t j = pos - (uint32_t)dist;
+      if (c->numzeros > 3) {
+        uint32_t r = c->numzeros - 1;
+        if (c->zeros[hashpos] < r) r = c->zeros[hashpos];
+        if (i + r >= end) r = end - i - 1;
+        i += r;
+        j += r;
+      }
+      while (i < end && c->data[i] == c->data[j]) {
+        i++;
+        j++;
+      }
+      len = i - pos;
+      if (len >= c->min_length) {
+        uint32_t dist_symbol;
+        if (dist <= c->special_max && c->special_lookup[dist] >= 0) {
+          dist_symbol = (uint32_t)c->special_lookup[dist];
+        } else {
+          dist_symbol = (uint32_t)(c->num_special + dist - 1);
+        }
+        if (len > cur_max) {
+          for (uint32_t k = cur_max + 1; k <= len; k++)
+            dist_for_len[k] = dist_symbol;
+          cur_max = len;
+        }
+        if (dist_symbol < dist_for_len[len]) dist_for_len[len] = dist_symbol;
+      }
+    }
+    chainlength++;
+    if (chainlength >= MAX_CHAIN_LENGTH) break;
+    if (c->numzeros >= 3 && len > c->numzeros) {
+      if (hashpos == c->chainz[hashpos]) break;
+      hashpos = c->chainz[hashpos];
+      if (c->zeros[hashpos] != c->numzeros) break;
+    } else {
+      if (hashpos == c->chain[hashpos]) break;
+      hashpos = c->chain[hashpos];
+      if (c->val[hashpos] != (int)hashval) break;
+    }
+  }
+  /* suffix-min: best (lowest) distance symbol for >= each length */
+  if (cur_max >= c->min_length) {
+    uint32_t best = dist_for_len[cur_max];
+    for (uint32_t j = cur_max; j >= c->min_length; j--) {
+      if (dist_for_len[j] < best) best = dist_for_len[j];
+      dist_for_len[j] = best;
+      if (j == 0) break;
+    }
+  }
+  *max_len_out = cur_max;
+}
+
+#define LEN_TOK_TABLE 32
+
+int lz77_optimal(const uint32_t* vals, const int32_t* ctxs, uint32_t n,
+                 const float* lit_cum, const float* len_tok_cost, int num_ctx,
+                 int len_split_exp, int len_msb, int len_lsb,
+                 const float* dist_tok_cost, int ndist_tok, int dist_split_exp,
+                 int dist_msb, int dist_lsb, uint32_t min_length,
+                 const int32_t* special_lookup, int special_max,
+                 int num_special, uint32_t* m_pos, uint32_t* m_len,
+                 uint32_t* m_dist, float* bits_out) {
+  uint32_t window = 1;
+  while (window < n && window < MAX_WINDOW) window <<= 1;
+  Chain c;
+  c.data = vals;
+  c.size = n;
+  c.window_size = window;
+  c.window_mask = window - 1;
+  c.min_length = min_length;
+  c.special_lookup = special_lookup;
+  c.special_max = special_max;
+  c.num_special = num_special;
+  c.numzeros = 0;
+  c.head = (int*)malloc(HASH_NUM_VALUES * sizeof(int));
+  c.val = (int*)malloc(window * sizeof(int));
+  c.chain = (uint32_t*)malloc(window * sizeof(uint32_t));
+  c.headz = (int*)malloc((window + 1) * sizeof(int));
+  c.chainz = (uint32_t*)malloc(window * sizeof(uint32_t));
+  c.zeros = (uint32_t*)malloc(window * sizeof(uint32_t));
+  float* cost = (float*)malloc((n + 1) * sizeof(float));
+  uint32_t* plen = (uint32_t*)malloc((n + 1) * sizeof(uint32_t));
+  uint32_t* pdist = (uint32_t*)malloc((n + 1) * sizeof(uint32_t));
+  uint32_t* dfl = (uint32_t*)malloc((n + 2) * sizeof(uint32_t));
+  if (!c.head || !c.val || !c.chain || !c.headz || !c.chainz || !c.zeros ||
+      !cost || !plen || !pdist || !dfl) {
+    free(c.head); free(c.val); free(c.chain); free(c.headz); free(c.chainz);
+    free(c.zeros); free(cost); free(plen); free(pdist); free(dfl);
+    return -1;
+  }
+  memset(c.head, -1, HASH_NUM_VALUES * sizeof(int));
+  memset(c.headz, -1, (window + 1) * sizeof(int));
+  for (uint32_t i = 0; i < window; i++) {
+    c.val[i] = -1;
+    c.chain[i] = i;
+    c.chainz[i] = i;
+  }
+  for (uint32_t i = 0; i <= n; i++) {
+    cost[i] = 3.4e38f;
+    plen[i] = 1;
+    pdist[i] = 0;
+  }
+  cost[0] = 0.0f;
+  uint32_t rle_length = 0, skip_lz77 = 0;
+  for (uint32_t i = 0; i < n; i++) {
+    chain_update(&c, i);
+    float lit = cost[i] + (lit_cum[i + 1] - lit_cum[i]);
+    if (cost[i + 1] > lit) {
+      cost[i + 1] = lit;
+      plen[i + 1] = 1;
+      pdist[i + 1] = 0;
+    }
+    if (skip_lz77 > 0) {
+      skip_lz77--;
+      continue;
+    }
+    uint32_t max_len = 0;
+    chain_find_all(&c, i, dfl, &max_len);
+    if (max_len < min_length) continue;
+    int ci = ctxs[i];
+    if (ci < 0 || ci >= num_ctx) ci = 0;
+    const float* lct = len_tok_cost + (size_t)ci * LEN_TOK_TABLE;
+    /* Relax every length up to 64; beyond that the length-token cost is
+     * flat within a hybrid-uint class, so only class-boundary lengths
+     * and the maximum are candidates worth relaxing (keeps the DP from
+     * going quadratic on highly repetitive streams). */
+    uint32_t dense_end = max_len < 64 ? max_len : 64;
+    for (uint32_t j = min_length; j <= max_len;) {
+      uint32_t ltok, lnb, dtok, dnb;
+      hybrid_encode2(j - min_length, len_split_exp, len_msb, len_lsb, &ltok,
+                     &lnb);
+      if (ltok >= LEN_TOK_TABLE) ltok = LEN_TOK_TABLE - 1;
+      hybrid_encode2(dfl[j], dist_split_exp, dist_msb, dist_lsb, &dtok, &dnb);
+      if ((int)dtok >= ndist_tok) dtok = (uint32_t)(ndist_tok - 1);
+      float lz_cost = lct[ltok] + lnb + dist_tok_cost[dtok] + dnb;
+      float total = cost[i] + lz_cost;
+      if (cost[i + j] > total) {
+        cost[i + j] = total;
+        plen[i + j] = j;
+        pdist[i + j] = dfl[j] + 1;
+      }
+      if (j <= dense_end) {
+        j++;
+      } else if (j >= max_len) {
+        break;
+      } else {
+        j += (j >> 3) + 1; /* ~12% steps through the flat-cost region */
+        if (j > max_len) j = max_len;
+      }
+    }
+    /* avoid quadratic behavior inside long runs of one symbol */
+    int is_rle = (c.num_special == 0 && dfl[max_len] == 0) ||
+                 (c.num_special != 0 && dfl[max_len] == 1);
+    if (is_rle) {
+      rle_length++;
+    } else {
+      rle_length = 0;
+    }
+    if (rle_length >= 8 && max_len > 8) {
+      skip_lz77 = max_len - 9;
+      rle_length = 0;
+    }
+  }
+  /* backtrack (matches in reverse, then reverse in place) */
+  int nm = 0;
+  uint32_t pos = n;
+  while (pos > 0) {
+    if (pdist[pos] != 0) {
+      uint32_t L = plen[pos];
+      m_pos[nm] = pos - L;
+      m_len[nm] = L;
+      m_dist[nm] = pdist[pos] - 1;
+      nm++;
+      pos -= L;
+    } else {
+      pos -= plen[pos];
+    }
+  }
+  for (int a = 0, b = nm - 1; a < b; a++, b--) {
+    uint32_t t;
+    t = m_pos[a]; m_pos[a] = m_pos[b]; m_pos[b] = t;
+    t = m_len[a]; m_len[a] = m_len[b]; m_len[b] = t;
+    t = m_dist[a]; m_dist[a] = m_dist[b]; m_dist[b] = t;
+  }
+  *bits_out = cost[n];
+  free(c.head); free(c.val); free(c.chain); free(c.headz); free(c.chainz);
+  free(c.zeros); free(cost); free(plen); free(pdist); free(dfl);
+  return nm;
 }
