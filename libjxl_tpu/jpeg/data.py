@@ -71,10 +71,24 @@ class Component:
 
 
 @dataclass
+class ScanMeta:
+    """One SOS: spectral band, refinement shift, encoder quirks
+    (jpeg_data.h JPEGScanInfo analog)."""
+    components: list = field(default_factory=list)  # Component refs
+    Ss: int = 0
+    Se: int = 63
+    Ah: int = 0
+    Al: int = 0
+    reset_points: list = field(default_factory=list)
+    extra_zero_runs: list = field(default_factory=list)  # (block_idx, n)
+
+
+@dataclass
 class JPEGData:
     width: int = 0
     height: int = 0
     precision: int = 8
+    progressive: bool = False
     components: list = field(default_factory=list)
     quant: dict = field(default_factory=dict)      # id -> 64 ints (zigzag)
     quant_order: list = field(default_factory=list)
@@ -82,9 +96,16 @@ class JPEGData:
     markers: list = field(default_factory=list)    # (marker, payload) pre-SOS
     restart_interval: int = 0
     scan_components: list = field(default_factory=list)
+    scans: list = field(default_factory=list)      # ScanMeta per SOS
     eob_padding_bits: str = ""
-    rst_padding: list = field(default_factory=list)  # bits before each RSTn
+    rst_padding: list = field(default_factory=list)  # bits in stream order
     trailing: bytes = b""
+
+    @property
+    def padding_in_order(self) -> list:
+        """All discarded padding-bit strings in stream order (restart
+        alignments and scan-final bytes interleaved as encountered)."""
+        return list(self.rst_padding) + [self.eob_padding_bits]
 
 
 class _BitReaderJPEG:
@@ -168,6 +189,10 @@ def parse_jpeg(data: bytes) -> JPEGData:
         pos += 2
         if marker == 0xD9:  # EOI
             jd.trailing = data[pos:]
+            # the last scan's final-byte padding is the EOB padding;
+            # everything before it stays in stream order
+            if jd.rst_padding:
+                jd.eob_padding_bits = jd.rst_padding.pop()
             return jd
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -187,8 +212,9 @@ def parse_jpeg(data: bytes) -> JPEGData:
                     p += 64
                 jd.quant[tq] = vals
                 jd.quant_order.append((tq, pq))
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             jd.precision = payload[0]
+            jd.progressive = marker == 0xC2
             jd.height, jd.width = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
             for i in range(ncomp):
@@ -196,8 +222,6 @@ def parse_jpeg(data: bytes) -> JPEGData:
                 jd.components.append(
                     Component(cid, hv >> 4, hv & 15, tq))
             sof_seen = True
-        elif marker in (0xC2,):  # progressive
-            raise JXLError("progressive JPEG not yet supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -215,6 +239,7 @@ def parse_jpeg(data: bytes) -> JPEGData:
                 raise JXLError("SOS before SOF")
             ns = payload[0]
             jd.scan_components = []
+            scan = ScanMeta()
             for i in range(ns):
                 cs, tables = payload[1 + 2 * i:3 + 2 * i]
                 for comp in jd.components:
@@ -222,11 +247,19 @@ def parse_jpeg(data: bytes) -> JPEGData:
                         comp.dc_table = tables >> 4
                         comp.ac_table = tables & 15
                         jd.scan_components.append(comp)
+                        scan.components.append(comp)
                         break
                 else:
                     raise JXLError("SOS references unknown component")
+            scan.Ss = payload[1 + 2 * ns]
+            scan.Se = payload[2 + 2 * ns]
+            scan.Ah = payload[3 + 2 * ns] >> 4
+            scan.Al = payload[3 + 2 * ns] & 15
+            if not jd.progressive:
+                scan.Ss, scan.Se, scan.Ah, scan.Al = 0, 63, 0, 0
+            jd.scans.append(scan)
             pos += length
-            pos = _decode_scan(jd, data, pos)
+            pos = _decode_scan(jd, data, pos, scan)
             continue
         else:
             jd.markers.append((marker, payload))
@@ -234,21 +267,40 @@ def parse_jpeg(data: bytes) -> JPEGData:
     raise JXLError("JPEG truncated (no EOI)")
 
 
-def _decode_scan(jd: JPEGData, data: bytes, pos: int) -> int:
+def _decode_scan(jd: JPEGData, data: bytes, pos: int, scan: ScanMeta) -> int:
+    """Decode one entropy-coded scan body: sequential, or any of the four
+    progressive kinds (DC/AC first/refinement). Mirrors ProcessScan +
+    DecodeDCTBlock + RefineDCTBlock (enc_jpeg_data_reader.cc:536-875),
+    including the reset-point / extra-zero-run bookkeeping the writer
+    needs for bit-exact reconstruction."""
     hmax = max(c.h_samp for c in jd.components)
     vmax = max(c.v_samp for c in jd.components)
-    mcux = -(-jd.width // (8 * hmax))
-    mcuy = -(-jd.height // (8 * vmax))
-    for c in jd.components:
-        c.width_in_blocks = mcux * c.h_samp
-        c.height_in_blocks = mcuy * c.v_samp
-        c.coeffs = np.zeros((c.height_in_blocks, c.width_in_blocks, 64),
-                            dtype=np.int16)
+    if jd.components[0].coeffs is None:
+        mcux0 = -(-jd.width // (8 * hmax))
+        mcuy0 = -(-jd.height // (8 * vmax))
+        for c in jd.components:
+            c.width_in_blocks = mcux0 * c.h_samp
+            c.height_in_blocks = mcuy0 * c.v_samp
+            c.coeffs = np.zeros((c.height_in_blocks, c.width_in_blocks, 64),
+                                dtype=np.int16)
+    interleaved = len(scan.components) > 1
+    if interleaved:
+        mcux = -(-jd.width // (8 * hmax))
+        mcuy = -(-jd.height // (8 * vmax))
+    else:
+        c0 = scan.components[0]
+        mcux = -(-(jd.width * c0.h_samp) // (8 * hmax))
+        mcuy = -(-(jd.height * c0.v_samp) // (8 * vmax))
     dec_tables = {}
     for t in jd.huffman:
         dec_tables[(t.table_class, t.table_id)] = t.build_decoder()
     br = _BitReaderJPEG(data, pos)
     preds = {id(c): 0 for c in jd.components}
+    Ss, Se, Ah, Al = scan.Ss, scan.Se, scan.Ah, scan.Al
+    Am = 1 << Al
+    eobrun_allowed = Ss > 0
+    eobrun = -1  # -1 = fresh start (no eob state yet)
+    block_scan_index = 0
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -257,39 +309,144 @@ def _decode_scan(jd: JPEGData, data: bytes, pos: int) -> int:
                 jd.rst_padding.append(br.align_and_check_rst())
                 for c in jd.components:
                     preds[id(c)] = 0
-            for c in jd.scan_components:
-                dc_tab = dec_tables[(0, c.dc_table)]
-                ac_tab = dec_tables[(1, c.ac_table)]
-                for by in range(c.v_samp):
-                    for bx in range(c.h_samp):
-                        block = c.coeffs[my * c.v_samp + by,
-                                         mx * c.h_samp + bx]
-                        s = _decode_huff(br, dc_tab)
-                        diff = _extend(br.read_bits(s), s)
-                        preds[id(c)] += diff
-                        block[0] = preds[id(c)]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JXLError("JPEG AC index overflow")
-                            block[k] = _extend(br.read_bits(s), s)
-                            k += 1
+                if eobrun > 0:
+                    raise JXLError("JPEG end-of-block run too long")
+                eobrun = -1
+            for c in scan.components:
+                nby = c.v_samp if interleaved else 1
+                nbx = c.h_samp if interleaved else 1
+                for by in range(nby):
+                    for bx in range(nbx):
+                        block = c.coeffs[my * nby + by, mx * nbx + bx]
+                        reset_state = False
+                        num_zero_runs = 0
+                        if Ah == 0:
+                            k = Ss
+                            if Ss == 0:
+                                dc_tab = dec_tables[(0, c.dc_table)]
+                                s = _decode_huff(br, dc_tab)
+                                diff = _extend(br.read_bits(s), s)
+                                preds[id(c)] += diff
+                                block[0] = preds[id(c)] * Am
+                                k = 1
+                            if k <= Se:
+                                if eobrun > 0:
+                                    eobrun -= 1
+                                else:
+                                    ac_tab = dec_tables[(1, c.ac_table)]
+                                    while k <= Se:
+                                        rs = _decode_huff(br, ac_tab)
+                                        r, s = rs >> 4, rs & 15
+                                        if s > 0:
+                                            k += r
+                                            if k > Se:
+                                                raise JXLError(
+                                                    "JPEG AC band overflow")
+                                            block[k] = _extend(
+                                                br.read_bits(s), s) * Am
+                                            num_zero_runs = 0
+                                            k += 1
+                                        elif r == 15:
+                                            k += 16
+                                            num_zero_runs += 1
+                                        else:
+                                            if (eobrun_allowed and k == Ss
+                                                    and eobrun == 0):
+                                                reset_state = True
+                                            eobrun = 1 << r
+                                            if r > 0:
+                                                if not eobrun_allowed:
+                                                    raise JXLError(
+                                                        "EOB run crosses DC")
+                                                eobrun += br.read_bits(r)
+                                            break
+                                    eobrun -= 1
+                        else:
+                            # refinement pass (RefineDCTBlock)
+                            k = Ss
+                            if Ss == 0:
+                                if br.read_bit():
+                                    block[0] = int(block[0]) | Am
+                                k = 1
+                            if k <= Se:
+                                p1, m1 = Am, -Am
+                                in_zero_run = False
+                                ac_tab = dec_tables[(1, c.ac_table)]
+                                if eobrun <= 0:
+                                    while k <= Se:
+                                        rs = _decode_huff(br, ac_tab)
+                                        r, s = rs >> 4, rs & 15
+                                        newval = 0
+                                        if s:
+                                            if s != 1:
+                                                raise JXLError(
+                                                    "bad refinement symbol")
+                                            newval = p1 if br.read_bit() \
+                                                else m1
+                                            in_zero_run = False
+                                        else:
+                                            if r != 15:
+                                                if (eobrun_allowed
+                                                        and k == Ss
+                                                        and eobrun == 0):
+                                                    reset_state = True
+                                                eobrun = 1 << r
+                                                if r > 0:
+                                                    if not eobrun_allowed:
+                                                        raise JXLError(
+                                                            "EOB crosses DC")
+                                                    eobrun += br.read_bits(r)
+                                                break
+                                            in_zero_run = True
+                                        while k <= Se:
+                                            cur = int(block[k])
+                                            if cur != 0:
+                                                if br.read_bit():
+                                                    if (cur & p1) == 0:
+                                                        cur += (p1 if cur >= 0
+                                                                else m1)
+                                                    block[k] = cur
+                                            else:
+                                                r -= 1
+                                                if r < 0:
+                                                    break
+                                            k += 1
+                                        if s and k <= Se:
+                                            block[k] = newval
+                                        elif s:
+                                            raise JXLError(
+                                                "JPEG AC band overflow")
+                                        k += 1
+                                if in_zero_run:
+                                    raise JXLError(
+                                        "extra zero run before EOB")
+                                if eobrun > 0:
+                                    while k <= Se:
+                                        cur = int(block[k])
+                                        if cur != 0:
+                                            if br.read_bit():
+                                                if (cur & p1) == 0:
+                                                    cur += (p1 if cur >= 0
+                                                            else m1)
+                                                block[k] = cur
+                                        k += 1
+                                eobrun -= 1
+                        if reset_state:
+                            scan.reset_points.append(block_scan_index)
+                        if num_zero_runs > 0:
+                            scan.extra_zero_runs.append(
+                                (block_scan_index, num_zero_runs))
+                        block_scan_index += 1
             mcu_count += 1
+    if eobrun > 0:
+        raise JXLError("JPEG end-of-block run too long")
     # record padding bits of the final partial byte for bit-exact rewrite
-    jd.eob_padding_bits = ""
+    pad = ""
     if br.nbits:
-        jd.eob_padding_bits = format(br.bitbuf & ((1 << br.nbits) - 1),
-                                     f"0{br.nbits}b")
+        pad = format(br.bitbuf & ((1 << br.nbits) - 1), f"0{br.nbits}b")
         br.nbits = 0
-    # skip to EOI
+    jd.rst_padding.append(pad)
+    # skip to the next marker
     p = br.pos
     while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00
                                      and not 0xD0 <= data[p + 1] <= 0xD7):

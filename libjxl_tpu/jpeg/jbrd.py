@@ -401,6 +401,10 @@ def jbrd_from_jpeg(data: bytes, jd: JPEGData) -> JbrdData:
             sc.Ss, sc.Se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             sc.Ah = payload[3 + 2 * ns] >> 4
             sc.Al = payload[3 + 2 * ns] & 15
+            if scan_idx < len(jd.scans):
+                sc.reset_points = list(jd.scans[scan_idx].reset_points)
+                sc.extra_zero_runs = list(
+                    jd.scans[scan_idx].extra_zero_runs)
             jb.scan_info.append(sc)
             scan_idx += 1
             # skip the entropy-coded body to the next marker
@@ -466,7 +470,7 @@ def jbrd_from_jpeg(data: bytes, jd: JPEGData) -> JbrdData:
     # padding bits: all per-restart paddings then the final EOB padding
     bits = []
     nonstandard = False
-    for pad in list(jd.rst_padding) + [jd.eob_padding_bits]:
+    for pad in jd.padding_in_order:
         for ch in pad:
             b = 1 if ch == "1" else 0
             bits.append(b)
@@ -553,6 +557,7 @@ def jpeg_from_jbrd(jb: JbrdData, width: int, height: int,
 
     out = bytearray(b"\xff\xd8")
     app_i = com_i = dqt_i = dht_i = scan_i = inter_i = 0
+    active_tables = {}  # slot -> encoder dict; DHT markers update in order
     pad = _PadBits(jb.padding_bits)
     is_progressive = any(m == 0xC2 for m in jb.marker_order)
     for marker in jb.marker_order:
@@ -603,6 +608,16 @@ def jpeg_from_jbrd(jb: JbrdData, width: int, height: int,
                         counts[i] -= 1
                         break
                 seg += bytes(counts) + bytes(values)
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[values[k]] = (length, code)
+                        code += 1
+                        k += 1
+                    code <<= 1
+                active_tables[hc.slot_id] = table
                 if hc.is_last:
                     break
             out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
@@ -618,11 +633,8 @@ def jpeg_from_jbrd(jb: JbrdData, width: int, height: int,
                 seg.append((c.dc_tbl_idx << 4) | c.ac_tbl_idx)
             seg += bytes([sc.Ss, sc.Se, (sc.Ah << 4) | sc.Al])
             out += b"\xff\xda" + (len(seg) + 2).to_bytes(2, "big") + seg
-            if is_progressive and not (
-                    sc.Ah == 0 and sc.Al == 0 and sc.Ss == 0 and sc.Se == 63):
-                raise JXLError("progressive scan reconstruction "
-                               "not supported yet")
-            out += _encode_scan_body(jb, sc, components, pad, width, height)
+            out += _encode_scan_body(jb, sc, components, pad, width, height,
+                                     is_progressive, active_tables)
         elif marker == 0xD9:
             out += b"\xff\xd9" + jb.tail_data
         else:
@@ -630,29 +642,170 @@ def jpeg_from_jbrd(jb: JbrdData, width: int, height: int,
     return bytes(out)
 
 
+class _DCTCodingState:
+    """Deferred end-of-band state (dec_jpeg_data_writer.cc:186-204):
+    EOB runs and refinement bits buffer until the next Flush."""
+
+    __slots__ = ("eob_run", "cur_ac_tab", "refinement_bits")
+
+    def __init__(self):
+        self.eob_run = 0
+        self.cur_ac_tab = None
+        self.refinement_bits = []
+
+    def flush(self, bw):
+        if self.eob_run > 0:
+            nbits = self.eob_run.bit_length() - 1
+            ln, code = self.cur_ac_tab[nbits << 4]
+            bw.write_bits(code, ln)
+            if nbits > 0:
+                bw.write_bits(self.eob_run & ((1 << nbits) - 1), nbits)
+            self.eob_run = 0
+        for b in self.refinement_bits:
+            bw.write_bits(b, 1)
+        self.refinement_bits = []
+
+    def buffer_eob(self, ac_tab, new_bits, bw):
+        if self.eob_run == 0:
+            self.cur_ac_tab = ac_tab
+        self.eob_run += 1
+        if new_bits:
+            self.refinement_bits.extend(new_bits)
+        if self.eob_run == 0x7FFF:
+            self.flush(bw)
+
+
+def _encode_block_progressive(block, dc_tab, ac_tab, Ss, Se, Al,
+                              num_zero_runs, state, preds, ci, bw):
+    """EncodeDCTBlockProgressive (dec_jpeg_data_writer.cc:585-658)."""
+    from .writer import _csize
+
+    eob_run_allowed = Ss > 0
+    if Ss == 0:
+        temp2 = int(block[0]) >> Al
+        diff = temp2 - preds[ci]
+        preds[ci] = temp2
+        s = _csize(diff)
+        ln, code = dc_tab[s]
+        bw.write_bits(code, ln)
+        if s:
+            v = diff if diff >= 0 else diff + (1 << s) - 1
+            bw.write_bits(v, s)
+        Ss = 1
+    if Ss > Se:
+        return
+    r = 0
+    for k in range(Ss, Se + 1):
+        temp = int(block[k])
+        if temp == 0:
+            r += 1
+            continue
+        if temp < 0:
+            temp = (-temp) >> Al
+            temp2 = ~temp
+        else:
+            temp >>= Al
+            temp2 = temp
+        if temp == 0:
+            r += 1
+            continue
+        state.flush(bw)
+        while r > 15:
+            ln, code = ac_tab[0xF0]
+            bw.write_bits(code, ln)
+            r -= 16
+        nbits = temp.bit_length()
+        ln, code = ac_tab[(r << 4) | nbits]
+        bw.write_bits(code, ln)
+        bw.write_bits(temp2 & ((1 << nbits) - 1), nbits)
+        r = 0
+    if num_zero_runs > 0:
+        state.flush(bw)
+        for _ in range(num_zero_runs):
+            ln, code = ac_tab[0xF0]
+            bw.write_bits(code, ln)
+            r -= 16
+    if r > 0:
+        state.buffer_eob(ac_tab, None, bw)
+        if not eob_run_allowed:
+            state.flush(bw)
+
+
+def _encode_block_refinement(block, ac_tab, Ss, Se, Al, state, bw):
+    """EncodeRefinementBits (dec_jpeg_data_writer.cc:660-723)."""
+    eob_run_allowed = Ss > 0
+    if Ss == 0:
+        bw.write_bits((int(block[0]) >> Al) & 1, 1)
+        Ss = 1
+    if Ss > Se:
+        return
+    abs_values = {}
+    eob = 0
+    for k in range(Ss, Se + 1):
+        av = abs(int(block[k])) >> Al
+        abs_values[k] = av
+        if av == 1:
+            eob = k
+    r = 0
+    refinement_bits = []
+    for k in range(Ss, Se + 1):
+        if abs_values[k] == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            state.flush(bw)
+            ln, code = ac_tab[0xF0]
+            bw.write_bits(code, ln)
+            r -= 16
+            for b in refinement_bits:
+                bw.write_bits(b, 1)
+            refinement_bits = []
+        if abs_values[k] > 1:
+            refinement_bits.append(abs_values[k] & 1)
+            continue
+        state.flush(bw)
+        new_non_zero_bit = 0 if int(block[k]) < 0 else 1
+        ln, code = ac_tab[(r << 4) | 1]
+        bw.write_bits(code, ln)
+        bw.write_bits(new_non_zero_bit, 1)
+        for b in refinement_bits:
+            bw.write_bits(b, 1)
+        refinement_bits = []
+        r = 0
+    if r > 0 or refinement_bits:
+        state.buffer_eob(ac_tab, refinement_bits, bw)
+        if not eob_run_allowed:
+            state.flush(bw)
+
+
 def _encode_scan_body(jb: JbrdData, sc: JbrdScan, components: list,
-                      pad: _PadBits, width: int, height: int) -> bytes:
+                      pad: _PadBits, width: int, height: int,
+                      is_progressive: bool = False,
+                      active_tables: dict = None) -> bytes:
     from .writer import _BitWriterJPEG, _csize
 
-    # build encoder tables by slot
-    enc_tables = {}
-    for hc in jb.huffman_code:
-        counts = list(hc.counts[1:17])
-        values = [v for v in hc.values if v != 256]
-        for i in range(15, -1, -1):
-            if counts[i] > 0:
-                counts[i] -= 1
-                break
-        table = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(counts[length - 1]):
-                table[values[k]] = (length, code)
-                code += 1
-                k += 1
-            code <<= 1
-        enc_tables[hc.slot_id] = table
+    if active_tables is not None:
+        enc_tables = active_tables
+    else:
+        # build encoder tables by slot (single-scan callers)
+        enc_tables = {}
+        for hc in jb.huffman_code:
+            counts = list(hc.counts[1:17])
+            values = [v for v in hc.values if v != 256]
+            for i in range(15, -1, -1):
+                if counts[i] > 0:
+                    counts[i] -= 1
+                    break
+            table = {}
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(counts[length - 1]):
+                    table[values[k]] = (length, code)
+                    code += 1
+                    k += 1
+                code <<= 1
+            enc_tables[hc.slot_id] = table
     # MCU geometry (jpeg_data.cc CalculateMcuSize)
     interleaved = len(sc.components) > 1
     hmax = max(c["h_samp"] for c in components)
@@ -663,6 +816,18 @@ def _encode_scan_body(jb: JbrdData, sc: JbrdScan, components: list,
     mcux = -(-(width * h_group) // (8 * hmax))
     mcuy = -(-(height * v_group) // (8 * vmax))
 
+    Ss = sc.Ss if is_progressive else 0
+    Se = sc.Se if is_progressive else 63
+    Ah = sc.Ah if is_progressive else 0
+    Al = sc.Al if is_progressive else 0
+    # EncodeScan mode selection (dec_jpeg_data_writer.cc:889-906)
+    if Ah == 0 and Al == 0 and Ss == 0 and Se == 63:
+        mode = 0
+    elif Ah == 0:
+        mode = 1
+    else:
+        mode = 2
+    cstate = _DCTCodingState()
     bw = _BitWriterJPEG()
     ezr = {bi: n for bi, n in sc.extra_zero_runs}
     reset = set(sc.reset_points)
@@ -674,6 +839,7 @@ def _encode_scan_body(jb: JbrdData, sc: JbrdScan, components: list,
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and restarts_to_go == 0:
+                cstate.flush(bw)
                 if bw.nbits:
                     bw.write_bits(pad.take(8 - bw.nbits), 8 - bw.nbits)
                 bw.out += bytes([0xFF, 0xD0 + (next_rst & 7)])
@@ -691,8 +857,19 @@ def _encode_scan_body(jb: JbrdData, sc: JbrdScan, components: list,
                         by = my * nby + iy
                         bx = mx * nbx + ix
                         block = c["coeffs"][by, bx]
+                        if block_scan_index in reset:
+                            cstate.flush(bw)
                         nzr = ezr.get(block_scan_index, 0)
                         block_scan_index += 1
+                        if mode == 1:
+                            _encode_block_progressive(
+                                block, dc_tab, ac_tab, Ss, Se, Al, nzr,
+                                cstate, preds, si.comp_idx, bw)
+                            continue
+                        if mode == 2:
+                            _encode_block_refinement(
+                                block, ac_tab, Ss, Se, Al, cstate, bw)
+                            continue
                         diff = int(block[0]) - preds[si.comp_idx]
                         preds[si.comp_idx] = int(block[0])
                         s = _csize(diff)
@@ -733,6 +910,7 @@ def _encode_scan_body(jb: JbrdData, sc: JbrdScan, components: list,
                             ln, code = ac_tab[0x00]
                             bw.write_bits(code, ln)
             restarts_to_go -= 1
+    cstate.flush(bw)
     if bw.nbits:
         bw.write_bits(pad.take(8 - bw.nbits), 8 - bw.nbits)
     return bytes(bw.out)

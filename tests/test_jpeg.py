@@ -129,3 +129,28 @@ def test_vardct_transcode_viewable():
     out, _ = decode(stream)
     ref = jpeg_to_pixels(parse_jpeg(data))
     assert np.abs(out.astype(float) - ref.astype(float)).mean() < 2.0
+
+
+def test_progressive_jpeg_recompression():
+    """Progressive (SOF2) JPEG parse + bit-exact reconstruction through
+    the full jbrd pipeline (enc_jpeg_data_reader/dec_jpeg_data_writer
+    progressive modes), with and without restart markers."""
+    import io
+
+    from PIL import Image
+
+    from libjxl_tpu.jpeg import recompress
+    from libjxl_tpu.jpeg.data import parse_jpeg
+
+    img = photo(120, 200, seed=3)
+    for kw in (dict(progressive=True),
+               dict(progressive=True, restart_marker_blocks=2)):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=85, **kw)
+        jpeg = buf.getvalue()
+        jd = parse_jpeg(jpeg)
+        assert jd.progressive
+        assert len(jd.scans) > 2
+        jxl = recompress.recompress_jpeg_vardct(jpeg)
+        assert len(jxl) < len(jpeg)
+        assert recompress.reconstruct_jpeg(jxl) == jpeg
