@@ -92,6 +92,22 @@ def _ceil_log2(x: int) -> int:
 
 
 def inverse_move_to_front(values: list) -> list:
+    if len(values) >= 64:
+        from ..native_ext import get_lib
+
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "inverse_mtf"):
+            import ctypes
+
+            import numpy as np
+
+            arr = np.ascontiguousarray(values, dtype=np.uint32)
+            rc = lib.inverse_mtf(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_int(len(arr)))
+            if rc != 0:
+                raise JXLError("invalid MTF index")
+            return [int(v) for v in arr]
     mtf = list(range(256))
     out = []
     for idx in values:
@@ -115,11 +131,29 @@ def decode_context_map(num_contexts: int, r: BitReader):
         code, sink_map = decode_histograms(
             r, 1, disallow_lz77=num_contexts <= 2)
         reader = ANSSymbolReader(code, r)
-        maxsym = 0
-        for i in range(num_contexts):
-            sym = reader.read_hybrid_uint(0, r, sink_map)
-            maxsym = max(maxsym, sym)
-            context_map[i] = sym
+        native = None
+        if (not code.use_prefix_code and not code.lz77.enabled
+                and num_contexts >= 64):
+            from ..native_ext import NativeCodes, ans_read_uints_native, \
+                get_lib
+
+            lib = get_lib()
+            if lib is not None:
+                native = ans_read_uints_native(
+                    lib, r.data, r.total_bits_consumed(), reader.state,
+                    NativeCodes(code, sink_map), num_contexts, 0)
+        if native is not None:
+            vals, bitpos, state = native
+            maxsym = int(vals.max()) if num_contexts else 0
+            context_map = [int(v) for v in vals]
+            r.seek_bits(bitpos)
+            reader.state = state
+        else:
+            maxsym = 0
+            for i in range(num_contexts):
+                sym = reader.read_hybrid_uint(0, r, sink_map)
+                maxsym = max(maxsym, sym)
+                context_map[i] = sym
         if maxsym >= 256:
             raise JXLError("invalid cluster ID")
         if not reader.check_final_state():

@@ -26,6 +26,23 @@ def coeff_order_context(val: int) -> int:
 def read_permutation(skip: int, size: int, r: BitReader,
                      reader: ANSSymbolReader, context_map):
     """coeff_order.cc:34-60."""
+    code = reader.code
+    if (not code.use_prefix_code and not code.lz77.enabled and size >= 64):
+        from ..native_ext import (NativeCodes, ans_read_permutation_native,
+                                  get_lib)
+
+        lib = get_lib()
+        if lib is not None:
+            ncodes = getattr(reader, "_native_codes", None)
+            if ncodes is None:
+                ncodes = NativeCodes(code, context_map)
+                reader._native_codes = ncodes
+            perm, bitpos, state = ans_read_permutation_native(
+                lib, r.data, r.total_bits_consumed(), reader.state,
+                ncodes, skip, size)
+            r.seek_bits(bitpos)
+            reader.state = state
+            return [int(v) for v in perm]
     end = reader.read_hybrid_uint(coeff_order_context(size), r, context_map) + skip
     if end > size:
         raise JXLError("invalid permutation size")

@@ -54,6 +54,8 @@ def get_lib():
         lib.decode_ac_image.restype = ctypes.c_int
         lib.place_ac_metadata.restype = ctypes.c_int
         lib.decode_channel_wp.restype = ctypes.c_int
+        lib.ans_read_uints.restype = ctypes.c_int
+        lib.ans_read_permutation.restype = ctypes.c_int
     except AttributeError:
         pass
     _lib = lib
@@ -331,4 +333,56 @@ def decode_channel_native(lib, data: bytes, bitpos: int, state: int,
         _ptr(out, ctypes.c_int32))
     if rc != 0:
         raise RuntimeError("native decode failed")
+    return out, bp.value, st.value
+
+
+def _codes_args(ncodes):
+    return (_ptr(ncodes.cutoff, ctypes.c_uint16),
+            _ptr(ncodes.right, ctypes.c_uint16),
+            _ptr(ncodes.freq0, ctypes.c_uint16),
+            _ptr(ncodes.offsets1, ctypes.c_uint16),
+            _ptr(ncodes.freq1, ctypes.c_uint16),
+            ctypes.c_int(ncodes.log_alpha_size),
+            _ptr(ncodes.context_map, ctypes.c_uint8),
+            _ptr(ncodes.cfg_split, ctypes.c_uint32),
+            _ptr(ncodes.cfg_msb, ctypes.c_uint32),
+            _ptr(ncodes.cfg_lsb, ctypes.c_uint32))
+
+
+def ans_read_uints_native(lib, data: bytes, bitpos: int, state: int,
+                          ncodes, n: int, ctx: int):
+    """Bulk fixed-context hybrid-uint reads (DecodeContextMap hot loop).
+    Returns (values u32[n], new_bitpos, new_state)."""
+    bp = ctypes.c_uint64(bitpos)
+    st = ctypes.c_uint32(state)
+    dview = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(n, dtype=np.uint32)
+    rc = lib.ans_read_uints(
+        _ptr(dview, ctypes.c_uint8), ctypes.c_size_t(len(data)),
+        ctypes.byref(bp), ctypes.byref(st), *_codes_args(ncodes),
+        ctypes.c_int(n), ctypes.c_int(ctx), _ptr(out, ctypes.c_uint32))
+    if rc != 0:
+        from .base.status import JXLError
+
+        raise JXLError(f"invalid uint stream (native rc={rc})")
+    return out, bp.value, st.value
+
+
+def ans_read_permutation_native(lib, data: bytes, bitpos: int, state: int,
+                                ncodes, skip: int, size: int):
+    """ReadPermutation + Lehmer decode in C (coeff_order.cc:34-60).
+    Returns (permutation i32[size], new_bitpos, new_state)."""
+    bp = ctypes.c_uint64(bitpos)
+    st = ctypes.c_uint32(state)
+    dview = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(size, dtype=np.int32)
+    rc = lib.ans_read_permutation(
+        _ptr(dview, ctypes.c_uint8), ctypes.c_size_t(len(data)),
+        ctypes.byref(bp), ctypes.byref(st), *_codes_args(ncodes),
+        ctypes.c_uint32(skip), ctypes.c_uint32(size),
+        _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        from .base.status import JXLError
+
+        raise JXLError(f"invalid permutation stream (native rc={rc})")
     return out, bp.value, st.value

@@ -27,6 +27,16 @@ typedef struct {
 } BitReaderC;
 
 static inline void br_refill(BitReaderC* br) {
+  if (br->pos + 8 <= br->size) {
+    /* bulk refill: one unaligned 8-byte load instead of a byte loop */
+    uint64_t chunk;
+    memcpy(&chunk, br->data + br->pos, 8);
+    int nbytes = (63 - br->bits) >> 3;
+    br->buf |= chunk << br->bits;
+    br->pos += (size_t)nbytes;
+    br->bits += nbytes * 8;
+    return;
+  }
   while (br->bits <= 56) {
     uint64_t byte = br->pos < br->size ? br->data[br->pos] : 0;
     br->buf |= byte << br->bits;

@@ -33,6 +33,16 @@ typedef struct {
 } BitReaderV;
 
 static inline void vbr_refill(BitReaderV* br) {
+  if (br->pos + 8 <= br->size) {
+    /* bulk refill: one unaligned 8-byte load instead of a byte loop */
+    uint64_t chunk;
+    memcpy(&chunk, br->data + br->pos, 8);
+    int nbytes = (63 - br->bits) >> 3;
+    br->buf |= chunk << br->bits;
+    br->pos += (size_t)nbytes;
+    br->bits += nbytes * 8;
+    return;
+  }
   while (br->bits <= 56) {
     uint64_t byte = br->pos < br->size ? br->data[br->pos] : 0;
     br->buf |= byte << br->bits;
@@ -484,5 +494,133 @@ int decode_ac_group(
   }
   *state_io = state;
   *bitpos_io = ((uint64_t)br.pos << 3) - (uint64_t)br.bits;
+  return 0;
+}
+
+/* ---- bulk auxiliary-stream readers (context maps, permutations) ----
+ * These cover the host-side hot loops outside the AC image itself:
+ * DecodeContextMap's per-entry reads and ReadPermutation's Lehmer
+ * stream (coeff_order.cc:34-60, lehmer_code.h:61-99). Plain rANS only;
+ * the Python caller falls back when LZ77/prefix is in play. */
+
+static void vbr_init_at(BitReaderV* br, const uint8_t* data, size_t size,
+                        uint64_t bitpos) {
+  br->data = data;
+  br->size = size;
+  br->pos = bitpos >> 3;
+  br->buf = 0;
+  br->bits = 0;
+  int rem = (int)(bitpos & 7);
+  if (rem) (void)vbr_read(br, rem);
+}
+
+int ans_read_uints(const uint8_t* data, size_t size_bytes,
+                   uint64_t* bitpos_io, uint32_t* state_io,
+                   const uint16_t* cutoff, const uint16_t* right,
+                   const uint16_t* freq0, const uint16_t* offsets1,
+                   const uint16_t* freq1, int log_alpha_size,
+                   const uint8_t* context_map, const uint32_t* cfg_split,
+                   const uint32_t* cfg_msb, const uint32_t* cfg_lsb,
+                   int n, int ctx, uint32_t* out) {
+  BitReaderV br;
+  vbr_init_at(&br, data, size_bytes, *bitpos_io);
+  uint32_t state = *state_io;
+  AnsTablesV t = {cutoff, right, freq0, offsets1, freq1, log_alpha_size,
+                  context_map, cfg_split, cfg_msb, cfg_lsb};
+  for (int i = 0; i < n; i++) {
+    out[i] = v_read_hybrid_uint(&t, ctx, &state, &br);
+  }
+  *bitpos_io = ((uint64_t)br.pos << 3) - (uint64_t)br.bits;
+  *state_io = state;
+  return 0;
+}
+
+static int lehmer_decode_c(const uint32_t* code, uint32_t n, int32_t* out) {
+  if (n == 0) return 0;
+  int log2n = 0;
+  if (n > 1) {
+    log2n = 32 - __builtin_clz(n - 1);
+    if (log2n < 1) log2n = 1;
+  }
+  uint32_t padded = 1u << log2n;
+  uint32_t* temp = (uint32_t*)malloc((padded + 1) * sizeof(uint32_t));
+  if (!temp) return -1;
+  for (uint32_t i = 0; i < padded; i++) {
+    uint32_t i1 = i + 1;
+    temp[i] = i1 & (uint32_t)(-(int32_t)i1);
+  }
+  for (uint32_t i = 0; i < n; i++) {
+    if (code[i] + i >= n) { free(temp); return 1; }
+    uint32_t rank = code[i] + 1;
+    uint32_t bit = padded, nxt = 0;
+    for (int j = 0; j <= log2n; j++) {
+      uint32_t cand = nxt + bit;
+      bit >>= 1;
+      if (temp[cand - 1] < rank) {
+        nxt = cand;
+        rank -= temp[cand - 1];
+      }
+    }
+    out[i] = (int32_t)nxt;
+    nxt += 1;
+    while (nxt <= padded) {
+      temp[nxt - 1] -= 1;
+      nxt += nxt & (uint32_t)(-(int32_t)nxt);
+    }
+  }
+  free(temp);
+  return 0;
+}
+
+int ans_read_permutation(const uint8_t* data, size_t size_bytes,
+                         uint64_t* bitpos_io, uint32_t* state_io,
+                         const uint16_t* cutoff, const uint16_t* right,
+                         const uint16_t* freq0, const uint16_t* offsets1,
+                         const uint16_t* freq1, int log_alpha_size,
+                         const uint8_t* context_map,
+                         const uint32_t* cfg_split, const uint32_t* cfg_msb,
+                         const uint32_t* cfg_lsb,
+                         uint32_t skip, uint32_t size, int32_t* out_perm) {
+  BitReaderV br;
+  vbr_init_at(&br, data, size_bytes, *bitpos_io);
+  uint32_t state = *state_io;
+  AnsTablesV t = {cutoff, right, freq0, offsets1, freq1, log_alpha_size,
+                  context_map, cfg_split, cfg_msb, cfg_lsb};
+  int size_ctx = size ? 32 - __builtin_clz(size) : 0;
+  if (size_ctx > 7) size_ctx = 7;
+  uint32_t end =
+      v_read_hybrid_uint(&t, size_ctx, &state, &br) + skip;
+  if (end > size) return 2;
+  uint32_t* lehmer = (uint32_t*)calloc(size, sizeof(uint32_t));
+  if (!lehmer) return -1;
+  uint32_t last = 0;
+  for (uint32_t i = skip; i < end; i++) {
+    int ctx = last ? 32 - __builtin_clz(last) : 0;
+    if (ctx > 7) ctx = 7;
+    lehmer[i] = v_read_hybrid_uint(&t, ctx, &state, &br);
+    last = lehmer[i];
+    if (lehmer[i] >= size - i) { free(lehmer); return 3; }
+  }
+  int rc = lehmer_decode_c(lehmer, size, out_perm);
+  free(lehmer);
+  if (rc) return rc < 0 ? -1 : 4;
+  *bitpos_io = ((uint64_t)br.pos << 3) - (uint64_t)br.bits;
+  *state_io = state;
+  return 0;
+}
+
+/* InverseMoveToFrontTransform (dec_context_map.cc:22-34). values are
+ * indices < 256; transformed in place. */
+int inverse_mtf(uint32_t* values, int n) {
+  uint8_t mtf[256];
+  for (int i = 0; i < 256; i++) mtf[i] = (uint8_t)i;
+  for (int i = 0; i < n; i++) {
+    uint32_t idx = values[i];
+    if (idx >= 256) return 1;
+    uint8_t val = mtf[idx];
+    values[i] = val;
+    memmove(mtf + 1, mtf, idx);
+    mtf[0] = val;
+  }
   return 0;
 }
