@@ -71,12 +71,14 @@ def _jitted():
 
     @functools.partial(jax.jit,
                        static_argnames=("epf_iters", "tile_shapes", "gab",
-                                        "to_rgb", "size_shapes"))
+                                        "to_rgb", "size_shapes",
+                                        "true_size"))
     def dec_image(qimg, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
                   x_dm_mult, b_dm_mult, gab_kernels, inv_sigma_px, sad_mul,
                   channel_scale, epf_iters, pass0_scale, pass2_scale,
                   extra_tiles, dct8_mask, size_passes, class_map,
-                  tile_shapes=(), gab=True, to_rgb=False, size_shapes=()):
+                  tile_shapes=(), gab=True, to_rgb=False, size_shapes=(),
+                  true_size=None):
         return pl.decode_render_image(
             qimg, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
             x_dm_mult, b_dm_mult, gab_kernels if gab else None,
@@ -84,7 +86,8 @@ def _jitted():
             pass0_sigma_scale=pass0_scale, pass2_sigma_scale=pass2_scale,
             extra_tiles=extra_tiles, dct8_mask=dct8_mask,
             tile_shapes=tile_shapes, size_passes=size_passes,
-            size_shapes=size_shapes, class_map=class_map)
+            size_shapes=size_shapes, class_map=class_map,
+            true_size=true_size)
 
     @jax.jit
     def srgb2lin(srgb):
@@ -253,10 +256,18 @@ def _prepare_batches(state, qimg):
         n = len(ys)
         if (cy > 1 and (ys % cy).any()) or (cx > 1 and (xs % cx).any()):
             return None  # unaligned origin: host render
+        if (nby * 8) % rows != 0 or (nbx * 8) % cols != 0:
+            # the batched scatter also reshapes the padded grid by the
+            # tile size; odd-size images with large merges render on host
+            if max(rows, cols) > 8:
+                return None
         plain = s in (acs.DCT16X16, acs.DCT32X32, acs.DCT16X8, acs.DCT8X16,
                       acs.DCT32X8, acs.DCT8X32, acs.DCT32X16, acs.DCT16X32,
                       acs.DCT64X64, acs.DCT64X32, acs.DCT32X64)
-        if plain and max(rows, cols) <= 64:
+        if plain and max(rows, cols) <= 64 \
+                and (nby * 8) % rows == 0 and (nbx * 8) % cols == 0:
+            # dense pass needs the padded grid divisible by the tile;
+            # otherwise the strategy renders via the batched tile path
             # dense full-grid pass (decode_size_pass): no gathers
             from ..ops.dct import resample_scales as _rs
 
@@ -459,7 +470,9 @@ def make_device_render(fh, out=None):
             tuple(extra), mask_px, tuple(size_passes), class_map,
             tile_shapes=shapes, gab=bool(lf.gab),
             to_rgb="u8srgb" if direct_u8 else False,
-            size_shapes=size_shapes)
+            size_shapes=size_shapes,
+            true_size=(fd.ysize, fd.xsize)
+            if (fd.ysize, fd.xsize) != (h, w) else None)
         if direct_u8:
             out["u8"] = np.asarray(result)
             state.device_output_done = True

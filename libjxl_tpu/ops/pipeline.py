@@ -377,7 +377,8 @@ def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
                         epf_iters, to_rgb=True,
                         pass0_sigma_scale=0.9, pass2_sigma_scale=6.5,
                         extra_tiles=None, dct8_mask=None, tile_shapes=None,
-                        size_passes=None, size_shapes=None, class_map=None):
+                        size_passes=None, size_shapes=None, class_map=None,
+                        true_size=None):
     """Full device decode on image-layout coefficients.
 
     size_passes: per-size dicts for the dense full-grid plain-DCT passes
@@ -428,6 +429,18 @@ def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
             xyb = jnp.where(cls_px < 0, acc, xyb)
         else:
             xyb = jnp.where(dct8_mask[None] > 0, xyb, acc)
+    if true_size is not None:
+        # filters mirror at the FRAME edge, not the block-padded edge:
+        # overwrite padding rows/cols with the symmetric reflection of
+        # the true frame content (image_ops.h:184 Mirror semantics)
+        th, tw = true_size
+        if th < h:
+            n = min(h - th, th)
+            xyb = xyb.at[:, th:th + n, :].set(xyb[:, th - n:th, :][:, ::-1])
+        if tw < w:
+            n = min(w - tw, tw)
+            xyb = xyb.at[:, :, tw:tw + n].set(
+                xyb[:, :, tw - n:tw][:, :, ::-1])
     if gab_kernels is not None:
         xyb = gaborish_jax(xyb, gab_kernels)
     if epf_iters > 0:

@@ -151,11 +151,38 @@ def apply_epf(xyb, lf, inv_sigma_blocks):
     return xyb
 
 
+def mirror_fill_padding(xyb, ysize: int, xsize: int):
+    """Overwrite block-padding rows/cols with the symmetric mirror of the
+    true frame content. The reference render pipeline mirrors filters at
+    the FRAME edge (image_ops.h:184 Mirror), not at the padded edge, so
+    the coded padding pixels must not leak into filter windows."""
+    H, W = xyb.shape[-2], xyb.shape[-1]
+    if ysize < H:
+        n = min(H - ysize, ysize)
+        xyb[..., ysize:ysize + n, :] = xyb[..., ysize - 1:ysize - 1 - n:-1
+                                           if ysize - 1 - n >= 0 else None,
+                                           :][..., :n, :]
+        if ysize + n < H:  # degenerate: padding deeper than the image
+            xyb[..., ysize + n:, :] = xyb[..., ysize - 1:ysize, :]
+    if xsize < W:
+        n = min(W - xsize, xsize)
+        xyb[..., :, xsize:xsize + n] = xyb[..., :,
+                                           xsize - 1:xsize - 1 - n:-1
+                                           if xsize - 1 - n >= 0 else None
+                                           ][..., :, :n]
+        if xsize + n < W:
+            xyb[..., :, xsize + n:] = xyb[..., :, xsize - 1:xsize]
+    return xyb
+
+
 def apply_restoration(xyb_np, fh, state):
     """NumPy-in/NumPy-out restoration used by the host decoder (no device
     dependency; the TPU-resident variant lives in parallel.sharding)."""
     lf = fh.loop_filter
     xyb = np.asarray(xyb_np, dtype=np.float64)
+    fd = getattr(state, "fd", None)
+    if fd is not None:
+        xyb = mirror_fill_padding(np.array(xyb), fd.ysize, fd.xsize)
     if lf.gab:
         xyb = apply_gaborish(xyb, lf)
     if lf.epf_iters > 0:

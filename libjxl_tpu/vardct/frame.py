@@ -46,13 +46,16 @@ from ..io.frame_header import (
 )
 from ..io.headers import DEFAULT_QUANT_BIAS
 from ..entropy.decode import ANSSymbolReader, decode_histograms
-from ..entropy.encode import Token, build_and_encode_histograms, write_tokens
+from ..entropy.encode import (Token, TokenArray, build_and_encode_histograms,
+                              write_tokens)
 from ..modular.codec import GroupHeader, ModularOptions, _tokenize_channel, modular_decode
 from ..modular.image import Channel, ModularImage
 from ..modular.predict import P_GRADIENT
 from ..modular.tree import encode_tree, make_fixed_tree, num_tree_contexts
 from . import ac_strategy as acs
 from .ctx import (
+    COEFF_FREQ_CONTEXT,
+    COEFF_NUM_NONZERO_CONTEXT,
     BlockCtxMap,
     decode_block_ctx_map,
     predict_nzeros,
@@ -679,27 +682,34 @@ def tokenize_ac_group(state: VarDCTState, group_idx: int, coeffs_q,
             order = orders.get((ord_, c))
             if order is None:
                 order = acs.natural_coeff_order(strategy)
-            qblock = qblocks[c]
-            nzeros = int(np.count_nonzero(qblock.reshape(-1)[order[cb:]]))
+            vals = qblocks[c].reshape(-1)[order[cb:]].astype(np.int64)
+            nz_mask = vals != 0
+            nzeros = int(nz_mask.sum())
             pred = predict_nzeros(nzeros_map, c, by, bx)
             block_ctx = bcm.context(0, quant, ord_, c)
             nz_ctx = bcm.nonzero_context(pred, block_ctx)
             tokens.append(Token(nz_ctx, nzeros))
             nzeros_map[c, by:by + cy, bx:bx + cx] = (nzeros + cb - 1) >> log2_cb
+            if nzeros == 0:
+                continue
+            # vectorized zero-density chain (the decode_ac loop inverse):
+            # tokens run through the last nonzero coefficient
             histo_offset = bcm.zero_density_contexts_offset(block_ctx)
-            prev = 0 if nzeros > size // 16 else 1
-            remaining = nzeros
-            flat = qblock.reshape(-1)
-            k = cb
-            while k < size and remaining != 0:
-                coeff = int(flat[order[k]])
-                u = (coeff << 1) if coeff >= 0 else (-coeff * 2 - 1)
-                ctx = histo_offset + zero_density_context(
-                    remaining, k, cb, log2_cb, prev)
-                tokens.append(Token(ctx, u))
-                prev = 1 if u else 0
-                remaining -= prev
-                k += 1
+            stop = int(np.flatnonzero(nz_mask)[-1]) + 1
+            v = vals[:stop]
+            m = nz_mask[:stop]
+            u = np.where(v >= 0, v << 1, -v * 2 - 1)
+            rem = nzeros - np.concatenate(
+                ([0], np.cumsum(m[:-1], dtype=np.int64)))
+            prev = np.empty(stop, dtype=np.int64)
+            prev[0] = 0 if nzeros > size // 16 else 1
+            if stop > 1:
+                prev[1:] = m[:-1]
+            nzl = (rem + cb - 1) >> log2_cb
+            ks = np.arange(cb, cb + stop, dtype=np.int64) >> log2_cb
+            ctx = histo_offset + (COEFF_NUM_NONZERO_CONTEXT[nzl]
+                                  + COEFF_FREQ_CONTEXT[ks]) * 2 + prev
+            tokens.append(TokenArray(ctx.astype(np.int32), u))
     return tokens
 
 
@@ -1242,17 +1252,20 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     tby, tbx = nby // cy, nbx // cx
     if tby == 0 or tbx == 0:
         return np.full((tby, tbx), np.inf)
-    crop = xyb[:, :tby * rows, :tbx * cols]
+    crop = xyb[:, :tby * rows, :tbx * cols].astype(np.float32)
     tiles = crop.reshape(3, tby, rows, tbx, cols).transpose(0, 1, 3, 2, 4)
-    co = np.einsum("ur,ctmrk,vk->ctmuv", fwd_matrix(rows), tiles,
-                   fwd_matrix(cols), optimize=True)
+    co = np.einsum("ur,ctmrk,vk->ctmuv",
+                   fwd_matrix(rows).astype(np.float32), tiles,
+                   fwd_matrix(cols).astype(np.float32), optimize=True)
     if rows >= cols:  # wide layout, transposed for tall/square
         co = np.swapaxes(co, -2, -1)
     dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
-                       for c in range(3)])  # (3, min, max), LLF zeroed
+                       for c in range(3)]).astype(np.float32)
+    # (3, min, max), LLF zeroed
     qf = state.raw_quant_field[:tby * cy, :tbx * cx].reshape(
         tby, cy, tbx, cx).mean(axis=(1, 3))
-    scaled = (state.quantizer.inv_global_scale / qf)[None, :, :, None, None]
+    scaled = (state.quantizer.inv_global_scale
+              / qf)[None, :, :, None, None].astype(np.float32)
     qs = np.round(co * dm_inv[:, None, None] / scaled)
     q = np.abs(qs)
     nz = q > 0
@@ -1267,7 +1280,7 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     from ..ops.dct import idct2d
 
     dm = np.stack([state.matrices.dequant_matrix(kind, c)
-                   for c in range(3)])
+                   for c in range(3)]).astype(np.float32)
     coded = dm_inv > 0  # LLF positions are coded via DC, skip them
     err = np.where(coded[:, None, None],
                    (qs - co * dm_inv[:, None, None] / scaled)
@@ -1394,6 +1407,20 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
     # transforms also batch better on the MXU
     big128 = min(nby, nbx) >= 16
     big256 = min(nby, nbx) >= 32
+    if big and (big128 or big256):
+        # giant transforms only win on very smooth regions; skip their
+        # (full-image DCT) cost passes unless some 128x128 area's 64-level
+        # costs are already tiny (flat gradients measure ~6k bits per
+        # 64-tile here vs ~45k on photographic content)
+        ty2, tx2 = (c64.shape[0] // 2) * 2, (c64.shape[1] // 2) * 2
+        if ty2 and tx2:
+            pooled = c64[:ty2, :tx2].reshape(ty2 // 2, 2, tx2 // 2, 2) \
+                .sum(axis=(1, 3))
+            want_big = bool((pooled < 60000.0).any())
+        else:
+            want_big = False
+        big128 = big128 and want_big
+        big256 = big256 and want_big
     c128 = c128x64 = c64x128 = c256 = c256x128 = c128x256 = None
     if big128:
         c128 = _batched_tile_cost(state, xyb, 128, 128,
