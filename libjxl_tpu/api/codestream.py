@@ -146,7 +146,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         CT_XYB,
         FrameHeader,
     )
-    from ..ops.xyb import srgb_to_linear
+    from ..ops.xyb import srgb_to_linear, srgb_u8_to_linear
     from ..vardct.frame import encode_vardct_frame
 
     distance = _calibrated_distance(distance)
@@ -214,7 +214,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         meta.m.preview_size.ratio = 0
         meta.m.preview_size.ysize_ = ph_
         meta.m.preview_size.xsize_ = pw_
-        lin = srgb_to_linear(image.astype(np.float64) / 255.0)
+        lin = (srgb_u8_to_linear(image) if image.dtype == np.uint8
+           else srgb_to_linear(image.astype(np.float64) / 255.0))
         lin = np.moveaxis(lin, -1, 0)
         small = np.stack([downsample_box(lin[c], scale) for c in range(3)])
         pv_img = small[:, :ph_, :pw_]
@@ -265,7 +266,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     if cms_linear is not None:
         rgb = cms_linear
     else:
-        rgb = srgb_to_linear(image.astype(np.float64) / 255.0)
+        rgb = (srgb_u8_to_linear(image) if image.dtype == np.uint8
+           else srgb_to_linear(image.astype(np.float64) / 255.0))
         rgb = np.moveaxis(rgb, -1, 0)
     if noise and noise_lut is None:
         # content-based estimation (GetNoiseParameter, enc_noise.cc:328)
@@ -338,7 +340,7 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
         FT_REGULAR,
         FrameHeader,
     )
-    from ..ops.xyb import srgb_to_linear
+    from ..ops.xyb import srgb_to_linear, srgb_u8_to_linear
     from ..vardct.streaming import encode_vardct_frame_streaming
 
     if callable(image_or_chunks):
@@ -548,7 +550,7 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
         FT_REGULAR,
         FrameHeader,
     )
-    from ..ops.xyb import srgb_to_linear
+    from ..ops.xyb import srgb_to_linear, srgb_u8_to_linear
     from ..render.patches import (
         BLEND_ADD,
         BLEND_BLEND_ABOVE,
@@ -637,7 +639,8 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
-    rgb = np.moveaxis(srgb_to_linear(image.astype(np.float64) / 255.0), -1, 0)
+    rgb = np.moveaxis((srgb_u8_to_linear(image) if image.dtype == np.uint8
+           else srgb_to_linear(image.astype(np.float64) / 255.0)), -1, 0)
     main_extra = None
     if num_extra:
         # background is fully opaque unless the caller's image has alpha
@@ -666,7 +669,7 @@ def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
         FT_REGULAR,
         FrameHeader,
     )
-    from ..ops.xyb import srgb_to_linear
+    from ..ops.xyb import srgb_to_linear, srgb_u8_to_linear
     from ..vardct.frame import encode_vardct_frame
 
     first = frames[0]

@@ -81,6 +81,18 @@ def srgb_to_linear(srgb: np.ndarray) -> np.ndarray:
                     ((srgb + 0.055) / 1.055) ** 2.4)
 
 
+_SRGB_U8_LUT = None
+
+
+def srgb_u8_to_linear(img_u8: np.ndarray) -> np.ndarray:
+    """uint8 sRGB -> linear float64 via a 256-entry LUT (bit-identical to
+    srgb_to_linear(img/255) but without the per-pixel pow)."""
+    global _SRGB_U8_LUT
+    if _SRGB_U8_LUT is None:
+        _SRGB_U8_LUT = srgb_to_linear(np.arange(256) / 255.0)
+    return _SRGB_U8_LUT[img_u8]
+
+
 def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
     linear = np.clip(linear, 0.0, 1.0)
     return np.where(linear <= 0.0031308, linear * 12.92,
