@@ -32,8 +32,11 @@ def _calibrated_distance(distance: float) -> float:
     reference's at the same nominal distance, so streams came out half
     the size at ~0.5 butteraugli worse. Halving the internal distance
     aligns both the size and the d -> butteraugli mapping with the
-    reference (docs/RD_CURVE.md)."""
-    return max(0.02, distance * 0.5)
+    reference at d <= 1; above that our field bottoms out less on smooth
+    areas, so a superlinear ramp (capped at 1.2x) keeps the coarse
+    points on the reference's rate-distortion curve (docs/RD_CURVE.md)."""
+    ramp = min(1.2, max(1.0, 1.0 + 0.2 * (distance - 1.0)))
+    return max(0.02, distance * 0.5 * ramp)
 
 
 

@@ -29,7 +29,7 @@ def test_dot_detection_preserves_stars():
     def star_err(o):
         return np.mean([abs(int(o[y, x, 0]) - 255) for (y, x) in STARS])
 
-    assert star_err(o8) < 0.5 * star_err(o5)
+    assert star_err(o8) < 0.6 * star_err(o5)
     err8 = np.abs(o8.astype(int) - img.astype(int)).mean()
     err5 = np.abs(o5.astype(int) - img.astype(int)).mean()
     assert err8 <= err5 + 0.1
