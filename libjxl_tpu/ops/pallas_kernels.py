@@ -112,3 +112,103 @@ def decode_pixels_hybrid(qcoeffs, qf, dc, ytox_map, ytob_map, dm,
     coeffs = coeffs.at[:, :, :, 0, 0].set(dc)
     pixels = idct8_blocks(coeffs)
     return xyb_to_rgb_jax(blocks_to_image(pixels))
+
+
+# ------------------------------------------------------------------ EPF
+_EPF_MIN_SIGMA = -3.90524291751269967465540850526098  # kMinSigma (stage_epf.cc)
+
+
+def _epf_kernel_body(strip_ref, inv_ref, sad_ref, out_ref, *, pad,
+                     neighbors, sad_pattern, channel_scale, sigma_scale):
+    """One EPF pass over a row strip (stage_epf.cc Weight math).
+
+    strip_ref: f32[3, rows + 2*pad, w + 2*pad] (halo included);
+    inv_ref/sad_ref: f32[rows, w]; out_ref: f32[3, rows, w].
+    The neighbor/SAD offsets are Python constants, so the stencil fully
+    unrolls into VPU element-wise chains — no gathers.
+    """
+    rows, w = out_ref.shape[-2:]
+    cs = [np.float32(c) for c in channel_scale]
+
+    def sh(dy, dx):
+        return strip_ref[0, :, pad + dy:pad + dy + rows,
+                         pad + dx:pad + dx + w]
+
+    center = sh(0, 0)
+    inv = inv_ref[0] * (sad_ref[0] * np.float32(sigma_scale * 1.65))
+    num = center
+    den = jnp.ones((rows, w), dtype=jnp.float32)
+    for (dy, dx) in neighbors:
+        if sad_pattern:
+            sad = None
+            for (py, px) in sad_pattern:
+                a = sh(py, px)
+                b = sh(dy + py, dx + px)
+                d = (jnp.abs(a[0] - b[0]) * cs[0]
+                     + jnp.abs(a[1] - b[1]) * cs[1]
+                     + jnp.abs(a[2] - b[2]) * cs[2])
+                sad = d if sad is None else sad + d
+        else:
+            b = sh(dy, dx)
+            sad = (jnp.abs(center[0] - b[0]) * cs[0]
+                   + jnp.abs(center[1] - b[1]) * cs[1]
+                   + jnp.abs(center[2] - b[2]) * cs[2])
+        weight = jnp.maximum(0.0, 1.0 + sad * inv)
+        num = num + weight[None] * sh(dy, dx)
+        den = den + weight
+    out = num / den[None]
+    skip = inv_ref[0] < np.float32(_EPF_MIN_SIGMA)
+    out_ref[0] = jnp.where(skip[None], center, out)
+
+
+def epf_pass_pallas(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
+                    sad_pattern, sigma_scale, rows_per_program: int = 64,
+                    interpret: bool = False):
+    """One EPF pass as a Pallas stencil kernel.
+
+    Strategy: pre-extract overlapping row strips (halo = pad) with XLA,
+    then each grid program filters one strip entirely in VMEM with the
+    stencil unrolled (plus-shape neighbors/SAD offsets are static).
+    Matches ops/pipeline._epf_pass_jax bit-for-bit in float32.
+    """
+    import functools
+
+    pad = 4
+    _, h, w = xyb.shape
+    rows = min(rows_per_program, h)
+    while h % rows:
+        rows -= 1
+    n_strips = h // rows
+    p = jnp.pad(xyb, ((0, 0), (pad, pad), (pad, pad)), mode="symmetric")
+    # (n, 3, rows + 2*pad, w + 2*pad) overlapping strips
+    starts = np.arange(n_strips) * rows
+    strips = jnp.stack([
+        jax.lax.dynamic_slice(
+            p, (0, int(s), 0), (3, rows + 2 * pad, w + 2 * pad))
+        for s in starts])
+    inv_r = inv_sigma_px.reshape(n_strips, rows, w)
+    sad_r = sad_mul.reshape(n_strips, rows, w)
+    kernel = functools.partial(
+        _epf_kernel_body, pad=pad, neighbors=tuple(neighbors),
+        sad_pattern=tuple(sad_pattern or ()),
+        channel_scale=tuple(float(c) for c in channel_scale),
+        sigma_scale=float(sigma_scale))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, 3, rows + 2 * pad, w + 2 * pad),
+                         lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, rows, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_strips, 3, rows, w),
+                                       jnp.float32),
+        interpret=interpret,
+    )(strips, inv_r, sad_r)
+    return out.transpose(1, 0, 2, 3).reshape(3, h, w)
