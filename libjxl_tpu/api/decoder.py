@@ -77,6 +77,7 @@ class Decoder:
         self._image = None
         self._skip = 0
         self._finished = False
+        self._skipped_preview = False
 
     def set_input(self, data: bytes):
         """Append bytes (zero-copy semantics of SetInput/ReleaseInput are

@@ -328,14 +328,44 @@ def decode_jbrd(payload: bytes) -> JbrdData:
     r.jump_to_byte_boundary()
     blob = brotli_decompress(payload[r.total_bits_consumed() // 8:])
     pos = 0
+    num_icc = 0
+    _ICC_TAG = b"ICC_PROFILE\x00"
+    _EXIF_TAG = b"Exif\x00\x00"
+    _XMP_TAG = b"http://ns.adobe.com/xap/1.0/\x00"
     for i, ln in enumerate(jb._app_lens):
         t = jb.app_marker_type[i]
         if t == APP_UNKNOWN:
             jb.app_data.append(bytes(blob[pos:pos + ln]))
             pos += ln
-        else:
-            # ICC/Exif/XMP markers are rebuilt from codestream metadata
-            jb.app_data.append(bytearray(ln))
+            continue
+        # typed markers: the header bytes are reconstructed here
+        # (DecodeJPEGData, jpeg/dec_jpeg_data.cc:66-105); the payload is
+        # filled from codestream/container metadata by set_*_app below.
+        seg = bytearray(ln)
+        size_m1 = ln - 1
+        seg[1] = size_m1 >> 8
+        seg[2] = size_m1 & 0xFF
+        if t == APP_ICC:
+            if ln < 17:
+                raise JXLError("ICC markers must be at least 17 bytes")
+            seg[0] = 0xE2
+            seg[3:15] = _ICC_TAG
+            num_icc += 1
+            seg[15] = num_icc
+        elif t == APP_EXIF:
+            if ln < 3 + len(_EXIF_TAG):
+                raise JXLError("incorrect Exif marker size")
+            seg[0] = 0xE1
+            seg[3:3 + len(_EXIF_TAG)] = _EXIF_TAG
+        elif t == APP_XMP:
+            if ln < 3 + len(_XMP_TAG):
+                raise JXLError("incorrect XMP marker size")
+            seg[0] = 0xE1
+            seg[3:3 + len(_XMP_TAG)] = _XMP_TAG
+        jb.app_data.append(seg)
+    for i, t in enumerate(jb.app_marker_type):
+        if t == APP_ICC:
+            jb.app_data[i][16] = num_icc
     for ln in jb._com_lens:
         jb.com_data.append(bytes(blob[pos:pos + ln]))
         pos += ln
@@ -346,6 +376,43 @@ def decode_jbrd(payload: bytes) -> JbrdData:
     if len(jb.tail_data) != jb._tail_len:
         raise JXLError("jbrd tail data truncated")
     return jb
+
+
+def fill_app_segments(jb: JbrdData, icc: bytes = None, exif: bytes = None,
+                      xmp: bytes = None) -> None:
+    """Fill typed APP marker payloads from codestream/container metadata
+    (SetJPEGDataFromICC jpeg_data.cc:456-478; JxlToJpegDecoder::SetExif /
+    SetXmp decode_to_jpeg.cc:142-180). Raises when a needed source is
+    missing — a reconstructed JPEG must never carry zeroed segments."""
+    icc_pos = 0
+    for i, t in enumerate(jb.app_marker_type):
+        seg = jb.app_data[i]
+        if t == APP_ICC:
+            ln = len(seg) - 17
+            if icc is None or icc_pos + ln > len(icc):
+                raise JXLError(
+                    "jbrd: stream lacks the ICC profile bytes needed to "
+                    "rebuild its APP2 ICC markers")
+            seg[17:] = icc[icc_pos:icc_pos + ln]
+            icc_pos += ln
+        elif t == APP_EXIF:
+            # the Exif box payload starts with a 4-byte TIFF offset that
+            # is not part of the JPEG segment
+            need = len(seg) - 9 + 4
+            if exif is None or len(exif) != need:
+                raise JXLError(
+                    "jbrd: Exif APP1 marker needs a matching Exif box "
+                    f"({need} bytes) to reconstruct")
+            seg[9:] = exif[4:]
+        elif t == APP_XMP:
+            need = len(seg) - 3 - 29
+            if xmp is None or len(xmp) != need:
+                raise JXLError(
+                    "jbrd: XMP APP1 marker needs a matching xml box "
+                    f"({need} bytes) to reconstruct")
+            seg[3 + 29:] = xmp
+    if icc is not None and icc_pos not in (0, len(icc)):
+        raise JXLError("jbrd: ICC profile longer than its APP markers")
 
 
 # ---------------------------------------------------------------------------

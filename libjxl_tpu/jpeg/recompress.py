@@ -195,6 +195,7 @@ def reconstruct_jpeg(container: bytes) -> bytes:
     if container[:12] != CONTAINER_HEADER[:12]:
         raise JXLError("not a recompressed-JPEG container")
     blob = None
+    exif = xmp = None
     stream_parts = []
     for btype, payload, _ in parse_boxes(container[12:]):
         if btype == b"jbrd":
@@ -203,6 +204,10 @@ def reconstruct_jpeg(container: bytes) -> bytes:
             stream_parts.append(payload)
         elif btype == b"jxlp":
             stream_parts.append(payload[4:])  # strip the part index
+        elif btype == b"Exif":
+            exif = payload
+        elif btype == b"xml ":
+            xmp = payload
     if blob is None or not stream_parts:
         raise JXLError("missing jbrd/jxlc boxes")
     stream = b"".join(stream_parts)
@@ -210,7 +215,8 @@ def reconstruct_jpeg(container: bytes) -> bytes:
         # reference jbrd bundle (jpeg_data.cc VisitFields)
         from .jbrd import decode_jbrd
 
-        return _reconstruct_from_jbrd(decode_jbrd(blob), stream)
+        return _reconstruct_from_jbrd(decode_jbrd(blob), stream,
+                                      exif=exif, xmp=xmp)
     if blob[:1] == b"\x02":  # legacy round-1 VarDCT transcode layout
         from ..io.brotli import brotli_decompress
 
@@ -381,15 +387,20 @@ def _capture_vardct_state(stream: bytes):
     return captured["state"], fh
 
 
-def _reconstruct_from_jbrd(jb, stream: bytes) -> bytes:
+def _reconstruct_from_jbrd(jb, stream: bytes, exif: bytes = None,
+                           xmp: bytes = None) -> bytes:
     """Rebuild the original JPEG from a reference-format jbrd payload plus
     the coefficients of the transcoded VarDCT frame (decode_to_jpeg.h:35 /
     dec_frame.cc:432-473 analog)."""
     from ..vardct.subsampled import _shifts
-    from .jbrd import jpeg_from_jbrd
+    from .jbrd import APP_UNKNOWN, fill_app_segments, jpeg_from_jbrd
     from .data import ZIGZAG
 
     st, fh = _capture_vardct_state(stream)
+    if any(t != APP_UNKNOWN for t in jb.app_marker_type):
+        ce = fh.nonserialized_metadata.m.color_encoding
+        icc = ce.icc if getattr(ce, "want_icc", False) else None
+        fill_app_segments(jb, icc=icc, exif=exif, xmp=xmp)
     fd = st.fd
     width = fh.nonserialized_metadata.size.xsize()
     height = fh.nonserialized_metadata.size.ysize()

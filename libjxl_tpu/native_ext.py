@@ -27,7 +27,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["cc", "-O3", "-march=native", "-fno-math-errno", "-shared",
-             "-fPIC", *map(str, _SRCS), "-o", str(_SO)],
+             "-fPIC", "-pthread", *map(str, _SRCS), "-o", str(_SO)],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -185,9 +185,11 @@ def decode_channel_wp_native(lib, data: bytes, bitpos: int, state: int,
 
 
 def place_ac_metadata_native(lib, acs_row, qf_row, count, sharp,
-                             x0, y0, rw, rh, nbx, nby, quant_max,
-                             strategy, origin, qf, sharp_out):
-    """C AC-metadata placement; returns blocks consumed (-1 = corrupt)."""
+                             x0, y0, rw, rh, nbx, nby, gdim_blocks,
+                             quant_max, strategy, origin, qf, sharp_out):
+    """C AC-metadata placement; returns blocks consumed (-1 = corrupt).
+    gdim_blocks bounds every transform to its AC group (dec_modular.cc
+    'Invalid AC strategy' overflow checks)."""
     from .vardct import ac_strategy as acs
 
     assert strategy.dtype == np.int32 and qf.dtype == np.int32
@@ -201,6 +203,7 @@ def place_ac_metadata_native(lib, acs_row, qf_row, count, sharp,
         _ptr(np.ascontiguousarray(sharp, dtype=np.int32), ctypes.c_int32),
         ctypes.c_int(x0), ctypes.c_int(y0), ctypes.c_int(rw),
         ctypes.c_int(rh), ctypes.c_int(nbx), ctypes.c_int(nby),
+        ctypes.c_int(gdim_blocks),
         _ptr(cov_x, ctypes.c_int32), _ptr(cov_y, ctypes.c_int32),
         ctypes.c_int(quant_max),
         _ptr(strategy, ctypes.c_int32),
@@ -212,9 +215,11 @@ def place_ac_metadata_native(lib, acs_row, qf_row, count, sharp,
 def decode_ac_image_native(lib, data: bytes, group_off, group_size,
                            xsize_groups, group_dim_blocks, ncodes,
                            state_maps, luts, histo_bits, num_ac_ctx,
-                           num_ctxs, shift, planes):
+                           num_ctxs, shift, planes, n_threads=1):
     """Whole-image AC decode (native/vardct_decode.c decode_ac_image).
-    planes: 3 contiguous int32 (H, W) arrays. Returns 0 or error code."""
+    planes: 3 contiguous int32 (H, W) arrays; n_threads > 1 decodes AC
+    groups on a pthread pool (dec_frame.cc:716 RunOnPool analog).
+    Returns 0 or error code."""
     dview = np.frombuffer(data, dtype=np.uint8)
     strategy, origin, qf = state_maps
     (bctx_lut, qf_thr, ord_img_off, ord_img_flat,
@@ -249,7 +254,7 @@ def decode_ac_image_native(lib, data: bytes, group_off, group_size,
         ctypes.c_int(num_ctxs), ctypes.c_int(shift),
         ctypes.c_int(planes[0].shape[1]),
         _ptr(planes[0], ctypes.c_int32), _ptr(planes[1], ctypes.c_int32),
-        _ptr(planes[2], ctypes.c_int32))
+        _ptr(planes[2], ctypes.c_int32), ctypes.c_int(n_threads))
 
 
 def decode_ac_group_native(lib, data: bytes, bitpos: int, state: int,

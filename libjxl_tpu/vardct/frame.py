@@ -454,6 +454,10 @@ def decode_ac_bulk_native(state: VarDCTState, data: bytes,
             ncodes = NativeCodes(code, cmap)
             ncodes.context_map_src = cmap
             code._native_codes = ncodes
+        import os
+
+        n_threads = min(len(offs), getattr(state, "num_threads", 0)
+                        or (os.cpu_count() or 1))
         rc = decode_ac_image_native(
             lib, data, np.asarray(offs, dtype=np.uint64),
             np.asarray(sizes, dtype=np.uint64), fd.xsize_groups,
@@ -462,7 +466,8 @@ def decode_ac_bulk_native(state: VarDCTState, data: bytes,
             (np.ascontiguousarray(bctx_lut), qf_thr,
              np.ascontiguousarray(off_tab), oflat,
              cov_x, cov_y, log2cb, ord_lut),
-            histo_bits, bcm.num_ac_contexts(), bcm.num_ctxs, shift, planes)
+            histo_bits, bcm.num_ac_contexts(), bcm.num_ctxs, shift, planes,
+            n_threads=n_threads)
         if rc != 0:
             raise JXLError(f"invalid AC stream (group {rc - 1000}, "
                            f"pass {p})")
@@ -790,7 +795,8 @@ def decode_dc_group(r: BitReader, state: VarDCTState, dc_group_id: int) -> None:
     if lib is not None:
         ok = place_ac_metadata_native(
             lib, acs_row, qf_row, count, sharp, x0, y0, rw, rh,
-            fd.xsize_blocks, fd.ysize_blocks, QUANT_MAX, state.strategy,
+            fd.xsize_blocks, fd.ysize_blocks, fd.group_dim // 8,
+            QUANT_MAX, state.strategy,
             state.is_origin, state.raw_quant_field, state.epf_sharpness)
         if ok != count:
             raise JXLError("corrupted AC metadata stream")
@@ -813,6 +819,11 @@ def decode_dc_group(r: BitReader, state: VarDCTState, dc_group_id: int) -> None:
             cx_, cy_ = acs.COVERED_X[raw], acs.COVERED_Y[raw]
             if x + cx_ > fd.xsize_blocks or y + cy_ > fd.ysize_blocks:
                 raise JXLError("AC strategy overflows image")
+            gdim = fd.group_dim // 8
+            if x % gdim + cx_ > gdim or y % gdim + cy_ > gdim:
+                # transforms may not cross AC-group boundaries
+                # (dec_modular.cc:515 "Invalid AC strategy")
+                raise JXLError("AC strategy overflows group")
             state.strategy[y:y + cy_, x:x + cx_] = raw
             state.is_origin[y, x] = True
             qf = 1 + max(0, min(QUANT_MAX - 1, int(qf_row[num])))
@@ -959,7 +970,8 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         reference_frames=None, return_xyb: bool = False,
                         extra_out: list = None, reference_extra=None,
                         render_fn=None, dc_frames=None,
-                        runner=None, want_qimg: bool = False):
+                        runner=None, want_qimg: bool = False,
+                        num_threads: int = 0):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
@@ -975,6 +987,7 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
     state.want_qimg = want_qimg
+    state.num_threads = num_threads
     mstate = ModularFrameState()
     subsampled = False
     from ..io.frame_header import CT_YCBCR as _CT_YCBCR_D

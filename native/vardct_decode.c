@@ -18,6 +18,7 @@
 #include <stddef.h>
 #include <stdlib.h>
 #include <string.h>
+#include <pthread.h>
 
 #define ANS_LOG_TAB_SIZE 12
 #define ANS_TAB_SIZE (1 << ANS_LOG_TAB_SIZE)
@@ -201,16 +202,20 @@ static const int32_t kCoeffNumNonzeroContext[64] = {
  * strategy: int8 full-image map (nbx stride), initialized to -1;
  * origin: uint8; qf: int32; sharp_out: int8.
  * Geometry luts: cov_x/cov_y int32[27].
+ * group_dim_blocks: AC-group size in blocks; a transform may not cross
+ * an AC-group boundary (dec_modular.cc:515 "Invalid AC strategy"), and
+ * enforcing it here also bounds every nzmap write in decode_ac_image.
  * Returns number of blocks consumed, or -1 on corruption. */
 int place_ac_metadata(const int32_t* acs_row, const int32_t* qf_row,
                       int32_t count, const int32_t* sharp,
                       int x0, int y0, int rw, int rh,
-                      int nbx_total, int nby_total,
+                      int nbx_total, int nby_total, int group_dim_blocks,
                       const int32_t* cov_x, const int32_t* cov_y,
                       int quant_max,
                       int32_t* strategy, uint8_t* origin, int32_t* qf,
                       int32_t* sharp_out) {
   int num = 0;
+  int gdim = group_dim_blocks;
   for (int iy = 0; iy < rh; iy++) {
     for (int ix = 0; ix < rw; ix++) {
       int x = x0 + ix, y = y0 + iy;
@@ -223,6 +228,7 @@ int place_ac_metadata(const int32_t* acs_row, const int32_t* qf_row,
       if (raw < 0 || raw >= 27) return -1;
       int cx = cov_x[raw], cy = cov_y[raw];
       if (x + cx > nbx_total || y + cy > nby_total) return -1;
+      if (x % gdim + cx > gdim || y % gdim + cy > gdim) return -1;
       int q = qf_row[num] + 1;
       if (q < 1) q = 1;
       if (q > quant_max) q = quant_max;
@@ -250,6 +256,189 @@ int place_ac_metadata(const int32_t* acs_row, const int32_t* qf_row,
  * ord_img_flat: int32 image-relative offsets (dy * W + dx) per coeff k.
  * cov_x/cov_y/log2cb/ord_lut: int32[27] strategy geometry.
  * Returns 0, or (1000 + group) on a bad group. */
+/* Shared read-only decode context for one pass over the group grid. */
+typedef struct {
+  const uint8_t* data;
+  const uint64_t* group_off;
+  const uint64_t* group_size;
+  int n_groups, xsize_groups, group_dim_blocks;
+  const AliasEntryV* entries;
+  int log_alpha_size;
+  const uint8_t* context_map;
+  const uint32_t* cfg_split;
+  const uint32_t* cfg_msb;
+  const uint32_t* cfg_lsb;
+  const int32_t* strategy;
+  const uint8_t* origin;
+  const int32_t* qf;
+  int nby, nbx;
+  const int32_t* bctx_lut;
+  const int64_t* qf_thr;
+  int nqf;
+  const int64_t* ord_img_off;
+  const int32_t* ord_img_flat;
+  const int32_t* cov_x;
+  const int32_t* cov_y;
+  const int32_t* log2cb;
+  const int32_t* ord_lut;
+  int histo_bits, num_ac_ctx, num_ctxs, shift, W;
+  int32_t* planes[3];
+} AcImageCtx;
+
+/* Decode one group's section into the dense planes. Returns 0 ok.
+ * nzmap: caller scratch, int32[3 * gdim * gdim]. Groups touch disjoint
+ * pixel ranges (transforms cannot cross group boundaries — enforced in
+ * place_ac_metadata), so concurrent calls on different groups are safe. */
+static int decode_one_ac_group_img(const AcImageCtx* cc, int g,
+                                   int32_t* nzmap) {
+  static const int kChanOrder[3] = {1, 0, 2};
+  int gdim = cc->group_dim_blocks;
+  int gx = g % cc->xsize_groups;
+  int gy = g / cc->xsize_groups;
+  int bx0 = gx * gdim;
+  int by0 = gy * gdim;
+  int bw = cc->nbx - bx0;
+  if (bw > gdim) bw = gdim;
+  int bh = cc->nby - by0;
+  if (bh > gdim) bh = gdim;
+
+  BitReaderV br;
+  br.data = cc->data + cc->group_off[g];
+  br.size = cc->group_size[g];
+  br.pos = 0;
+  br.buf = 0;
+  br.bits = 0;
+  int ctx_offset = cc->histo_bits
+      ? (int)vbr_read(&br, cc->histo_bits) * cc->num_ac_ctx : 0;
+  uint32_t state = vbr_read(&br, 32);
+  memset(nzmap, 0, sizeof(int32_t) * 3 * bh * bw);
+  AnsPackedV t = {cc->entries, cc->log_alpha_size, cc->context_map,
+                  cc->cfg_split, cc->cfg_msb, cc->cfg_lsb};
+  int nqf = cc->nqf, num_ctxs = cc->num_ctxs, shift = cc->shift;
+  int W = cc->W, nbx = cc->nbx;
+
+  for (int by = 0; by < bh; by++) {
+    for (int bx = 0; bx < bw; bx++) {
+      int aby = by0 + by, abx = bx0 + bx;
+      if (!cc->origin[(size_t)aby * nbx + abx]) continue;
+      int s = cc->strategy[(size_t)aby * nbx + abx];
+      int bcx = cc->cov_x[s], bcy = cc->cov_y[s];
+      int l2 = cc->log2cb[s];
+      int cb = bcx * bcy;
+      int size = cb * 64;
+      int ord = cc->ord_lut[s];
+      int quant = cc->qf[(size_t)aby * nbx + abx];
+      int qfi = 0;
+      while (qfi < nqf && quant > cc->qf_thr[qfi]) qfi++;
+      int64_t base_px = (int64_t)aby * 8 * W + (int64_t)abx * 8;
+      for (int ci = 0; ci < 3; ci++) {
+        int c = kChanOrder[ci];
+        int cidx = c < 2 ? (c ^ 1) : 2;
+        int bc = cc->bctx_lut[((size_t)cidx * 13 + ord) * (nqf + 1) + qfi];
+        const int32_t* oimg =
+            cc->ord_img_flat + cc->ord_img_off[(size_t)s * 3 + c];
+        int32_t* acc = cc->planes[c] + base_px;
+        int32_t* nzm = nzmap + (size_t)c * bh * bw;
+        int pred;
+        if (bx == 0) {
+          pred = by > 0 ? nzm[(size_t)(by - 1) * bw + bx] : 32;
+        } else if (by == 0) {
+          pred = nzm[(size_t)by * bw + bx - 1];
+        } else {
+          pred = (nzm[(size_t)(by - 1) * bw + bx] +
+                  nzm[(size_t)by * bw + bx - 1] + 1) / 2;
+        }
+        if (pred > 64) pred = 64;
+        int nz_bucket = pred < 8 ? pred : 4 + pred / 2;
+        int nz_ctx = ctx_offset + nz_bucket * num_ctxs + bc;
+        uint32_t nzeros =
+            v_read_hybrid_uint_packed(&t, nz_ctx, &state, &br);
+        if (nzeros > (uint32_t)(size - cb)) return 1;
+        int nz_per_block = (int)((nzeros + cb - 1) >> l2);
+        for (int yy = 0; yy < bcy; yy++)
+          for (int xx = 0; xx < bcx; xx++)
+            nzm[(size_t)(by + yy) * bw + bx + xx] = nz_per_block;
+        int histo_offset = ctx_offset + num_ctxs * NONZERO_BUCKETS +
+                           ZERO_DENSITY_CONTEXT_COUNT * bc;
+        int prev = nzeros > (uint32_t)(size / 16) ? 0 : 1;
+        int k = cb;
+        int32_t remaining = (int32_t)nzeros;
+        while (k < size && remaining != 0) {
+          int nzl = (remaining + cb - 1) >> l2;
+          int ctx = histo_offset +
+                    (kCoeffNumNonzeroContext[nzl] +
+                     kCoeffFreqContext[k >> l2]) * 2 + prev;
+          uint32_t u = v_read_hybrid_uint_packed(&t, ctx, &state, &br);
+          int32_t coeff =
+              (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
+          if (coeff >= 0) {
+            acc[oimg[k]] += coeff << shift;
+          } else {
+            acc[oimg[k]] -= (-coeff) << shift;
+          }
+          prev = u ? 1 : 0;
+          remaining -= prev;
+          k++;
+        }
+        if (remaining != 0) return 1;
+      }
+    }
+  }
+  if (state != (0x13u << 16)) return 1;
+  return 0;
+}
+
+static AliasEntryV* pack_alias_tables(
+    const uint16_t* cutoff, const uint16_t* right, const uint16_t* freq0,
+    const uint16_t* offsets1, const uint16_t* freq1, int log_alpha_size,
+    const uint8_t* context_map, int num_ac_ctx) {
+  /* one cache line per (cluster, bucket); clusters = max mapped id + 1 */
+  int nclusters = 0;
+  for (int c = 0; c < num_ac_ctx; c++) {
+    if (context_map[c] + 1 > nclusters) nclusters = context_map[c] + 1;
+  }
+  size_t tsize = (size_t)nclusters << log_alpha_size;
+  AliasEntryV* entries = (AliasEntryV*)malloc(tsize * sizeof(AliasEntryV));
+  if (!entries) return NULL;
+  for (size_t j = 0; j < tsize; j++) {
+    entries[j].cutoff = cutoff[j];
+    entries[j].right = right[j];
+    entries[j].freq0 = freq0[j];
+    entries[j].offsets1 = offsets1[j];
+    entries[j].freq1 = freq1[j];
+  }
+  return entries;
+}
+
+typedef struct {
+  const AcImageCtx* cc;
+  int tid, nthreads;
+  int err;  /* 0 or 1000 + first bad group */
+} AcWorker;
+
+static void* ac_worker_run(void* arg) {
+  AcWorker* w = (AcWorker*)arg;
+  const AcImageCtx* cc = w->cc;
+  int gdim = cc->group_dim_blocks;
+  int32_t* nzmap =
+      (int32_t*)malloc(sizeof(int32_t) * 3 * (size_t)gdim * gdim);
+  if (!nzmap) {
+    w->err = 9999;
+    return NULL;
+  }
+  w->err = 0;
+  for (int g = w->tid; g < cc->n_groups; g += w->nthreads) {
+    if (decode_one_ac_group_img(cc, g, nzmap)) {
+      w->err = 1000 + g;
+      break;
+    }
+  }
+  free(nzmap);
+  return NULL;
+}
+
+/* Serial entry point (kept for single-group images and as the fallback
+ * when thread creation fails). */
 int decode_ac_image(
     const uint8_t* data, size_t data_size,
     const uint64_t* group_off, const uint64_t* group_size, int n_groups,
@@ -266,126 +455,75 @@ int decode_ac_image(
     const int32_t* cov_x, const int32_t* cov_y, const int32_t* log2cb,
     const int32_t* ord_lut,
     int histo_bits, int num_ac_ctx, int num_ctxs, int shift,
-    int W, int32_t* q0, int32_t* q1, int32_t* q2) {
-  int32_t* planes[3] = {q0, q1, q2};
-  static const int kChanOrder[3] = {1, 0, 2};
-  int32_t nzmap[3 * 32 * 32];
-
-  /* pack the alias tables once: one cache line per (cluster, bucket) */
-  int las = log_alpha_size;
-  int nclusters = 0;
-  {
-    /* clusters referenced by the context map: max id + 1 */
-    for (int c = 0; c < num_ac_ctx; c++) {
-      if (context_map[c] + 1 > nclusters) nclusters = context_map[c] + 1;
-    }
-  }
-  size_t tsize = (size_t)nclusters << las;
-  AliasEntryV* entries = (AliasEntryV*)malloc(tsize * sizeof(AliasEntryV));
+    int W, int32_t* q0, int32_t* q1, int32_t* q2, int n_threads) {
+  AliasEntryV* entries =
+      pack_alias_tables(cutoff, right, freq0, offsets1, freq1,
+                        log_alpha_size, context_map, num_ac_ctx);
   if (!entries) return 9999;
-  for (size_t j = 0; j < tsize; j++) {
-    entries[j].cutoff = cutoff[j];
-    entries[j].right = right[j];
-    entries[j].freq0 = freq0[j];
-    entries[j].offsets1 = offsets1[j];
-    entries[j].freq1 = freq1[j];
-  }
-
-  for (int g = 0; g < n_groups; g++) {
-    int gx = g % xsize_groups;
-    int gy = g / xsize_groups;
-    int bx0 = gx * group_dim_blocks;
-    int by0 = gy * group_dim_blocks;
-    int bw = nbx - bx0;
-    if (bw > group_dim_blocks) bw = group_dim_blocks;
-    int bh = nby - by0;
-    if (bh > group_dim_blocks) bh = group_dim_blocks;
-    if (bw > 32 || bh > 32) return 1000 + g; /* nzmap scratch bound */
-
-    BitReaderV br;
-    br.data = data + group_off[g];
-    br.size = group_size[g];
-    br.pos = 0;
-    br.buf = 0;
-    br.bits = 0;
-    int ctx_offset = histo_bits
-        ? (int)vbr_read(&br, histo_bits) * num_ac_ctx : 0;
-    uint32_t state = vbr_read(&br, 32);
-    memset(nzmap, 0, sizeof(int32_t) * 3 * bh * bw);
-    AnsPackedV t = {entries, log_alpha_size, context_map, cfg_split,
-                    cfg_msb, cfg_lsb};
-
-    for (int by = 0; by < bh; by++) {
-      for (int bx = 0; bx < bw; bx++) {
-        int aby = by0 + by, abx = bx0 + bx;
-        if (!origin[(size_t)aby * nbx + abx]) continue;
-        int s = strategy[(size_t)aby * nbx + abx];
-        int bcx = cov_x[s], bcy = cov_y[s];
-        int l2 = log2cb[s];
-        int cb = bcx * bcy;
-        int size = cb * 64;
-        int ord = ord_lut[s];
-        int quant = qf[(size_t)aby * nbx + abx];
-        int qfi = 0;
-        while (qfi < nqf && quant > qf_thr[qfi]) qfi++;
-        int64_t base_px = (int64_t)aby * 8 * W + (int64_t)abx * 8;
-        for (int ci = 0; ci < 3; ci++) {
-          int c = kChanOrder[ci];
-          int cidx = c < 2 ? (c ^ 1) : 2;
-          int bc = bctx_lut[((size_t)cidx * 13 + ord) * (nqf + 1) + qfi];
-          const int32_t* oimg =
-              ord_img_flat + ord_img_off[(size_t)s * 3 + c];
-          int32_t* acc = planes[c] + base_px;
-          int32_t* nzm = nzmap + (size_t)c * bh * bw;
-          int pred;
-          if (bx == 0) {
-            pred = by > 0 ? nzm[(size_t)(by - 1) * bw + bx] : 32;
-          } else if (by == 0) {
-            pred = nzm[(size_t)by * bw + bx - 1];
-          } else {
-            pred = (nzm[(size_t)(by - 1) * bw + bx] +
-                    nzm[(size_t)by * bw + bx - 1] + 1) / 2;
-          }
-          if (pred > 64) pred = 64;
-          int nz_bucket = pred < 8 ? pred : 4 + pred / 2;
-          int nz_ctx = ctx_offset + nz_bucket * num_ctxs + bc;
-          uint32_t nzeros =
-              v_read_hybrid_uint_packed(&t, nz_ctx, &state, &br);
-          if (nzeros > (uint32_t)(size - cb)) { free(entries); return 1000 + g; }
-          int nz_per_block = (int)((nzeros + cb - 1) >> l2);
-          for (int yy = 0; yy < bcy; yy++)
-            for (int xx = 0; xx < bcx; xx++)
-              nzm[(size_t)(by + yy) * bw + bx + xx] = nz_per_block;
-          int histo_offset = ctx_offset + num_ctxs * NONZERO_BUCKETS +
-                             ZERO_DENSITY_CONTEXT_COUNT * bc;
-          int prev = nzeros > (uint32_t)(size / 16) ? 0 : 1;
-          int k = cb;
-          int32_t remaining = (int32_t)nzeros;
-          while (k < size && remaining != 0) {
-            int nzl = (remaining + cb - 1) >> l2;
-            int ctx = histo_offset +
-                      (kCoeffNumNonzeroContext[nzl] +
-                       kCoeffFreqContext[k >> l2]) * 2 + prev;
-            uint32_t u = v_read_hybrid_uint_packed(&t, ctx, &state, &br);
-            int32_t coeff =
-                (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
-            if (coeff >= 0) {
-              acc[oimg[k]] += coeff << shift;
-            } else {
-              acc[oimg[k]] -= (-coeff) << shift;
-            }
-            prev = u ? 1 : 0;
-            remaining -= prev;
-            k++;
-          }
-          if (remaining != 0) { free(entries); return 1000 + g; }
+  AcImageCtx cc = {data, group_off, group_size, n_groups, xsize_groups,
+                   group_dim_blocks, entries, log_alpha_size, context_map,
+                   cfg_split, cfg_msb, cfg_lsb, strategy, origin, qf,
+                   nby, nbx, bctx_lut, qf_thr, nqf, ord_img_off,
+                   ord_img_flat, cov_x, cov_y, log2cb, ord_lut,
+                   histo_bits, num_ac_ctx, num_ctxs, shift, W,
+                   {q0, q1, q2}};
+  int rc = 0;
+  if (n_threads > n_groups) n_threads = n_groups;
+  if (n_threads > 1) {
+    /* per-AC-group data parallelism (dec_frame.cc:716 RunOnPool): the
+     * groups' entropy streams and pixel ranges are independent */
+    enum { kMaxThreads = 64 };
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    pthread_t tids[kMaxThreads];
+    AcWorker workers[kMaxThreads];
+    int spawned = 0;
+    for (int i = 0; i < n_threads; i++) {
+      workers[i].cc = &cc;
+      workers[i].tid = i;
+      workers[i].nthreads = n_threads;
+      workers[i].err = 0;
+      if (i == 0) continue; /* thread 0 = calling thread */
+      if (pthread_create(&tids[i], NULL, ac_worker_run, &workers[i])) {
+        workers[i].err = -1; /* not spawned: rerun serially below */
+        break;
+      }
+      spawned = i;
+    }
+    ac_worker_run(&workers[0]);
+    for (int i = 1; i <= spawned; i++) pthread_join(tids[i], NULL);
+    for (int i = 0; i <= spawned; i++) {
+      if (workers[i].err > 0 && (rc == 0 || workers[i].err < rc))
+        rc = workers[i].err;
+    }
+    if (spawned + 1 < n_threads && rc == 0) {
+      /* threads that failed to spawn: decode their groups here */
+      int32_t* nzmap = (int32_t*)malloc(
+          sizeof(int32_t) * 3 * (size_t)group_dim_blocks * group_dim_blocks);
+      if (!nzmap) rc = 9999;
+      for (int i = spawned + 1; nzmap && i < n_threads; i++) {
+        for (int g = i; g < n_groups && rc == 0; g += n_threads) {
+          if (decode_one_ac_group_img(&cc, g, nzmap)) rc = 1000 + g;
         }
       }
+      free(nzmap);
     }
-    if (state != (0x13u << 16)) { free(entries); return 1000 + g; }
+  } else {
+    int32_t* nzmap = (int32_t*)malloc(
+        sizeof(int32_t) * 3 * (size_t)group_dim_blocks * group_dim_blocks);
+    if (!nzmap) {
+      free(entries);
+      return 9999;
+    }
+    for (int g = 0; g < n_groups; g++) {
+      if (decode_one_ac_group_img(&cc, g, nzmap)) {
+        rc = 1000 + g;
+        break;
+      }
+    }
+    free(nzmap);
   }
   free(entries);
-  return 0;
+  return rc;
 }
 
 /* Decode all blocks of one AC group x pass.
