@@ -59,10 +59,11 @@ def main():
     mp = n * n / 1e6
     img = _make_image(n)
     print("bench: encoding...", file=sys.stderr, flush=True)
+    codestream.encode_lossy(img, distance=1.0, effort=3)  # warm (jit)
     t0 = time.time()
     stream = codestream.encode_lossy(img, distance=1.0, effort=3)
     t_enc = time.time() - t0
-    print(f"bench: encoded in {t_enc:.0f}s", file=sys.stderr, flush=True)
+    print(f"bench: encoded in {t_enc:.1f}s", file=sys.stderr, flush=True)
 
     # --- host entropy decode (C hot loop) of the real bitstream
     n_threads = os.cpu_count() or 1

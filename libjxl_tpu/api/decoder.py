@@ -36,6 +36,9 @@ BASIC_INFO = "basic_info"
 COLOR_ENCODING = "color_encoding"
 FRAME = "frame"
 FULL_IMAGE = "full_image"
+PREVIEW_IMAGE = "preview_image"          # JXL_DEC_PREVIEW_IMAGE (:219)
+BOX = "box"                              # JXL_DEC_BOX (:270)
+FRAME_PROGRESSION = "frame_progression"  # JXL_DEC_FRAME_PROGRESSION
 
 _ALL_EVENTS = (BASIC_INFO, COLOR_ENCODING, FRAME, FULL_IMAGE)
 
@@ -78,6 +81,10 @@ class Decoder:
         self._skip = 0
         self._finished = False
         self._skipped_preview = False
+        self._boxes_emitted = 0
+        self.box_type = None
+        self.box_data = None
+        self._preview = None
 
     def set_input(self, data: bytes):
         """Append bytes (zero-copy semantics of SetInput/ReleaseInput are
@@ -135,6 +142,10 @@ class Decoder:
     def _process(self):
         if self._finished:
             return SUCCESS
+        if BOX in self._events:
+            ev = self._next_box_event()
+            if ev is not None:
+                return ev
         data = self._codestream_bytes()
         if data is None:
             return self._need_more()
@@ -158,7 +169,46 @@ class Decoder:
                 and COLOR_ENCODING not in self._emitted:
             self._emitted.add(COLOR_ENCODING)
             return COLOR_ENCODING
+        if PREVIEW_IMAGE in self._events \
+                and PREVIEW_IMAGE not in self._emitted \
+                and self._meta.m.have_preview:
+            from .codestream import _skip_or_decode_preview
+
+            r = BitReader(data)
+            r.skip_bits(self._hdr_bits)
+            try:
+                self._preview = _skip_or_decode_preview(
+                    r, self._meta, want=True)
+            except JXLError:
+                return self._need_more()
+            if not r.all_reads_within_bounds():
+                return self._need_more()
+            self._emitted.add(PREVIEW_IMAGE)
+            return PREVIEW_IMAGE
         return self._process_frame(data)
+
+    @property
+    def preview_image(self):
+        return self._preview
+
+    def _next_box_event(self):
+        """Emit one BOX event per complete container box (decode.h:270
+        JXL_DEC_BOX); box_type/box_data expose the current box."""
+        if self._data[:2] == CODESTREAM_SIGNATURE:
+            return None  # bare codestream: no boxes
+        if len(self._data) < 12 or not is_container(self._data):
+            return None
+        try:
+            boxes = list(parse_boxes(self._data[12:]))
+        except Exception:
+            boxes = []
+        if self._boxes_emitted < len(boxes):
+            btype, payload, _ = boxes[self._boxes_emitted]
+            self._boxes_emitted += 1
+            self.box_type = btype
+            self.box_data = payload
+            return BOX
+        return None
 
     def _need_more(self):
         if self._closed:
@@ -229,10 +279,19 @@ class Decoder:
                     and ("frame", fs.header_end) not in self._emitted:
                 self._emitted.add(("frame", fs.header_end))
                 return FRAME
-        # simple path: non-VarDCT / special frames decode whole-stream
-        if not self._vardct_incremental(fs):
+        # simple path: special frames decode whole-stream
+        if self._vardct_incremental(fs):
+            self._advance_sections(fs, data)
+        elif self._modular_incremental(fs):
+            self._advance_sections_modular(fs, data)
+        else:
             return self._decode_whole(data)
-        self._advance_sections(fs, data)
+        if FRAME_PROGRESSION in self._events \
+                and FRAME_PROGRESSION not in self._emitted:
+            ndc = fs.fd.num_dc_groups
+            if all(1 + g in fs.decoded for g in range(ndc)):
+                self._emitted.add(FRAME_PROGRESSION)
+                return FRAME_PROGRESSION
         if len(fs.decoded) == fs.n_sections:
             self._finish_frame(fs)
             if self._skip > 0:
@@ -256,6 +315,89 @@ class Decoder:
                                      | FLAG_SPLINES))
                 and fh.upsampling == 1 and fs.n_sections > 1
                 and list(fh.chroma_subsampling.channel_mode) == [0, 0, 0])
+
+    def _modular_incremental(self, fs) -> bool:
+        """Per-group incremental decode of modular frames: the section
+        layout (dec_frame.cc:568) is format-shared with VarDCT, so each
+        TOC-delimited modular stream decodes as soon as its bytes are
+        in (decode.h:122-337 round-3 completeness item)."""
+        from ..io.frame_header import ENC_MODULAR, FT_REGULAR
+
+        fh = fs.fh
+        return (fh.encoding == ENC_MODULAR and fh.frame_type == FT_REGULAR
+                and fh.is_last and not self._meta.m.have_animation
+                and not (fh.flags & (1 | 2 | 16))
+                and fh.upsampling == 1 and fs.n_sections > 1)
+
+    def _advance_sections_modular(self, fs, data):
+        """Modular analog of _advance_sections: global tree/channel
+        stream, then per-DC-group and per-group modular sections in any
+        arrival order (groups are independent streams)."""
+        from .frame import (
+            ModularFrameState,
+            decode_global_info,
+            decode_modular_group,
+            get_downsampling_bracket,
+            modular_ac_stream_id,
+            modular_dc_stream_id,
+        )
+
+        fd = fs.fd
+        fh = fs.fh
+        ndc = fd.num_dc_groups
+        if fs.state is None:
+            sec = self._section_bytes(fs, data, 0)
+            if sec is None:
+                return
+            state = ModularFrameState()
+            sr = BitReader(sec)
+            if sr.read_bits(1) != 1:
+                from ..io.fields import f16_read
+
+                for _ in range(3):
+                    f16_read(sr)
+            decode_global_info(sr, fh, fd, state)
+            fs.state = state
+            fs.decoded.add(0)
+        state = fs.state
+        for g in range(ndc):
+            idx = 1 + g
+            if idx in fs.decoded:
+                continue
+            sec = self._section_bytes(fs, data, idx)
+            if sec is None:
+                continue
+            gx = g % fd.xsize_dc_groups
+            gy = g // fd.xsize_dc_groups
+            rect = (gx * fd.dc_group_dim, gy * fd.dc_group_dim,
+                    fd.dc_group_dim, fd.dc_group_dim)
+            decode_modular_group(BitReader(sec), fh, fd, state, rect, 3,
+                                 1000, modular_dc_stream_id(fd, g))
+            fs.decoded.add(idx)
+        ac_global_idx = 1 + ndc
+        if ac_global_idx not in fs.decoded:
+            sec = self._section_bytes(fs, data, ac_global_idx)
+            if sec is None:
+                return
+            fs.decoded.add(ac_global_idx)  # empty for modular frames
+        for p in range(fh.passes.num_passes):
+            for g in range(fd.num_groups):
+                idx = 2 + ndc + p * fd.num_groups + g
+                if idx in fs.decoded:
+                    continue
+                sec = self._section_bytes(fs, data, idx)
+                if sec is None:
+                    continue
+                gx = g % fd.xsize_groups
+                gy = g // fd.xsize_groups
+                rect = (gx * fd.group_dim, gy * fd.group_dim,
+                        fd.group_dim, fd.group_dim)
+                min_shift, max_shift = get_downsampling_bracket(
+                    fh.passes, p)
+                decode_modular_group(BitReader(sec), fh, fd, state, rect,
+                                     min_shift, max_shift,
+                                     modular_ac_stream_id(fd, g, p))
+                fs.decoded.add(idx)
 
     def _section_bytes(self, fs, data, idx):
         start = fs.header_end + fs.offsets[idx]
@@ -325,7 +467,22 @@ class Decoder:
         return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
 
     def _finish_frame(self, fs):
-        self._image = self._render(fs)
+        from ..io.frame_header import ENC_MODULAR
+
+        if fs.fh.encoding == ENC_MODULAR:
+            from .frame import finalize_modular_frame
+
+            img = finalize_modular_frame(fs.fh, fs.state)
+            chans = [c.data for c in img.channel]
+            stacked = np.stack(chans, axis=-1)
+            bits = self._meta.m.bit_depth.bits_per_sample
+            if bits <= 8:
+                stacked = stacked.astype(np.uint8)
+            elif bits <= 16:
+                stacked = stacked.astype(np.uint16)
+            self._image = stacked
+        else:
+            self._image = self._render(fs)
         self._finished = True
         fs.done = True
 

@@ -106,6 +106,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     compute path. Returns a bare JPEG XL codestream (DCT8 strategy)."""
     from .codestream import _calibrated_distance
 
+    public_distance = distance
     distance = _calibrated_distance(distance)
     from ..io.frame_header import (
         CT_XYB,
@@ -150,7 +151,9 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     matrices = DequantMatrices()
     quantizer = Quantizer(matrices)
     quant_ac = K_AC_QUANT / distance
-    quant_dc = K_DC_QUANT / distance
+    from ..vardct.frame import initial_quant_dc
+
+    quant_dc = initial_quant_dc(public_distance)
     qf_arr = None
     if adaptive_quant:
         from ..ops.xyb import linear_rgb_to_xyb, srgb_to_linear as s2l
@@ -162,12 +165,14 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
         rgb64 = np.moveaxis(s2l(image.astype(np.float64) / 255.0), -1, 0)
         rgb64 = np.pad(rgb64, ((0, 0), (0, pad_y), (0, pad_x)),
                        mode="edge")
-        xyb64 = apply_gaborish_inverse(linear_rgb_to_xyb(rgb64))
+        # the field is computed on the PRE-sharpening opsin image
+        # (enc_heuristics.cc:1105) with the fixed 0.39/d global-scale
+        # anchor (enc_heuristics.cc:1115); inverse Gaborish is applied
+        # by the device encode step afterwards
+        xyb64 = linear_rgb_to_xyb(rgb64)
         nby, nbx = fd.ysize_blocks, fd.xsize_blocks
         qf_float = initial_quant_field_full(xyb64, nby, nbx, distance)
-        med = float(np.median(qf_float))
-        absd = float(np.median(np.abs(qf_float - med)))
-        quant_median = max(med - absd, 1e-4)
+        quant_median = 0.39 / distance
         quantizer.compute_global_scale_and_quant(quant_dc, quant_median)
         qf_arr = np.clip(qf_float * quantizer.inv_global_scale + 0.5,
                          1, QUANT_MAX).astype(np.int32)
@@ -201,7 +206,8 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
         "sharp": np.asarray(sharp),
     }
     encode_vardct_frame(writer, None, fh, distance=distance,
-                        precomputed=precomputed)
+                        precomputed=precomputed,
+                        dc_distance=public_distance)
     return writer.get_bytes()
 
 
@@ -374,10 +380,18 @@ def _qblocks_from_qimg(state):
 def make_device_render(fh, out=None):
     """render_fn for decode_vardct_frame: dequant + all-strategy inverse
     transforms + Gaborish + EPF as one jitted XLA program. Subsampled
-    (YCbCr 420/422) and pathological streams fall back to the host."""
+    (YCbCr 420/422) and pathological streams fall back to the host —
+    LOUDLY: the fallback reason is logged and recorded in out["path"]
+    so callers/tests can assert which path rendered."""
+    import logging
+
+    log = logging.getLogger("libjxl_tpu.device")
     _, _, _, _, dec_image = _jitted()
 
-    def host_fallback(state):
+    def host_fallback(state, reason):
+        if out is not None:
+            out["path"] = f"host:{reason}"
+        log.warning("device render fell back to host: %s", reason)
         if getattr(state, "qimg", None) is not None \
                 and not state.qblocks:
             _qblocks_from_qimg(state)
@@ -389,6 +403,10 @@ def make_device_render(fh, out=None):
         fd = state.fd
         if getattr(state, "qblocks_sub", None) is not None \
                 or list(fh.chroma_subsampling.channel_mode) != [0, 0, 0]:
+            if out is not None:
+                out["path"] = "host:chroma-subsampled"
+            log.warning("device render fell back to host: "
+                        "chroma-subsampled stream")
             from ..vardct.subsampled import render_groups_sub
 
             render_groups_sub(state)
@@ -414,12 +432,11 @@ def make_device_render(fh, out=None):
                 getattr(state, "color_factor", 84) != 84 or \
                 getattr(state, "base_x", 0.0) != 0.0 or \
                 getattr(state, "base_b", 1.0) != 1.0:
-            # non-XYB or custom color correlation: host render
-            host_fallback(state)
+            host_fallback(state, "non-XYB or custom color correlation")
             return
         prep = _prepare_batches(state, state.qimg)
         if prep is None:
-            host_fallback(state)
+            host_fallback(state, "unaligned/odd-size transform layout")
             return
         extra, shapes, mask_px, size_passes, size_shapes, class_map = prep
         nby, nbx = fd.ysize_blocks, fd.xsize_blocks
@@ -451,9 +468,12 @@ def make_device_render(fh, out=None):
             sad_mul = np.ones((h, w), dtype=np.float32)
         # with no post-render features the whole write stage (XYB->sRGB
         # u8) stays on device and the host never touches pixel floats
-        direct_u8 = (out is not None and state.patches is None
+        direct_u8 = (out is not None and out.get("want_u8", True)
+                     and state.patches is None
                      and state.splines is None and state.noise_lut is None
                      and fh.upsampling == 1
+                     and fh.nonserialized_metadata.m.num_extra_channels
+                     == 0
                      and fd.ysize == h and fd.xsize == w)
         result = dec_image(
             qimg, state.raw_quant_field.astype(np.int32),
@@ -475,9 +495,39 @@ def make_device_render(fh, out=None):
             if (fd.ysize, fd.xsize) != (h, w) else None)
         if direct_u8:
             out["u8"] = np.asarray(result)
+            out["path"] = "device:u8"
             state.device_output_done = True
         else:
             state.xyb = np.asarray(result, dtype=np.float64)
+            if out is not None:
+                out["path"] = "device:xyb"
         state.restoration_done = True
 
     return render_device
+
+
+def accelerator_available() -> bool:
+    """True when JAX's default backend is a real accelerator (the decode
+    API then renders on device by default; CPU-JAX stays host-rendered —
+    XLA-on-host compile times dwarf the NumPy render for one image)."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+# below this pixel count a one-shot CLI invocation is faster on host:
+# the first jit of the render/encode program costs tens of seconds
+# through the compile pipeline, which only amortizes over large images
+# or repeated same-shape calls (servers, benchmarks)
+DEVICE_AUTO_MIN_PIXELS = 1 << 20
+
+
+def device_worthwhile(pixels: int) -> bool:
+    import os
+
+    thr = int(os.environ.get("LIBJXL_TPU_DEVICE_MIN_PIXELS",
+                             DEVICE_AUTO_MIN_PIXELS))
+    return accelerator_available() and pixels >= thr

@@ -16,6 +16,7 @@ _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRCS = (_ROOT / "native" / "modular_decode.c",
          _ROOT / "native" / "ans_write.c",
          _ROOT / "native" / "vardct_decode.c",
+         _ROOT / "native" / "vardct_encode.c",
          _ROOT / "native" / "lz77_match.c")
 _SO = _ROOT / "native" / "_jxl_native.so"
 
@@ -56,6 +57,7 @@ def get_lib():
         lib.decode_channel_wp.restype = ctypes.c_int
         lib.ans_read_uints.restype = ctypes.c_int
         lib.ans_read_permutation.restype = ctypes.c_int
+        lib.tokenize_ac_image.restype = ctypes.c_int
     except AttributeError:
         pass
     _lib = lib
@@ -255,6 +257,57 @@ def decode_ac_image_native(lib, data: bytes, group_off, group_size,
         ctypes.c_int(planes[0].shape[1]),
         _ptr(planes[0], ctypes.c_int32), _ptr(planes[1], ctypes.c_int32),
         _ptr(planes[2], ctypes.c_int32), ctypes.c_int(n_threads))
+
+
+def tokenize_ac_image_native(lib, xsize_groups, ysize_groups,
+                             group_dim_blocks, state_maps, luts,
+                             num_ctxs, planes, n_threads=1):
+    """Whole-image AC tokenization (native/vardct_encode.c): returns a
+    list of (ctx i32[n], u i64[n]) per AC group. state_maps/luts use the
+    same layout as decode_ac_image_native."""
+    strategy, origin, qf = state_maps
+    (bctx_lut, qf_thr, ord_img_off, ord_img_flat,
+     cov_x, cov_y, log2cb, ord_lut) = luts
+    nby, nbx = strategy.shape
+    n_groups = xsize_groups * ysize_groups
+    gblocks = group_dim_blocks * group_dim_blocks
+    # worst case per group: 3 channels x (1 nzeros token + every non-LLF
+    # coefficient) = 3 * 64 * blocks tokens (LLF slots buy the headroom)
+    group_cap = 3 * 64 * gblocks
+    out_ctx = np.empty(n_groups * group_cap, dtype=np.int32)
+    out_u = np.empty(n_groups * group_cap, dtype=np.uint32)
+    group_len = np.zeros(n_groups, dtype=np.int64)
+    rc = lib.tokenize_ac_image(
+        ctypes.c_int(xsize_groups), ctypes.c_int(ysize_groups),
+        ctypes.c_int(group_dim_blocks),
+        _ptr(strategy, ctypes.c_int32),
+        origin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(qf, ctypes.c_int32),
+        ctypes.c_int(nby), ctypes.c_int(nbx),
+        _ptr(bctx_lut, ctypes.c_int32),
+        _ptr(qf_thr, ctypes.c_int64), ctypes.c_int(len(qf_thr)),
+        _ptr(ord_img_off, ctypes.c_int64),
+        _ptr(ord_img_flat, ctypes.c_int32),
+        _ptr(cov_x, ctypes.c_int32), _ptr(cov_y, ctypes.c_int32),
+        _ptr(log2cb, ctypes.c_int32), _ptr(ord_lut, ctypes.c_int32),
+        ctypes.c_int(num_ctxs), ctypes.c_int(planes[0].shape[1]),
+        _ptr(planes[0], ctypes.c_int32), _ptr(planes[1], ctypes.c_int32),
+        _ptr(planes[2], ctypes.c_int32),
+        _ptr(out_ctx, ctypes.c_int32),
+        _ptr(out_u, ctypes.c_uint32),
+        ctypes.c_int64(group_cap),
+        _ptr(group_len, ctypes.c_int64), ctypes.c_int(n_threads))
+    if rc != 0:
+        from .base.status import JXLError
+
+        raise JXLError(f"native AC tokenization failed (rc={rc})")
+    out = []
+    for g in range(n_groups):
+        n = int(group_len[g])
+        base = g * group_cap
+        out.append((out_ctx[base:base + n],
+                    out_u[base:base + n].astype(np.int64)))
+    return out
 
 
 def decode_ac_group_native(lib, data: bytes, bitpos: int, state: int,

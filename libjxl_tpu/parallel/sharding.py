@@ -246,6 +246,81 @@ def build_sharded_decode_full(mesh: Mesh, epf_iters: int = 2):
     return jax.jit(fn)
 
 
+def build_sharded_decode_stream(mesh: Mesh, lf, igs: float, xdm: float,
+                                bdm: float, gab_kernels, channel_scale):
+    """Sharded device render for a REAL codestream's decoded state:
+    same math as ops.pipeline.decode_render_image's DCT8 path + filter
+    chain + u8 write stage, with the row-stripe halo exchange. All
+    codec parameters come from the stream's signaled headers (loop
+    filter lf, quantizer scale igs, CfL dm multipliers, Gaborish
+    kernels), so the output must match the single-device render
+    pixel for pixel.
+
+    Inputs (global, batch-free): qimg i32[3, H, W], qf i32[nby, nbx],
+    dc f32[3, nby, nbx], ytox/ytob i32[tby, tbx], dm f32[3, 8, 8],
+    inv_sigma_px/sad_mul f32[H, W]. H (and the row-ish axes) shard over
+    "rows"; strips must cut at 64px color-tile boundaries.
+    """
+    from ..ops.pipeline import (
+        _EPF0_NEIGHBORS,
+        _EPF12_NEIGHBORS,
+        _EPF_PLUS,
+        _epf_pass_jax,
+        decode_xyb_image,
+        gaborish_jax,
+        xyb_to_rgb_jax,
+    )
+
+    halo = 4
+    epf_iters = int(lf.epf_iters)
+    gab = bool(lf.gab)
+    p0 = float(lf.epf_pass0_sigma_scale)
+    p2 = float(lf.epf_pass2_sigma_scale)
+    rows = mesh.shape["rows"]
+    if mesh.shape.get("batch", 1) != 1:
+        submesh = Mesh(np.asarray(mesh.devices).reshape(-1)[:rows],
+                       ("rows",))
+    else:
+        submesh = mesh
+    gabk = np.asarray(gab_kernels, dtype=np.float32)
+
+    def local_decode(qimg, qf, dc, ytox, ytob, dm, inv_sigma, sad_mul):
+        xyb = decode_xyb_image(qimg, qf, dc, ytox, ytob, dm,
+                               inv_global_scale=jnp.float32(igs),
+                               x_dm_mult=jnp.float32(xdm),
+                               b_dm_mult=jnp.float32(bdm))
+        x = _halo_exchange_rows(xyb, halo, "rows")
+        sig_h = _halo_exchange_rows(inv_sigma, halo, "rows")
+        sad_h = _halo_exchange_rows(sad_mul, halo, "rows")
+        if gab:
+            x = gaborish_jax(x, gabk)
+            x = _edge_clamp_halo(x, halo, "rows")
+        epf_passes = []
+        if epf_iters == 3:
+            epf_passes.append((_EPF0_NEIGHBORS, _EPF_PLUS, p0))
+        if epf_iters >= 1:
+            epf_passes.append((_EPF12_NEIGHBORS, _EPF_PLUS, 1.0))
+        if epf_iters >= 2:
+            epf_passes.append((_EPF12_NEIGHBORS, None, p2))
+        for nb, sp, ss in epf_passes:
+            x = _epf_pass_jax(x, sig_h, sad_h, channel_scale, nb, sp, ss)
+            x = _edge_clamp_halo(x, halo, "rows")
+        rgb = xyb_to_rgb_jax(x[:, halo:-halo, :])
+        low = rgb <= 0.0031308
+        srgb = jnp.where(low, rgb * 12.92,
+                         1.055 * jnp.maximum(rgb, 1e-12) ** (1 / 2.4)
+                         - 0.055)
+        return jnp.clip(jnp.round(srgb * 255.0), 0, 255).astype(jnp.uint8)
+
+    specs_in = (P(None, "rows", None), P("rows", None),
+                P(None, "rows", None), P("rows", None),
+                P("rows", None), P(None, None, None),
+                P("rows", None), P("rows", None))
+    fn = _shard_map(local_decode, submesh, specs_in,
+                    P(None, "rows", None))
+    return jax.jit(fn)
+
+
 def make_sharded_chunk_step(mesh: Mesh):
     """The streaming encoder's per-DC-group device step (encode_step_xyb)
     under shard_map over mesh "rows" — the real-codec multi-chip encode

@@ -18,6 +18,10 @@ def build_parser():
                    help="also decode the preview frame to this file")
     p.add_argument("--num_threads", type=int, default=0,
                    help="accepted for djxl compatibility")
+    p.add_argument("--host", action="store_true",
+                   help="force the host (NumPy) render path; by default "
+                        "the pixel pipeline runs on the JAX device "
+                        "whenever an accelerator is attached")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -66,9 +70,14 @@ def _main(argv=None):
     if args.output.lower().endswith(".apng"):
         return _write_apng(codestream, args)
     t0 = time.perf_counter()
+    info = {}
     image, meta = decode(codestream, target_nits=args.display_nits,
-                         num_threads=args.num_threads)
+                         num_threads=args.num_threads,
+                         device=False if args.host else None,
+                         decode_info=info)
     dt = time.perf_counter() - t0
+    if args.verbose:
+        print(f"render path: {info.get('path')}", file=sys.stderr)
     if args.preview_out:
         from ..api.codestream import decode_preview
 

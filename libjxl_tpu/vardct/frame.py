@@ -79,6 +79,19 @@ Y_TO_B_BASE = 1.0  # cms::kYToBRatio
 # encoder quality constants (enc_adaptive_quantization.cc)
 K_AC_QUANT = 0.79
 K_DC_QUANT = 1.095924047623553
+# global-scale anchor for the adaptive-field path outside the
+# Butteraugli loop (enc_heuristics.cc:1115 "q = 0.39 / distance")
+K_GLOBAL_SCALE_QUANT = 0.39
+
+
+def initial_quant_dc(distance: float) -> float:
+    """InitialQuantDC (enc_adaptive_quantization.cc:1251-1263)."""
+    k_dc_mul = 0.3
+    distance = max(distance, 1e-4)
+    bt_dc = max(0.5 * distance,
+                min(distance,
+                    k_dc_mul * (distance / k_dc_mul) ** 0.83))
+    return min(K_DC_QUANT / bt_dc, 50.0)
 
 ORDER_ENC = U32Enc(Val(0x5F), Val(0x13), Val(0), Bits(acs.NUM_ORDERS))
 
@@ -383,6 +396,60 @@ def _decode_ac_group_native(r: BitReader, state: VarDCTState, reader,
     return True
 
 
+def _bctx_luts(bcm):
+    """Block-context LUT over (c_idx, order class, qf bucket) plus the
+    qf thresholds, in the layout native/vardct_{decode,encode}.c walk."""
+    nqf = len(bcm.qf_thresholds)
+    cmap_arr = np.asarray(bcm.ctx_map, np.int32)
+    bctx_lut = np.empty((3, acs.NUM_ORDERS, nqf + 1), dtype=np.int32)
+    for cidx in range(3):
+        for o in range(acs.NUM_ORDERS):
+            for qi in range(nqf + 1):
+                bctx_lut[cidx, o, qi] = cmap_arr[
+                    ((cidx * acs.NUM_ORDERS + o) * (nqf + 1) + qi)
+                    * bcm.num_dc_ctxs]
+    qf_thr = np.asarray(bcm.qf_thresholds, dtype=np.int64)
+    return np.ascontiguousarray(bctx_lut), qf_thr
+
+
+def _order_image_luts(used_strategies, order_lookup, w):
+    """Image-relative coefficient-order LUTs per (strategy, channel):
+    order_lookup(ord_class, c) -> order array or None (natural order).
+    Returns (off_tab i64[NUM_STRATEGIES, 3], oflat i32[...])."""
+    chunks, off_tab = [], np.zeros((acs.NUM_STRATEGIES, 3),
+                                   dtype=np.int64)
+    pos = 0
+    for s in used_strategies:
+        s = int(s)
+        # qimg stores each tile as the wide-layout vector reshaped
+        # row-major to the tile shape (cy*8, cx*8)
+        cols = acs.COVERED_X[s] * 8
+        for c in range(3):
+            order = order_lookup(acs.STRATEGY_ORDER[s], c)
+            if order is None:
+                order = acs.natural_coeff_order(s)
+            order = np.asarray(order, dtype=np.int64)
+            oimg = ((order // cols) * w + order % cols).astype(np.int32)
+            chunks.append(oimg)
+            off_tab[s, c] = pos
+            pos += len(oimg)
+    oflat = np.concatenate(chunks) if chunks else np.zeros(1, np.int32)
+    return np.ascontiguousarray(off_tab), oflat
+
+
+_GEOM_LUTS = None
+
+
+def _geometry_luts():
+    global _GEOM_LUTS
+    if _GEOM_LUTS is None:
+        _GEOM_LUTS = (np.asarray(acs.COVERED_X, np.int32),
+                      np.asarray(acs.COVERED_Y, np.int32),
+                      np.asarray(acs.LOG2_COVERED, np.int32),
+                      np.asarray(acs.STRATEGY_ORDER, np.int32))
+    return _GEOM_LUTS
+
+
 def decode_ac_bulk_native(state: VarDCTState, data: bytes,
                           per_pass) -> bool:
     """Whole-image AC decode: one C call per pass over every group
@@ -406,45 +473,17 @@ def decode_ac_bulk_native(state: VarDCTState, data: bytes,
         return False  # dc-conditioned block contexts: rare; python path
     histo_bits = (state.num_histograms - 1).bit_length() \
         if state.num_histograms > 1 else 0
-    # block-context LUT over (c_idx, order class, qf bucket)
-    cmap_arr = np.asarray(bcm.ctx_map, np.int32)
-    bctx_lut = np.empty((3, acs.NUM_ORDERS, nqf + 1), dtype=np.int32)
-    for cidx in range(3):
-        for o in range(acs.NUM_ORDERS):
-            for qi in range(nqf + 1):
-                bctx_lut[cidx, o, qi] = cmap_arr[
-                    ((cidx * acs.NUM_ORDERS + o) * (nqf + 1) + qi)
-                    * bcm.num_dc_ctxs]
-    qf_thr = np.asarray(bcm.qf_thresholds, dtype=np.int64)
-    cov_x = np.asarray(acs.COVERED_X, np.int32)
-    cov_y = np.asarray(acs.COVERED_Y, np.int32)
-    log2cb = np.asarray(acs.LOG2_COVERED, np.int32)
-    ord_lut = np.asarray(acs.STRATEGY_ORDER, np.int32)
+    bctx_lut, qf_thr = _bctx_luts(bcm)
+    cov_x, cov_y, log2cb, ord_lut = _geometry_luts()
     used_strategies = np.unique(state.strategy[state.is_origin])
     qimg = np.zeros((3, h, w), dtype=np.int32)
     planes = [qimg[0], qimg[1], qimg[2]]
     state.qimg = qimg
     for p, (offs, sizes) in enumerate(per_pass):
-        # image-relative coefficient-order LUTs per (strategy, channel)
         pass_orders = state.orders[p] if p < len(state.orders) else {}
-        chunks, off_tab = [], np.zeros((acs.NUM_STRATEGIES, 3),
-                                       dtype=np.int64)
-        pos = 0
-        for s in used_strategies:
-            s = int(s)
-            # qimg stores each tile as the wide-layout vector reshaped
-            # row-major to the tile shape (cy*8, cx*8)
-            cols = acs.COVERED_X[s] * 8
-            for c in range(3):
-                order = pass_orders.get((acs.STRATEGY_ORDER[s], c))
-                if order is None:
-                    order = acs.natural_coeff_order(s)
-                order = np.asarray(order, dtype=np.int64)
-                oimg = ((order // cols) * w + order % cols).astype(np.int32)
-                chunks.append(oimg)
-                off_tab[s, c] = pos
-                pos += len(oimg)
-        oflat = np.concatenate(chunks) if chunks else np.zeros(1, np.int32)
+        off_tab, oflat = _order_image_luts(
+            used_strategies,
+            lambda o, c: pass_orders.get((o, c)), w)
         shift = state.fh.passes.shift[p] \
             if state.fh.passes.num_passes > 1 else 0
         code = state.ac_code[p]
@@ -463,8 +502,7 @@ def decode_ac_bulk_native(state: VarDCTState, data: bytes,
             np.asarray(sizes, dtype=np.uint64), fd.xsize_groups,
             fd.group_dim // 8, ncodes,
             (state.strategy, state.is_origin, state.raw_quant_field),
-            (np.ascontiguousarray(bctx_lut), qf_thr,
-             np.ascontiguousarray(off_tab), oflat,
+            (bctx_lut, qf_thr, off_tab, oflat,
              cov_x, cov_y, log2cb, ord_lut),
             histo_bits, bcm.num_ac_contexts(), bcm.num_ctxs, shift, planes,
             n_threads=n_threads)
@@ -1309,12 +1347,37 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     return bits.sum(axis=0) + loss_bits + 24.0  # + 3x nzeros overhead
 
 
-def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
+def _adjust_quant_field(state: VarDCTState, distance: float) -> None:
+    """AdjustQuantField (enc_adaptive_quantization.cc:1199-1246): each
+    merged transform's field becomes the max of its covered blocks'
+    values, mixed toward the mean at high distances."""
+    mixer = 1.0
+    if distance > 1.54138:
+        mixer = max(0.0, 1.0 - (distance - 1.54138) * 0.56391)
+    qf = state.raw_quant_field
+    for (by, bx) in zip(*np.nonzero(state.is_origin)):
+        s = int(state.strategy[by, bx])
+        cy_, cx_ = acs.COVERED_Y[s], acs.COVERED_X[s]
+        if cy_ == 1 and cx_ == 1:
+            continue
+        block = qf[by:by + cy_, bx:bx + cx_]
+        v = float(block.max())
+        if cy_ * cx_ >= 4:
+            v = v * mixer + (1.0 - mixer) * float(block.mean())
+        qf[by:by + cy_, bx:bx + cx_] = max(1, int(round(v)))
+
+
+def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray,
+                          max_px: int = 256) -> None:
     """Merge-family AC strategy search: per 32x32 supertile choose among
     DCT8 / DCT16X8 / DCT8X16 / DCT16X16 / DCT32X32 by estimated token
     cost (FindBest8x8Transform + TryMergeAcs +
     FindBestFirstLevelDivisionForSquare, enc_ac_strategy.cc:496-810,
-    batched over the whole grid instead of sequential merging)."""
+    batched over the whole grid instead of sequential merging).
+
+    max_px caps the merge ladder (effort tiers, doc/encode_effort.md:
+    e4 "simple variable blocks" stops at 16, e5 at 32, e6+ runs the
+    full ladder)."""
     fd = state.fd
     nby, nbx = fd.ysize_blocks, fd.xsize_blocks
     c8 = _batched_tile_cost(state, xyb, 8, 8, acs.QUANT_TABLE[acs.DCT])
@@ -1324,12 +1387,15 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
                                acs.QUANT_TABLE[acs.DCT16X8])
     c8x16 = _batched_tile_cost(state, xyb, 8, 16,
                                acs.QUANT_TABLE[acs.DCT8X16])
-    c32 = _batched_tile_cost(state, xyb, 32, 32,
-                             acs.QUANT_TABLE[acs.DCT32X32])
-    c32x16 = _batched_tile_cost(state, xyb, 32, 16,
-                                acs.QUANT_TABLE[acs.DCT32X16])
-    c16x32 = _batched_tile_cost(state, xyb, 16, 32,
-                                acs.QUANT_TABLE[acs.DCT16X32])
+    want32 = max_px >= 32
+    c32 = c32x16 = c16x32 = None
+    if want32:
+        c32 = _batched_tile_cost(state, xyb, 32, 32,
+                                 acs.QUANT_TABLE[acs.DCT32X32])
+        c32x16 = _batched_tile_cost(state, xyb, 32, 16,
+                                    acs.QUANT_TABLE[acs.DCT32X16])
+        c16x32 = _batched_tile_cost(state, xyb, 16, 32,
+                                    acs.QUANT_TABLE[acs.DCT16X32])
     MUL16 = 0.98    # slight bias toward merging (mirrors round-1 0.98)
     MUL_HALF = 0.985
     MUL32 = 0.94
@@ -1363,7 +1429,7 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
     # upward merge ladder past 32x32 (TryMergeAcs reaches 256x256,
     # enc_ac_strategy.cc:601; 64-level merges capture the bulk of the
     # win on smooth content)
-    big = min(nby, nbx) >= 8
+    big = min(nby, nbx) >= 8 and max_px >= 64
     c64 = c64x32 = c32x64 = None
     if big:
         c64 = _batched_tile_cost(state, xyb, 64, 64,
@@ -1418,8 +1484,8 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
     # at enc_ac_strategy.cc:905 lists them as "not yet included"), but
     # the giant DCTs pay off on very smooth content and fewer, larger
     # transforms also batch better on the MXU
-    big128 = min(nby, nbx) >= 16
-    big256 = min(nby, nbx) >= 32
+    big128 = min(nby, nbx) >= 16 and max_px >= 128
+    big256 = min(nby, nbx) >= 32 and max_px >= 256
     if big and (big128 or big256):
         # giant transforms only win on very smooth regions; skip their
         # (full-image DCT) cost passes unless some 128x128 area's 64-level
@@ -1515,15 +1581,16 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray) -> None:
                 for (by, bx, s) in placements:
                     place(by, bx, s)
                 done[by0:by0 + 8, bx0:bx0 + 8] = True
-    for sy in range(nby // 4):
-        for sx in range(nbx // 4):
-            by0, bx0 = sy * 4, sx * 4
-            if done[by0, bx0]:
-                continue
-            _, placements = best_32(by0, bx0)
-            for (by, bx, s) in placements:
-                place(by, bx, s)
-            done[by0:by0 + 4, bx0:bx0 + 4] = True
+    if want32:
+        for sy in range(nby // 4):
+            for sx in range(nbx // 4):
+                by0, bx0 = sy * 4, sx * 4
+                if done[by0, bx0]:
+                    continue
+                _, placements = best_32(by0, bx0)
+                for (by, bx, s) in placements:
+                    place(by, bx, s)
+                done[by0:by0 + 4, bx0:bx0 + 4] = True
     # leftover 16x16 quadrants outside the 32-aligned area
     for by in range(0, (nby // 2) * 2, 2):
         for bx in range(0, (nbx // 2) * 2, 2):
@@ -1594,6 +1661,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         detect_dots: bool = False,
                         detect_patches: bool = False,
                         ctx_model: bool = False,
+                        effort: int = None,
+                        dc_distance: float = None,
                         debug_cb=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
@@ -1619,11 +1688,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         if splines is not None or patches is not None:
             raise JXLError(
                 "precomputed path does not support splines/patches")
-        quant_dc = K_DC_QUANT / distance
+        quant_dc = initial_quant_dc(dc_distance or distance)
         if "quant_median" in precomputed:
-            # the caller derived the global scale from its adaptive
-            # field median (SetQuantField semantics); reproduce it so
-            # the signaled quantizer params match the field
+            # reproduce the caller's global-scale anchor so the signaled
+            # quantizer params match the precomputed field
             state.quantizer.compute_global_scale_and_quant(
                 quant_dc, precomputed["quant_median"])
         else:
@@ -1642,12 +1710,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                     dtype=np.int32)
         state.ytob_map = np.asarray(precomputed["ytob_map"],
                                     dtype=np.int32)
-        qall_pc = np.asarray(precomputed["qall"], dtype=np.int64)
+        qall_full = np.asarray(precomputed["qall"], dtype=np.int64)
         splines_state = None
-        coeffs_q = {}
-        for by in range(fd.ysize_blocks):
-            for bx in range(fd.xsize_blocks):
-                coeffs_q[(by, bx)] = qall_pc[:, by, bx].reshape(3, 64)
+        coeffs_q = None  # dense DCT8 grid: fast tokenization path
     else:
         h, w = rgb_linear.shape[-2:]
         # pad to block multiple by edge replication
@@ -1759,22 +1824,28 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             apply_patches(xyb, patches, reference_frames, add=False)
             fh.flags |= FLAG_PATCHES
         xyb_orig = xyb.copy() if butteraugli_iters > 0 else None
-        if fh.loop_filter.gab:
-            xyb = apply_gaborish_inverse(xyb)
-        quant_dc = K_DC_QUANT / distance
+        # DC precision follows the PUBLIC distance (InitialQuantDC,
+        # enc_adaptive_quantization.cc:1251-1263): the AC-field
+        # calibration must not also refine the DC quantizer
+        quant_dc = initial_quant_dc(dc_distance or distance)
+        qf_float = None
         if adaptive_quant:
             # full adaptive quantization map (AdaptiveQuantizationMap,
-            # enc_adaptive_quantization.cc) -> float field; global scale
-            # from the field median minus its absolute deviation
-            # (SetQuantField, quantizer.cc:84-110)
+            # enc_adaptive_quantization.cc) on the PRE-sharpening image
+            # ("relies on pre-gaborish values", enc_heuristics.cc:1105);
+            # global scale from the fixed 0.39/distance anchor the
+            # reference uses outside the Butteraugli loop
+            # (enc_heuristics.cc:1115)
             from .heuristics import initial_quant_field_full
 
+            d_iqf = distance if fh.loop_filter.gab else distance * 0.62
             qf_float = initial_quant_field_full(
-                xyb, fd.ysize_blocks, fd.xsize_blocks, distance)
-            med = float(np.median(qf_float))
-            absd = float(np.median(np.abs(qf_float - med)))
+                xyb, fd.ysize_blocks, fd.xsize_blocks, d_iqf)
+        if fh.loop_filter.gab:
+            xyb = apply_gaborish_inverse(xyb)
+        if adaptive_quant:
             state.quantizer.compute_global_scale_and_quant(
-                quant_dc, max(med - absd, 1e-4))
+                quant_dc, K_GLOBAL_SCALE_QUANT / distance)
             state.raw_quant_field = np.clip(
                 qf_float * state.quantizer.inv_global_scale + 0.5,
                 1, QUANT_MAX).astype(np.int32)
@@ -1788,8 +1859,19 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             state.raw_quant_field[:, :] = raw_qf
         state.strategy[:, :] = acs.DCT
         state.is_origin[:, :] = True
-        if ac_strategy_search and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
-            _choose_ac_strategies(state, xyb)
+        # effort ladder: e3 = DCT8 only (doc/encode_effort.md), e4 =
+        # simple variable blocks (<=16px), e5/e6 = transforms up to
+        # 64x64 (enc_ac_strategy.cc:1060-1066 acs_mask below
+        # DCT128X128), e7+ extends to the 128/256 giants (our
+        # extension; the reference's merge heuristic stops at 64)
+        acs_on = ac_strategy_search and (effort is None or effort >= 4)
+        if acs_on and min(fd.ysize_blocks, fd.xsize_blocks) >= 2:
+            if effort is None or effort >= 7:
+                max_px = 256
+            else:
+                max_px = {4: 16, 5: 64, 6: 64}[max(4, min(6, effort))]
+            _choose_ac_strategies(state, xyb, max_px=max_px)
+            _adjust_quant_field(state, dc_distance or distance)
         if fh.loop_filter.epf_iters > 0:
             from .heuristics import epf_sharpness_field
 
@@ -1887,8 +1969,12 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                / (scaled[0] * state.b_dm_mult), 1, 1, 2)
         qall = np.stack([qx, qy, qb]).astype(np.int64)
         qall[:, :, :, 0, 0] = 0  # LLF not coded
-        coeffs_q = {}
-        for by in range(nby):
+        qall_full = qall
+        if bool((state.strategy == acs.DCT).all()):
+            coeffs_q = None  # dense DCT8 grid: fast tokenization path
+        else:
+            coeffs_q = {}
+        for by in range(nby if coeffs_q is not None else 0):
             for bx in range(nbx):
                 if not state.is_origin[by, bx]:
                     continue
@@ -1940,8 +2026,31 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         dc_from_lowest_frequencies(strategy, llf)
                 coeffs_q[(by, bx)] = q2
     # global modular tree for the DC/metadata substreams; tokenized AFTER
-    # the CfL fit so the AC-metadata stream carries the fitted tile maps
-    tree = make_fixed_tree(P_GRADIENT)
+    # the CfL fit so the AC-metadata stream carries the fitted tile maps.
+    # e4+ learns the tree over the quantized-DC samples (enc_modular.cc
+    # ComputeEncodingData learned-tree tier) — on smooth content the
+    # fixed Gradient tree pays ~1.5 bits for every +-1 dither residual
+    # the learned context tree codes in a fraction of that.
+    tree = None
+    if effort is not None and effort >= 4 \
+            and not (fh.flags & FLAG_USE_DC_FRAME):
+        from ..modular.learn import learn_tree
+
+        fac = [state.quantizer.mul_dc(c) for c in range(3)]
+        cfl_x, cfl_b = state.cfl_dc_factors()
+        qy_l = np.round(state.dc[1] / fac[1])
+        dy_l = qy_l * fac[1]
+        qx_l = np.round((state.dc[0] - cfl_x * dy_l) / fac[0])
+        qb_l = np.round((state.dc[2] - cfl_b * dy_l) / fac[2])
+        learn_channels = [
+            (qy_l.astype(np.int32), 0, 1),
+            (qx_l.astype(np.int32), 1, 1),
+            (qb_l.astype(np.int32), 2, 1),
+        ]
+        step = 1 if state.dc[0].size <= (1 << 16) else 2
+        tree = learn_tree(learn_channels, sample_step=step)
+    if tree is None:
+        tree = make_fixed_tree(P_GRADIENT)
     tree_writer = BitWriter()
     dec_tree = encode_tree(tree, tree_writer)
     wp_header = GroupHeader().wp_header
@@ -2011,35 +2120,93 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         modular_token_lists, num_tree_contexts(dec_tree), histo_writer)
 
     num_passes = fh.passes.num_passes
-    shifts = [fh.passes.shift[p] for p in range(num_passes)] \
-        if num_passes > 1 else [0]
-    pass_coeffs = [dict() for _ in range(num_passes)]
-    for key, q in coeffs_q.items():
-        parts = split_progressive(q, shifts)
-        for p in range(num_passes):
-            pass_coeffs[p][key] = parts[p]
-    # custom coefficient orders per pass (ComputeCoeffOrder analog): count
-    # zeros per position over all blocks of each order class
+    bcm = state.block_ctx_map
+    if coeffs_q is None:
+        # fast-path eligibility: single pass, default DC conditioning,
+        # native tokenizer present
+        from ..native_ext import get_lib
+
+        _nlib = get_lib()
+        if (num_passes != 1 or bcm.num_dc_ctxs != 1 or _nlib is None
+                or not hasattr(_nlib, "tokenize_ac_image")):
+            coeffs_q = {}
+            for by in range(fd.ysize_blocks):
+                for bx in range(fd.xsize_blocks):
+                    coeffs_q[(by, bx)] = qall_full[:, by, bx].reshape(3, 64)
     from .coeff_order import compute_coeff_orders, encode_coeff_orders
 
-    used_strategies = {int(state.strategy[by, bx]) for (by, bx) in coeffs_q}
     # use default orders for small images (enc_coeff_order.cc:71-72)
     customize = custom_orders and (fd.xsize_blocks >= 5
                                    or fd.ysize_blocks >= 5)
-    pass_orders = []
-    for p in range(num_passes):
-        num_zeros = {}
-        for (by, bx), q in pass_coeffs[p].items():
-            s = int(state.strategy[by, bx])
-            ord_ = acs.STRATEGY_ORDER[s]
-            for c in range(3):
-                key = (ord_, c)
-                if key not in num_zeros:
-                    num_zeros[key] = np.zeros(q.shape[1], dtype=np.int64)
-                num_zeros[key] += (q[c] == 0)
+    if coeffs_q is None:
+        # dense DCT8 path: vectorized zero counts + native tokenization
+        # over the whole group grid (TokenizeCoefficients pthread-pool
+        # analog, enc_frame.cc:1125)
+        import os as _os
+
+        from ..entropy.encode import TokenArray
+        from ..native_ext import tokenize_ac_image_native
+
+        nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+        used_strategies = {acs.DCT}
+        nz = (qall_full == 0).sum(axis=(1, 2)).reshape(3, 64).astype(
+            np.int64)
+        num_zeros = {(acs.STRATEGY_ORDER[acs.DCT], c): nz[c]
+                     for c in range(3)}
         used_p, orders_p = compute_coeff_orders(
             num_zeros, used_strategies, customize=customize)
-        pass_orders.append((used_p, orders_p))
+        pass_orders = [(used_p, orders_p)]
+        qimg_enc = np.ascontiguousarray(
+            qall_full.transpose(0, 1, 3, 2, 4).reshape(
+                3, nby * 8, nbx * 8).astype(np.int32))
+        bctx_lut, qf_thr = _bctx_luts(bcm)
+        cov_x, cov_y, log2cb, ord_lut = _geometry_luts()
+        off_tab, oflat = _order_image_luts(
+            [acs.DCT], lambda o, c: orders_p.get((o, c)), nbx * 8)
+        strat32 = np.ascontiguousarray(state.strategy, dtype=np.int32)
+        qf32 = np.ascontiguousarray(state.raw_quant_field,
+                                    dtype=np.int32)
+        orig = np.ascontiguousarray(state.is_origin, dtype=np.bool_)
+        toks = tokenize_ac_image_native(
+            _nlib, fd.xsize_groups, fd.ysize_groups, fd.group_dim // 8,
+            (strat32, orig, qf32),
+            (bctx_lut, qf_thr, off_tab, oflat,
+             cov_x, cov_y, log2cb, ord_lut),
+            bcm.num_ctxs, [qimg_enc[0], qimg_enc[1], qimg_enc[2]],
+            n_threads=_os.cpu_count() or 1)
+        group_token_lists = [[[TokenArray(c_, u_)] for (c_, u_) in toks]]
+    else:
+        shifts = [fh.passes.shift[p] for p in range(num_passes)] \
+            if num_passes > 1 else [0]
+        pass_coeffs = [dict() for _ in range(num_passes)]
+        for key, q in coeffs_q.items():
+            parts = split_progressive(q, shifts)
+            for p in range(num_passes):
+                pass_coeffs[p][key] = parts[p]
+        # custom coefficient orders per pass (ComputeCoeffOrder analog):
+        # count zeros per position over all blocks of each order class
+        used_strategies = {int(state.strategy[by, bx])
+                           for (by, bx) in coeffs_q}
+        pass_orders = []
+        for p in range(num_passes):
+            num_zeros = {}
+            for (by, bx), q in pass_coeffs[p].items():
+                s = int(state.strategy[by, bx])
+                ord_ = acs.STRATEGY_ORDER[s]
+                for c in range(3):
+                    key = (ord_, c)
+                    if key not in num_zeros:
+                        num_zeros[key] = np.zeros(q.shape[1],
+                                                  dtype=np.int64)
+                    num_zeros[key] += (q[c] == 0)
+            used_p, orders_p = compute_coeff_orders(
+                num_zeros, used_strategies, customize=customize)
+            pass_orders.append((used_p, orders_p))
+        group_token_lists = [
+            [tokenize_ac_group(state, g, pass_coeffs[p],
+                               pass_orders[p][1])
+             for g in range(fd.num_groups)]
+            for p in range(num_passes)]
 
     num_contexts = state.block_ctx_map.num_ac_contexts()
     ac_token_lists = []  # [pass][group]
@@ -2047,9 +2214,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     ac_context_maps = []
     ac_histo_writers = []
     for p in range(num_passes):
-        group_tokens = [tokenize_ac_group(state, g, pass_coeffs[p],
-                                          pass_orders[p][1])
-                        for g in range(fd.num_groups)]
+        group_tokens = group_token_lists[p]
         hw = BitWriter()
         codes_p, cmap_p = build_and_encode_histograms(
             group_tokens, num_contexts, hw)

@@ -134,9 +134,13 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
     lf = state.fh.loop_filter
     epf_iters = lf.epf_iters
     # with the decoder view including Gaborish AND EPF the proxy error
-    # matches the real decode closely; the target equals the nominal
-    # distance on the public scale (2x the calibrated internal value)
-    target = max(distance, 0.05) * 1.6
+    # matches the real decode closely. `distance` here is the INTERNAL
+    # (0.7x-calibrated) value; a target of internal * 1.4 (~ the public
+    # distance on our comparator's scale) sits below the typical
+    # delivered block maxima, so the one-sided loop lifts the worst
+    # blocks toward the requested distance (e7's "consistency" role,
+    # doc/encode_effort.md)
+    target = max(distance, 0.05) * 1.4
     qf_float = state.raw_quant_field.astype(np.float64)
     for _ in range(iters):
         scaled = (inv_gs / np.maximum(np.round(qf_float), 1.0))[
@@ -170,17 +174,19 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
                 state.epf_sharpness)
             pix = apply_epf(pix, lf, inv_sigma)
         dmap = _perceptual_diffmap(pix, xyb_orig)
-        berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3)) * 0.5 \
-            + dmap.reshape(nby, 8, nbx, 8).mean(axis=(1, 3)) * 0.5
-        # absolute targeting (FindBestQuantization,
-        # enc_adaptive_quantization.cc:934-1010): blocks over the target
-        # get a finer quantizer, blocks under it a coarser one; the
-        # faithful butteraugli diffmap is calibrated so this converges
-        # on the requested distance instead of only redistributing rate
-        # asymmetric like FindBestQuantization: refine bad blocks hard,
-        # coarsen good ones gently (overshooting coarseness creates the
-        # banding butteraugli-max punishes most)
-        ratio = np.clip((berr / target) ** 0.5, 0.93, 1.6)
+        # per-block MAX: the reported butteraugli distance is a
+        # max-dominated norm, so the loop must chase block maxima —
+        # a mean blend under-reads exactly the blocks that set the score
+        berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3))
+        # one-sided targeting: blocks whose proxy error exceeds the
+        # target get a finer quantizer; blocks under it KEEP their
+        # initial field value. The proxy (per-block mean/max blend)
+        # reads below the global max-normed butteraugli score, so
+        # coarsening "good" blocks degrades the reported distance —
+        # refinement must only spend rate where the loop sees damage
+        # (FindBestQuantization's asymmetric updates,
+        # enc_adaptive_quantization.cc:934-1010)
+        ratio = np.clip((berr / target) ** 0.5, 1.0, 1.6)
         qf_float = np.clip(qf_float * ratio, 1.0, QUANT_MAX)
     state.raw_quant_field = np.clip(
         np.round(qf_float), 1, QUANT_MAX).astype(np.int32)
@@ -311,12 +317,18 @@ def initial_quant_field_full(xyb: np.ndarray, nby: int, nbx: int,
 
     out = _compute_mask(aq)
 
-    # HfModulation (:251-300): capped |gradient| sums over the block
+    # HfModulation (:251-300): capped |gradient| sums over the block.
+    # Only INTRA-block diffs count: the reference masks the rightmost
+    # column's horizontal diff (kMaskRight) and uses the same row for
+    # dy == 7, so diffs never cross the 8px block boundary.
     vmin = 0.0206
     dx_ = np.minimum(np.abs(yp[:, 1:] - yp[:, :-1]), vmin)
     dy_ = np.minimum(np.abs(yp[1:, :] - yp[:-1, :]), vmin)
-    hf = (_block_sum(np.pad(dx_, ((0, 0), (0, 1))), nby, nbx)
-          + _block_sum(np.pad(dy_, ((0, 1), (0, 0))), nby, nbx))
+    dx_ = np.pad(dx_, ((0, 0), (0, 1)))
+    dy_ = np.pad(dy_, ((0, 1), (0, 0)))
+    dx_[:, 7::8] = 0.0
+    dy_[7::8, :] = 0.0
+    hf = _block_sum(dx_, nby, nbx) + _block_sum(dy_, nby, nbx)
     out = out + hf * -0.38 + 0.42
 
     # GammaModulation (:170-200)

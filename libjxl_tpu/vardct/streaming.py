@@ -71,10 +71,11 @@ def _jitted_chunk_step():
 
     @functools.partial(jax.jit, static_argnames=("gab",))
     def prep(rgb, gab=True):
-        xyb = pl.rgb_to_xyb_jax(rgb)
-        if gab:
-            xyb = pl.gaborish_inverse_jax(xyb, gab_kernel)
-        return xyb
+        # returns (pre-sharpen, sharpened): the adaptive-quant field is
+        # computed on pre-gaborish values (enc_heuristics.cc:1105)
+        xyb0 = pl.rgb_to_xyb_jax(rgb)
+        xyb = pl.gaborish_inverse_jax(xyb0, gab_kernel) if gab else xyb0
+        return xyb0, xyb
 
     @jax.jit
     def step(xyb, dm_inv, dm, inv_global_scale, base_quant, x_dm_mult,
@@ -119,12 +120,18 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
     prep, step = _jitted_chunk_step()
     if sharded_step is not None:
         step = sharded_step
-    xyb_m = np.asarray(prep(rgb, gab=bool(fh.loop_filter.gab)))
-    # crop the margin -> exact DC-group region
-    xyb = xyb_m[:, py0 - my0:py0 - my0 + ph, px0 - mx0:px0 - mx0 + pw]
-    pad_y, pad_x = full - ph, full - pw
-    if pad_y or pad_x:
-        xyb = np.pad(xyb, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+    xyb_m0, xyb_m = prep(rgb, gab=bool(fh.loop_filter.gab))
+    xyb_m0, xyb_m = np.asarray(xyb_m0), np.asarray(xyb_m)
+
+    def crop_pad(arr):
+        a = arr[:, py0 - my0:py0 - my0 + ph, px0 - mx0:px0 - mx0 + pw]
+        pad_y, pad_x = full - ph, full - pw
+        if pad_y or pad_x:
+            a = np.pad(a, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+        return a
+
+    xyb = crop_pad(xyb_m)
+    xyb_pre = crop_pad(xyb_m0)
 
     dm = np.stack([state.matrices.dequant_matrix(0, c)
                    for c in range(3)]).astype(np.float32)
@@ -140,7 +147,7 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
 
     nby_c, nbx_c = xyb.shape[1] // 8, xyb.shape[2] // 8
     qf_float = initial_quant_field_full(
-        xyb.astype(np.float64), nby_c, nbx_c,
+        xyb_pre.astype(np.float64), nby_c, nbx_c,
         state.nonserialized_distance)
     qf_in = np.clip(qf_float * state.quantizer.inv_global_scale + 0.5,
                     1, QUANT_MAX).astype(np.int32)
@@ -230,7 +237,8 @@ def _encode_dc_group(state: VarDCTState, fh: FrameHeader, dc_group_id: int,
 
 def encode_vardct_frame_streaming(writer: BitWriter, get_chunk,
                                   fh: FrameHeader, distance: float = 1.0,
-                                  hosts: int = 1, mesh=None) -> None:
+                                  hosts: int = 1, mesh=None,
+                                  dc_distance: float = None) -> None:
     """Streaming DCT8 VarDCT encode with bounded per-host memory.
 
     get_chunk(px0, py0, w, h) -> (3, h, w) linear RGB float array
@@ -241,9 +249,13 @@ def encode_vardct_frame_streaming(writer: BitWriter, get_chunk,
     with its chip and gathers the _EncodedDCGroup results over DCN)."""
     fd = fh.frame_dimensions()
     state = VarDCTState(fh, fd)
-    quant_ac = K_AC_QUANT / distance
-    quant_dc = K_DC_QUANT / distance
-    state.quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
+    # fixed 0.39/d global-scale anchor (enc_heuristics.cc:1115): the
+    # streaming encoder must fix the scale before seeing any pixels
+    from .frame import initial_quant_dc
+
+    quant_dc = initial_quant_dc(dc_distance or distance)
+    state.quantizer.compute_global_scale_and_quant(quant_dc,
+                                                   0.39 / distance)
     state.nonserialized_distance = distance
 
     tree = make_fixed_tree(P_GRADIENT)

@@ -1,10 +1,15 @@
 /* LZ77 match search over entropy token streams.
  *
- * Port of the hash-chain matcher + greedy-lazy emission of
- * lib/jxl/enc_ans.cc:1004-1370 (HashChain, ApplyLZ77_LZ77): replaces the
- * RLE-only transform for repetitive content (screenshots, flat art)
- * where real matches beat run-length coding. Cost model constants are
- * the reference's tuned tables (format-tuning constants).
+ * Covers the same role as the reference's hash-chain matcher
+ * (lib/jxl/enc_ans.cc ApplyLZ77_LZ77 / ApplyLZ77_Optimal) with an
+ * original structure: candidates are tracked in absolute-position
+ * linked lists (one per trigram bucket, one per zero-run length)
+ * instead of a ring-buffer window, and the greedy-lazy emission runs
+ * off an explicit insertion cursor instead of update flags. The
+ * trigram mixing function and the kLenCost/kDistCost tables are kept
+ * identical to the reference's: both are behavior-defining tuning
+ * constants of the format's LZ77 layer (changing either changes which
+ * matches are found/accepted, i.e. the compressed bytes).
  *
  * Plain C interface for ctypes; built into _jxl_native.so.
  */
@@ -14,12 +19,12 @@
 #include <stdlib.h>
 #include <string.h>
 
-#define HASH_NUM_VALUES 32768
-#define HASH_MASK (HASH_NUM_VALUES - 1)
-#define HASH_SHIFT 5
-#define MAX_CHAIN_LENGTH 256
+#define TRIGRAM_BUCKETS 32768
+#define TRIGRAM_SHIFT 5
+#define MAX_CANDIDATES 256
 #define MAX_WINDOW (1u << 20)
 
+/* Estimated bits per length token (format tuning constants). */
 static const float kLenCost[17] = {
     2.797667318563126f,  3.213177690381199f,  2.5706009246743737f,
     2.408392498667534f,  2.829649191872326f,  3.3923087753324577f,
@@ -29,6 +34,7 @@ static const float kLenCost[17] = {
     13.775477692278367f, 13.174027068768641f,
 };
 
+/* Estimated bits per distance token (format tuning constants). */
 static const float kDistCost[139] = {
     6.368282626312716f,  5.680793277090298f,  8.347404197105247f,
     7.641619201599141f,  6.914328374119438f,  7.959808291537444f,
@@ -110,129 +116,172 @@ static inline float dist_cost(uint32_t dist) {
   return kDistCost[tok] + nbits;
 }
 
+/* Candidate index: for every inserted position, the most recent earlier
+ * position sharing its trigram bucket (link_tri) and sharing its
+ * zero-run length (link_zrun). Absolute positions, -1 = none. */
 typedef struct {
-  const uint32_t* data;
-  uint32_t size;
-  uint32_t window_size, window_mask;
+  const uint32_t* tok;
+  uint32_t n;
   uint32_t min_length;
-  int* head;
-  uint32_t* chain;
-  int* val;
-  int* headz;
-  uint32_t* chainz;
-  uint32_t* zeros;
-  uint32_t numzeros;
-  const int32_t* special_lookup;  /* dist -> symbol, -1 none */
+  const int32_t* special_lookup; /* dist -> symbol, -1 none */
   int special_max;
   int num_special;
-} Chain;
+  int32_t* bucket_head;  /* [TRIGRAM_BUCKETS] */
+  int32_t* zrun_head;    /* [n + 1]: head per current zero-run length */
+  int32_t* link_tri;     /* [n] */
+  int32_t* link_zrun;    /* [n] */
+  uint32_t* zrun_at;     /* [n]: forward zero-run length at position */
+  uint32_t cur_zrun;     /* zero-run length at the last inserted pos */
+  uint32_t inserted;     /* positions [0, inserted) are indexed */
+} Matcher;
 
-static inline uint32_t get_hash(const Chain* c, uint32_t pos) {
-  if (pos + 2 < c->size) {
-    uint32_t r = (c->data[pos] << 0) ^ (c->data[pos + 1] << HASH_SHIFT) ^
-                 (c->data[pos + 2] << (HASH_SHIFT * 2));
-    return r & HASH_MASK;
+static inline uint32_t trigram(const Matcher* m, uint32_t pos) {
+  if (pos + 2 >= m->n) return 0;
+  uint32_t h = m->tok[pos] ^ (m->tok[pos + 1] << TRIGRAM_SHIFT) ^
+               (m->tok[pos + 2] << (2 * TRIGRAM_SHIFT));
+  return h & (TRIGRAM_BUCKETS - 1);
+}
+
+static int matcher_init(Matcher* m, const uint32_t* tok, uint32_t n,
+                        uint32_t min_length, const int32_t* special_lookup,
+                        int special_max, int num_special) {
+  memset(m, 0, sizeof(*m));
+  m->tok = tok;
+  m->n = n;
+  m->min_length = min_length;
+  m->special_lookup = special_lookup;
+  m->special_max = special_max;
+  m->num_special = num_special;
+  m->bucket_head = (int32_t*)malloc(TRIGRAM_BUCKETS * sizeof(int32_t));
+  m->zrun_head = (int32_t*)malloc(((size_t)n + 1) * sizeof(int32_t));
+  m->link_tri = (int32_t*)malloc((size_t)n * sizeof(int32_t));
+  m->link_zrun = (int32_t*)malloc((size_t)n * sizeof(int32_t));
+  m->zrun_at = (uint32_t*)malloc((size_t)n * sizeof(uint32_t));
+  if (!m->bucket_head || !m->zrun_head || !m->link_tri || !m->link_zrun ||
+      !m->zrun_at) {
+    return -1;
   }
+  memset(m->bucket_head, -1, TRIGRAM_BUCKETS * sizeof(int32_t));
+  memset(m->zrun_head, -1, ((size_t)n + 1) * sizeof(int32_t));
   return 0;
 }
 
-static inline uint32_t count_zeros(const Chain* c, uint32_t pos,
-                                   uint32_t prevzeros) {
-  uint32_t end = pos + c->window_size;
-  if (end > c->size) end = c->size;
-  if (prevzeros > 0) {
-    if (prevzeros >= c->window_mask && c->data[end - 1] == 0 &&
-        end == pos + c->window_size) {
-      return prevzeros;
-    }
-    return prevzeros - 1;
+static void matcher_free(Matcher* m) {
+  free(m->bucket_head);
+  free(m->zrun_head);
+  free(m->link_tri);
+  free(m->link_zrun);
+  free(m->zrun_at);
+}
+
+/* Index one position (must be called in increasing position order). */
+static void matcher_insert(Matcher* m, uint32_t pos) {
+  uint32_t b = trigram(m, pos);
+  m->link_tri[pos] = m->bucket_head[b];
+  m->bucket_head[b] = (int32_t)pos;
+  /* forward zero-run length: decrement of the previous run, or a fresh
+   * scan when a run starts (amortized O(1) per position) */
+  uint32_t z;
+  if (pos > 0 && m->tok[pos] != m->tok[pos - 1]) {
+    m->cur_zrun = 0;
   }
-  uint32_t num = 0;
-  while (pos + num < end && c->data[pos + num] == 0) num++;
-  return num;
+  if (m->cur_zrun > 0) {
+    z = m->cur_zrun - 1;
+  } else {
+    z = 0;
+    while (pos + z < m->n && m->tok[pos + z] == 0) z++;
+  }
+  m->cur_zrun = z;
+  m->zrun_at[pos] = z;
+  m->link_zrun[pos] = m->zrun_head[z];
+  m->zrun_head[z] = (int32_t)pos;
+  m->inserted = pos + 1;
 }
 
-static void chain_update(Chain* c, uint32_t pos) {
-  uint32_t hashval = get_hash(c, pos);
-  uint32_t wpos = pos & c->window_mask;
-  c->val[wpos] = (int)hashval;
-  if (c->head[hashval] != -1) c->chain[wpos] = (uint32_t)c->head[hashval];
-  c->head[hashval] = (int)wpos;
-  if (pos > 0 && c->data[pos] != c->data[pos - 1]) c->numzeros = 0;
-  c->numzeros = count_zeros(c, pos, c->numzeros);
-  c->zeros[wpos] = c->numzeros;
-  if (c->headz[c->numzeros] != -1)
-    c->chainz[wpos] = (uint32_t)c->headz[c->numzeros];
-  c->headz[c->numzeros] = (int)wpos;
+static inline void matcher_catch_up(Matcher* m, uint32_t pos) {
+  while (m->inserted <= pos) matcher_insert(m, m->inserted);
 }
 
-static void chain_find_match(const Chain* c, uint32_t pos,
-                             uint32_t* result_dist_symbol,
-                             uint32_t* result_len) {
-  uint32_t wpos = pos & c->window_mask;
-  uint32_t hashval = get_hash(c, pos);
-  uint32_t hashpos = c->chain[wpos];
-  int prev_dist = 0;
-  uint32_t end = c->size;  /* max_length = in.size() */
-  uint32_t chainlength = 0;
+static inline uint32_t dist_to_symbol(const Matcher* m, uint32_t dist) {
+  if ((int)dist <= m->special_max && m->special_lookup[dist] >= 0) {
+    return (uint32_t)m->special_lookup[dist];
+  }
+  return (uint32_t)(m->num_special) + dist - 1;
+}
+
+/* Shared candidate walk. For each candidate position, computes the
+ * match length (with the zero-run fast-forward) and calls EMIT(len,
+ * dist). The walk starts on the trigram list and hops onto the
+ * zero-run list when the current position sits in a long zero run and
+ * the last match extended past it — long runs of zeros alias in the
+ * trigram bucket, and the run-length list reaches across them. */
+#define CANDIDATE_WALK(m, pos, EMIT)                                        \
+  do {                                                                      \
+    uint32_t zhere = (m)->zrun_at[pos];                                     \
+    int32_t cand = (m)->link_tri[pos];                                      \
+    int on_zlist = 0;                                                       \
+    uint32_t last_len = 0;                                                  \
+    for (int steps = 0; steps < MAX_CANDIDATES && cand >= 0; steps++) {     \
+      uint32_t dist = pos - (uint32_t)cand;                                 \
+      if (dist > MAX_WINDOW) break;                                         \
+      uint32_t i = pos, j = (uint32_t)cand;                                 \
+      if (zhere > 3) {                                                      \
+        /* both sides start with runs of zeros: skip the shared prefix */   \
+        uint32_t skip = zhere - 1;                                          \
+        if ((m)->zrun_at[cand] < skip) skip = (m)->zrun_at[cand];           \
+        if (i + skip >= (m)->n) skip = (m)->n - i - 1;                      \
+        i += skip;                                                          \
+        j += skip;                                                          \
+      }                                                                     \
+      while (i < (m)->n && (m)->tok[i] == (m)->tok[j]) {                    \
+        i++;                                                                \
+        j++;                                                                \
+      }                                                                     \
+      uint32_t len = i - pos;                                               \
+      last_len = len;                                                       \
+      if (len >= (m)->min_length) {                                         \
+        uint32_t dsym = dist_to_symbol((m), dist);                          \
+        EMIT(len, dsym);                                                    \
+      }                                                                     \
+      /* next candidate: zero-run list inside long runs, else trigram */    \
+      if (zhere >= 3 && last_len > zhere) {                                 \
+        int32_t nx = (m)->link_zrun[cand];                                  \
+        if (nx >= 0 && (m)->zrun_at[nx] != zhere) nx = -1;                  \
+        cand = nx;                                                          \
+        on_zlist = 1;                                                       \
+      } else if (on_zlist) {                                                \
+        break;                                                              \
+      } else {                                                              \
+        cand = (m)->link_tri[cand];                                         \
+      }                                                                     \
+    }                                                                       \
+  } while (0)
+
+/* Best single match at pos: longest, ties broken by lower distance
+ * symbol, with a +-2 slack band around the best length (a slightly
+ * shorter match with a much closer distance is usually cheaper). */
+static void best_match(const Matcher* m, uint32_t pos, uint32_t* out_dsym,
+                       uint32_t* out_len) {
   uint32_t best_len = 0;
-  *result_dist_symbol = 0;
-  *result_len = 1;
-  for (;;) {
-    int dist = (hashpos <= wpos)
-                   ? (int)(wpos - hashpos)
-                   : (int)(wpos - hashpos + c->window_mask + 1);
-    if (dist < prev_dist) break;
-    prev_dist = dist;
-    uint32_t len = 0;
-    if (dist > 0) {
-      uint32_t i = pos;
-      uint32_t j = pos - (uint32_t)dist;
-      if (c->numzeros > 3) {
-        uint32_t r = c->numzeros - 1;
-        if (c->zeros[hashpos] < r) r = c->zeros[hashpos];
-        if (i + r >= end) r = end - i - 1;
-        i += r;
-        j += r;
-      }
-      while (i < end && c->data[i] == c->data[j]) {
-        i++;
-        j++;
-      }
-      len = i - pos;
-      if (len >= c->min_length && len + 2 >= best_len) {
-        int dist_symbol;
-        if (dist <= c->special_max && c->special_lookup[dist] >= 0) {
-          dist_symbol = c->special_lookup[dist];
-        } else {
-          dist_symbol = c->num_special + dist - 1;
-        }
-        if (len > *result_len ||
-            (len == *result_len &&
-             *result_dist_symbol > (uint32_t)dist_symbol)) {
-          *result_len = len;
-          *result_dist_symbol = (uint32_t)dist_symbol;
-        }
-        if (len > best_len) best_len = len;
-      }
-    }
-    chainlength++;
-    if (chainlength >= MAX_CHAIN_LENGTH) break;
-    if (c->numzeros >= 3 && len > c->numzeros) {
-      if (hashpos == c->chainz[hashpos]) break;
-      hashpos = c->chainz[hashpos];
-      if (c->zeros[hashpos] != c->numzeros) break;
-    } else {
-      if (hashpos == c->chain[hashpos]) break;
-      hashpos = c->chain[hashpos];
-      if (c->val[hashpos] != (int)hashval) break;
-    }
-  }
+  uint32_t r_len = 1, r_dsym = 0;
+#define EMIT_BEST(len, dsym)                                   \
+  do {                                                         \
+    if ((len) + 2 >= best_len) {                               \
+      if ((len) > r_len || ((len) == r_len && r_dsym > (dsym))) { \
+        r_len = (len);                                         \
+        r_dsym = (dsym);                                       \
+      }                                                        \
+      if ((len) > best_len) best_len = (len);                  \
+    }                                                          \
+  } while (0)
+  CANDIDATE_WALK(m, pos, EMIT_BEST);
+#undef EMIT_BEST
+  *out_len = r_len;
+  *out_dsym = r_dsym;
 }
 
-/* Greedy-lazy match emission (ApplyLZ77_LZ77, enc_ans.cc:1290-1370).
- * Outputs accepted matches; literals are the gaps. Returns the number of
- * matches, or -1 on allocation failure.
+/* Greedy-lazy match emission. Outputs accepted matches; literals are
+ * the gaps. Returns the number of matches, or -1 on allocation failure.
  * cum_cost: f32[n+1] cumulative literal bit costs.
  * dist_ctx_cost: estimated bits for one distance-context symbol. */
 int lz77_find_matches(const uint32_t* vals, uint32_t n,
@@ -242,85 +291,54 @@ int lz77_find_matches(const uint32_t* vals, uint32_t n,
                       int num_special,
                       uint32_t* m_pos, uint32_t* m_len, uint32_t* m_dist,
                       float* bit_decrease_out) {
-  uint32_t window = 1;
-  while (window < n && window < MAX_WINDOW) window <<= 1;
-  Chain c;
-  c.data = vals;
-  c.size = n;
-  c.window_size = window;
-  c.window_mask = window - 1;
-  c.min_length = min_length;
-  c.special_lookup = special_lookup;
-  c.special_max = special_max;
-  c.num_special = num_special;
-  c.numzeros = 0;
-  c.head = (int*)malloc(HASH_NUM_VALUES * sizeof(int));
-  c.val = (int*)malloc(window * sizeof(int));
-  c.chain = (uint32_t*)malloc(window * sizeof(uint32_t));
-  c.headz = (int*)malloc((window + 1) * sizeof(int));
-  c.chainz = (uint32_t*)malloc(window * sizeof(uint32_t));
-  c.zeros = (uint32_t*)malloc(window * sizeof(uint32_t));
-  if (!c.head || !c.val || !c.chain || !c.headz || !c.chainz || !c.zeros) {
-    free(c.head); free(c.val); free(c.chain);
-    free(c.headz); free(c.chainz); free(c.zeros);
+  Matcher m;
+  if (matcher_init(&m, vals, n, min_length, special_lookup, special_max,
+                   num_special)) {
+    matcher_free(&m);
     return -1;
   }
-  memset(c.head, -1, HASH_NUM_VALUES * sizeof(int));
-  memset(c.headz, -1, (window + 1) * sizeof(int));
-  for (uint32_t i = 0; i < window; i++) {
-    c.val[i] = -1;
-    c.chain[i] = i;
-    c.chainz[i] = i;
-  }
-
-  const uint32_t max_lazy_match_len = 256;
+  const uint32_t kLazyProbeLimit = 256;
   float bit_decrease = 0;
   int n_matches = 0;
-  int already_updated = 0;
-  for (uint32_t i = 0; i < n; i++) {
-    if (!already_updated) chain_update(&c, i);
-    already_updated = 0;
-    uint32_t len, dist_symbol;
-    chain_find_match(&c, i, &dist_symbol, &len);
-    if (len >= min_length) {
-      if (len < max_lazy_match_len && i + 1 < n) {
-        chain_update(&c, i + 1);
-        already_updated = 1;
-        uint32_t len2, dist2;
-        chain_find_match(&c, i + 1, &dist2, &len2);
-        if (len2 > len) {
-          ++i;
-          already_updated = 0;
-          len = len2;
-          dist_symbol = dist2;
-        }
-      }
-      float cost = cum_cost[i + len] - cum_cost[i];
-      float lz77_cost = len_cost(len - min_length) +
-                        dist_cost(dist_symbol) + dist_ctx_cost;
-      if (lz77_cost <= cost) {
-        m_pos[n_matches] = i;
-        m_len[n_matches] = len;
-        m_dist[n_matches] = dist_symbol;
-        n_matches++;
-        bit_decrease += cost - lz77_cost;
-      }
-      if (already_updated) {
-        for (uint32_t k = 0; k < len - 2; k++) chain_update(&c, i + 2 + k);
-        already_updated = 0;
-      } else {
-        for (uint32_t k = 0; k < len - 1; k++) chain_update(&c, i + 1 + k);
-      }
-      i += len - 1;
+  uint32_t pos = 0;
+  while (pos < n) {
+    matcher_catch_up(&m, pos);
+    uint32_t len, dsym;
+    best_match(&m, pos, &dsym, &len);
+    if (len < min_length) {
+      pos++; /* literal */
+      continue;
     }
+    if (len < kLazyProbeLimit && pos + 1 < n) {
+      /* lazy probe: a match starting one later may be longer */
+      matcher_catch_up(&m, pos + 1);
+      uint32_t len2, dsym2;
+      best_match(&m, pos + 1, &dsym2, &len2);
+      if (len2 > len) {
+        pos++;
+        len = len2;
+        dsym = dsym2;
+      }
+    }
+    float lit_bits = cum_cost[pos + len] - cum_cost[pos];
+    float lz_bits =
+        len_cost(len - min_length) + dist_cost(dsym) + dist_ctx_cost;
+    if (lz_bits <= lit_bits) {
+      m_pos[n_matches] = pos;
+      m_len[n_matches] = len;
+      m_dist[n_matches] = dsym;
+      n_matches++;
+      bit_decrease += lit_bits - lz_bits;
+    }
+    matcher_catch_up(&m, pos + len - 1);
+    pos += len;
   }
-  free(c.head); free(c.val); free(c.chain);
-  free(c.headz); free(c.chainz); free(c.zeros);
+  matcher_free(&m);
   *bit_decrease_out = bit_decrease;
   return n_matches;
 }
 
-/* ---- optimal matching (ApplyLZ77_Optimal, enc_ans.cc:1376-1470) ---- */
+/* ---- optimal matching (shortest-path DP over all match lengths) ---- */
 
 /* HybridUintConfig(split_exp, msb, lsb).Encode */
 static inline void hybrid_encode2(uint32_t value, int split_exp, int msb,
@@ -335,80 +353,35 @@ static inline void hybrid_encode2(uint32_t value, int split_exp, int msb,
   uint32_t v = value;
   while (v >> bl) bl++;
   uint32_t nn = (uint32_t)(bl - 1);
-  uint32_t m = value - (1u << nn);
+  uint32_t mm = value - (1u << nn);
   *token = split + ((((nn - (uint32_t)split_exp) << (msb + lsb)) +
-                     ((m >> (nn - msb)) << lsb) + (m & ((1u << lsb) - 1))));
+                     ((mm >> (nn - msb)) << lsb) + (mm & ((1u << lsb) - 1))));
   *nbits = nn - msb - lsb;
 }
 
-/* All matches at pos: record the lowest distance symbol per length in
- * dist_for_len[min_length..*max_len]; mirrors the FindMatches callback +
- * suffix-min pass of ApplyLZ77_Optimal. */
-static void chain_find_all(const Chain* c, uint32_t pos,
-                           uint32_t* dist_for_len, uint32_t* max_len_out) {
-  uint32_t wpos = pos & c->window_mask;
-  uint32_t hashval = get_hash(c, pos);
-  uint32_t hashpos = c->chain[wpos];
-  int prev_dist = 0;
-  uint32_t end = c->size;
-  uint32_t chainlength = 0;
+/* All matches at pos: the lowest distance symbol usable for each length
+ * in dist_for_len[min_length..max_len] (a longer match also provides
+ * every shorter length at its distance, hence the suffix-min pass). */
+static void all_matches(const Matcher* m, uint32_t pos,
+                        uint32_t* dist_for_len, uint32_t* max_len_out) {
   uint32_t cur_max = 0;
-  for (;;) {
-    int dist = (hashpos <= wpos)
-                   ? (int)(wpos - hashpos)
-                   : (int)(wpos - hashpos + c->window_mask + 1);
-    if (dist < prev_dist) break;
-    prev_dist = dist;
-    uint32_t len = 0;
-    if (dist > 0) {
-      uint32_t i = pos;
-      uint32_t j = pos - (uint32_t)dist;
-      if (c->numzeros > 3) {
-        uint32_t r = c->numzeros - 1;
-        if (c->zeros[hashpos] < r) r = c->zeros[hashpos];
-        if (i + r >= end) r = end - i - 1;
-        i += r;
-        j += r;
-      }
-      while (i < end && c->data[i] == c->data[j]) {
-        i++;
-        j++;
-      }
-      len = i - pos;
-      if (len >= c->min_length) {
-        uint32_t dist_symbol;
-        if (dist <= c->special_max && c->special_lookup[dist] >= 0) {
-          dist_symbol = (uint32_t)c->special_lookup[dist];
-        } else {
-          dist_symbol = (uint32_t)(c->num_special + dist - 1);
-        }
-        if (len > cur_max) {
-          for (uint32_t k = cur_max + 1; k <= len; k++)
-            dist_for_len[k] = dist_symbol;
-          cur_max = len;
-        }
-        if (dist_symbol < dist_for_len[len]) dist_for_len[len] = dist_symbol;
-      }
-    }
-    chainlength++;
-    if (chainlength >= MAX_CHAIN_LENGTH) break;
-    if (c->numzeros >= 3 && len > c->numzeros) {
-      if (hashpos == c->chainz[hashpos]) break;
-      hashpos = c->chainz[hashpos];
-      if (c->zeros[hashpos] != c->numzeros) break;
-    } else {
-      if (hashpos == c->chain[hashpos]) break;
-      hashpos = c->chain[hashpos];
-      if (c->val[hashpos] != (int)hashval) break;
-    }
-  }
-  /* suffix-min: best (lowest) distance symbol for >= each length */
-  if (cur_max >= c->min_length) {
+#define EMIT_ALL(len, dsym)                              \
+  do {                                                   \
+    if ((len) > cur_max) {                               \
+      for (uint32_t k = cur_max + 1; k <= (len); k++)    \
+        dist_for_len[k] = (dsym);                        \
+      cur_max = (len);                                   \
+    }                                                    \
+    if ((dsym) < dist_for_len[len]) dist_for_len[len] = (dsym); \
+  } while (0)
+  CANDIDATE_WALK(m, pos, EMIT_ALL);
+#undef EMIT_ALL
+  if (cur_max >= m->min_length) {
     uint32_t best = dist_for_len[cur_max];
-    for (uint32_t j = cur_max; j >= c->min_length; j--) {
+    for (uint32_t j = cur_max;; j--) {
       if (dist_for_len[j] < best) best = dist_for_len[j];
       dist_for_len[j] = best;
-      if (j == 0) break;
+      if (j <= m->min_length) break;
     }
   }
   *max_len_out = cur_max;
@@ -424,40 +397,20 @@ int lz77_optimal(const uint32_t* vals, const int32_t* ctxs, uint32_t n,
                  const int32_t* special_lookup, int special_max,
                  int num_special, uint32_t* m_pos, uint32_t* m_len,
                  uint32_t* m_dist, float* bits_out) {
-  uint32_t window = 1;
-  while (window < n && window < MAX_WINDOW) window <<= 1;
-  Chain c;
-  c.data = vals;
-  c.size = n;
-  c.window_size = window;
-  c.window_mask = window - 1;
-  c.min_length = min_length;
-  c.special_lookup = special_lookup;
-  c.special_max = special_max;
-  c.num_special = num_special;
-  c.numzeros = 0;
-  c.head = (int*)malloc(HASH_NUM_VALUES * sizeof(int));
-  c.val = (int*)malloc(window * sizeof(int));
-  c.chain = (uint32_t*)malloc(window * sizeof(uint32_t));
-  c.headz = (int*)malloc((window + 1) * sizeof(int));
-  c.chainz = (uint32_t*)malloc(window * sizeof(uint32_t));
-  c.zeros = (uint32_t*)malloc(window * sizeof(uint32_t));
-  float* cost = (float*)malloc((n + 1) * sizeof(float));
-  uint32_t* plen = (uint32_t*)malloc((n + 1) * sizeof(uint32_t));
-  uint32_t* pdist = (uint32_t*)malloc((n + 1) * sizeof(uint32_t));
-  uint32_t* dfl = (uint32_t*)malloc((n + 2) * sizeof(uint32_t));
-  if (!c.head || !c.val || !c.chain || !c.headz || !c.chainz || !c.zeros ||
+  Matcher m;
+  float* cost = (float*)malloc(((size_t)n + 1) * sizeof(float));
+  uint32_t* plen = (uint32_t*)malloc(((size_t)n + 1) * sizeof(uint32_t));
+  uint32_t* pdist = (uint32_t*)malloc(((size_t)n + 1) * sizeof(uint32_t));
+  uint32_t* dfl = (uint32_t*)malloc(((size_t)n + 2) * sizeof(uint32_t));
+  if (matcher_init(&m, vals, n, min_length, special_lookup, special_max,
+                   num_special) ||
       !cost || !plen || !pdist || !dfl) {
-    free(c.head); free(c.val); free(c.chain); free(c.headz); free(c.chainz);
-    free(c.zeros); free(cost); free(plen); free(pdist); free(dfl);
+    matcher_free(&m);
+    free(cost);
+    free(plen);
+    free(pdist);
+    free(dfl);
     return -1;
-  }
-  memset(c.head, -1, HASH_NUM_VALUES * sizeof(int));
-  memset(c.headz, -1, (window + 1) * sizeof(int));
-  for (uint32_t i = 0; i < window; i++) {
-    c.val[i] = -1;
-    c.chain[i] = i;
-    c.chainz[i] = i;
   }
   for (uint32_t i = 0; i <= n; i++) {
     cost[i] = 3.4e38f;
@@ -465,21 +418,22 @@ int lz77_optimal(const uint32_t* vals, const int32_t* ctxs, uint32_t n,
     pdist[i] = 0;
   }
   cost[0] = 0.0f;
-  uint32_t rle_length = 0, skip_lz77 = 0;
+  uint32_t rle_run = 0, skip_matching = 0;
   for (uint32_t i = 0; i < n; i++) {
-    chain_update(&c, i);
+    matcher_catch_up(&m, i);
+    /* literal edge */
     float lit = cost[i] + (lit_cum[i + 1] - lit_cum[i]);
     if (cost[i + 1] > lit) {
       cost[i + 1] = lit;
       plen[i + 1] = 1;
       pdist[i + 1] = 0;
     }
-    if (skip_lz77 > 0) {
-      skip_lz77--;
+    if (skip_matching > 0) {
+      skip_matching--;
       continue;
     }
     uint32_t max_len = 0;
-    chain_find_all(&c, i, dfl, &max_len);
+    all_matches(&m, i, dfl, &max_len);
     if (max_len < min_length) continue;
     int ci = ctxs[i];
     if (ci < 0 || ci >= num_ctx) ci = 0;
@@ -513,16 +467,12 @@ int lz77_optimal(const uint32_t* vals, const int32_t* ctxs, uint32_t n,
       }
     }
     /* avoid quadratic behavior inside long runs of one symbol */
-    int is_rle = (c.num_special == 0 && dfl[max_len] == 0) ||
-                 (c.num_special != 0 && dfl[max_len] == 1);
-    if (is_rle) {
-      rle_length++;
-    } else {
-      rle_length = 0;
-    }
-    if (rle_length >= 8 && max_len > 8) {
-      skip_lz77 = max_len - 9;
-      rle_length = 0;
+    int is_rle = (num_special == 0 && dfl[max_len] == 0) ||
+                 (num_special != 0 && dfl[max_len] == 1);
+    rle_run = is_rle ? rle_run + 1 : 0;
+    if (rle_run >= 8 && max_len > 8) {
+      skip_matching = max_len - 9;
+      rle_run = 0;
     }
   }
   /* backtrack (matches in reverse, then reverse in place) */
@@ -547,7 +497,10 @@ int lz77_optimal(const uint32_t* vals, const int32_t* ctxs, uint32_t n,
     t = m_dist[a]; m_dist[a] = m_dist[b]; m_dist[b] = t;
   }
   *bits_out = cost[n];
-  free(c.head); free(c.val); free(c.chain); free(c.headz); free(c.chainz);
-  free(c.zeros); free(cost); free(plen); free(pdist); free(dfl);
+  matcher_free(&m);
+  free(cost);
+  free(plen);
+  free(pdist);
+  free(dfl);
   return nm;
 }

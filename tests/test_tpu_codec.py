@@ -55,7 +55,7 @@ def host_encode_dct8(img):
     from libjxl_tpu.api.codestream import _calibrated_distance
 
     encode_vardct_frame(bw, rgb, fh, distance=_calibrated_distance(1.0),
-                        ac_strategy_search=False)
+                        ac_strategy_search=False, dc_distance=1.0)
     return bw.get_bytes()
 
 
