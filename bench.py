@@ -131,8 +131,17 @@ def main():
         # reduces to a per-image checksum (tiny readback for the slow
         # dev-rig tunnel). All arrays travel as arguments (closure-
         # captured buffers overflow the remote-compile request).
+        # coefficient (1, 1) of every block in the first block column: a
+        # real AC slot (the DC at (0, 0) is overwritten from the DC
+        # image inside the render). Elementwise mask-add — a strided
+        # scatter costs ~10x more on TPU and would inflate the
+        # harness's share of the measured time.
+        row = jnp.arange(qimg.shape[1]) % 8 == 1
+        col = jnp.arange(qimg.shape[2]) == 1
+        salt_mask = (row[:, None] & col[None, :]).astype(jnp.int32)[None]
+
         def render_one(salt):
-            q = qimg.at[:, ::8, 0].add(salt)
+            q = qimg + salt * salt_mask
             u8 = pl.decode_render_image(
                 q, qf, dc, ytox, ytob, dmk, igs, xdm, bdm,
                 gabk, ispk, sadk, chs,
@@ -140,7 +149,7 @@ def main():
                 pass2_sigma_scale=p2, extra_tiles=extra_t,
                 dct8_mask=None, tile_shapes=tile_shapes,
                 size_passes=sp_t, size_shapes=size_shapes,
-                class_map=cls)
+                class_map=cls, use_pallas=False)
             return u8.astype(jnp.int32).sum()
 
         return jax.vmap(render_one)(salts)
@@ -160,7 +169,7 @@ def main():
             epf_iters=epf_iters, tile_shapes=shapes,
             size_shapes=size_shapes)
 
-    B = 8
+    B = 64
     print(f"bench: compiling device program (B={B})...", file=sys.stderr,
           flush=True)
     chks = None

@@ -134,6 +134,10 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  spot_color=None,
                  stats: dict = None,
                  device: bool = None,
+                 gaborish: bool = None,
+                 epf: int = None,
+                 dots: bool = None,
+                 patches: bool = None,
                  debug_cb=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
@@ -169,7 +173,9 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
             and icc is None and photon_noise_iso is None and not noise
             and resampling == 1 and progressive == 1 and preview is None
             and splines is None and custom_quant is None
-            and spot_color is None and stats is None and debug_cb is None):
+            and spot_color is None and stats is None and debug_cb is None
+            and gaborish is None and epf is None
+            and dots is None and patches is None):
         from .tpu_codec import encode_lossy_tpu
 
         return encode_lossy_tpu(image, distance=distance)
@@ -209,21 +215,22 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     cms_linear = None
     if icc is not None:
         # CMS: pixels carrying a non-sRGB ICC profile are converted to
-        # linear sRGB before XYB (cms/jxl_cms.cc role; lcms2 backend).
-        # Like the reference's lossy path the stream then signals sRGB
-        # (uses_original_profile stays false, decode.h:209); without
-        # lcms2 the profile is embedded untouched as in round 1.
+        # linear sRGB before XYB (cms/jxl_cms.cc role; lcms2 backend)
+        # and the profile is EMBEDDED as the stream's color encoding —
+        # the decoder's CMS stage (stage_cms.cc) converts back into it
+        # on request (decode(color_management=True) / djxl
+        # --color_management). Without lcms2 the profile is embedded
+        # untouched and the pixels are coded as-is.
         from ..extras import cms as _cms
 
         if _cms.available() and _cms.profile_is_rgb(icc):
             cms_linear = np.moveaxis(
                 _cms.icc_to_linear_srgb(image, icc), -1, 0).astype(
                     np.float64)
-        else:
-            meta.m.all_default = False
-            meta.m.color_encoding.all_default = False
-            meta.m.color_encoding.want_icc = True
-            meta.m.color_encoding.icc = icc
+        meta.m.all_default = False
+        meta.m.color_encoding.all_default = False
+        meta.m.color_encoding.want_icc = True
+        meta.m.color_encoding.icc = icc
     pv_img = None
     if preview:
         # downscale so the long side fits `preview` px (8px multiples)
@@ -281,8 +288,10 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
 
         noise_lut = photon_noise_lut(photon_noise_iso)
     fh.loop_filter.all_default = False
-    fh.loop_filter.gab = True  # decoder blurs; encoder pre-sharpens
-    fh.loop_filter.epf_iters = 2  # reference default (loop_filter.cc:56)
+    # decoder blurs; encoder pre-sharpens (default on, like the ref)
+    fh.loop_filter.gab = True if gaborish is None else bool(gaborish)
+    # reference default epf_iters = 2 (loop_filter.cc:56)
+    fh.loop_filter.epf_iters = 2 if epf is None else max(0, min(3, epf))
     fh.upsampling = resampling
     if progressive > 1:
         fh.passes.num_passes = progressive
@@ -336,8 +345,9 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                         extra_channels=extra_channels,
                         custom_quant=custom_quant,
                         butteraugli_iters=butteraugli_iters,
-                        detect_dots=effort >= 8,
-                        detect_patches=effort >= 7,
+                        detect_dots=effort >= 8 if dots is None else dots,
+                        detect_patches=(effort >= 7 if patches is None
+                                        else patches),
                         ctx_model=effort >= 6,
                         effort=effort,
                         dc_distance=public_distance,
@@ -413,12 +423,18 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
 
 def decode(data: bytes, target_nits: float = None,
            num_threads: int = 0, device: bool = None,
-           decode_info: dict = None):
+           decode_info: dict = None, color_management: bool = None):
     """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
 
     Only the first frame is returned; animation frames via decode_frames.
     target_nits: when set and below the stream's intensity target, the
     Rec.2408 tone-mapping stage runs (stage_tone_mapping.cc analog).
+    color_management: convert the decoded pixels INTO the stream's
+    embedded ICC profile space (the decoder-side CMS stage,
+    stage_cms.cc; lcms2 backend). Default (None) = auto: applied
+    whenever an RGB ICC profile is embedded — the signaled color
+    encoding IS the decoder's output space, matching djxl. Pass False
+    to force plain sRGB output.
     device: render the VarDCT pixel pipeline on the JAX device (dequant +
     IDCT zoo + Gaborish/EPF + write stage as one XLA program). Default
     (None) auto-enables when an accelerator backend is present — the
@@ -434,6 +450,11 @@ def decode(data: bytes, target_nits: float = None,
     r = BitReader(data)
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
+    if color_management is None:
+        # the signaled color encoding IS the decoder's output space:
+        # apply the CMS stage automatically for embedded RGB profiles
+        color_management = bool(meta.m.color_encoding.want_icc
+                                and meta.m.xyb_encoded)
     if meta.m.have_preview:
         _skip_or_decode_preview(r, meta)
     reference_frames = [None] * 4
@@ -503,10 +524,11 @@ def decode(data: bytes, target_nits: float = None,
         from .tpu_codec import make_device_render
 
         # the direct u8 write stage only applies when no host post-stage
-        # (tone map / spot colors / >8-bit output) needs the floats
+        # (tone map / CMS / spot colors / >8-bit output) needs the floats
         out["want_u8"] = (target_nits is None and bits <= 8
                           and meta.m.xyb_encoded
-                          and meta.m.orientation == 1)
+                          and meta.m.orientation == 1
+                          and not color_management)
         render_fn = make_device_render(fh, out)
     extra = []
     chans = decode_vardct_frame(r, fh, reference_frames, extra_out=extra,
@@ -542,6 +564,34 @@ def decode(data: bytes, target_nits: float = None,
                                       target_nits)
             chans = [planes[c] for c in range(3)]
     rgb = np.stack(chans, axis=-1)
+    # decoder-side CMS stage (stage_cms.cc): convert the linear pixels
+    # into the embedded ICC profile's space when asked
+    if color_management and meta.m.xyb_encoded \
+            and meta.m.color_encoding.want_icc:
+        from ..extras import cms as _cms
+
+        icc_prof = meta.m.color_encoding.icc
+        if _cms.available() and _cms.profile_is_rgb(icc_prof):
+            out_px = _cms.linear_srgb_to_icc(np.clip(rgb, 0.0, 1.0),
+                                             icc_prof)
+            if decode_info is not None:
+                decode_info["cms"] = "applied"
+            if bits <= 8:
+                u8 = np.clip(np.round(out_px * 255.0), 0,
+                             255).astype(np.uint8)
+                if extra:
+                    ec = np.stack([np.clip(np.round(e), 0,
+                                           255).astype(np.uint8)
+                                   for e in extra], axis=-1)
+                    u8 = np.concatenate([u8, ec], axis=-1)
+                return _orient(u8), meta
+            return _orient(out_px), meta
+        import logging
+
+        logging.getLogger("libjxl_tpu.cms").warning(
+            "color_management requested but %s; returning sRGB",
+            "lcms2 unavailable" if not _cms.available()
+            else "profile is not RGB")
     # non-XYB VarDCT frames (YCbCr/None) carry display-space values
     srgb = linear_to_srgb(rgb) if meta.m.xyb_encoded else rgb
     if bits <= 8:

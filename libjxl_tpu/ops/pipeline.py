@@ -378,7 +378,7 @@ def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
                         pass0_sigma_scale=0.9, pass2_sigma_scale=6.5,
                         extra_tiles=None, dct8_mask=None, tile_shapes=None,
                         size_passes=None, size_shapes=None, class_map=None,
-                        true_size=None):
+                        true_size=None, use_pallas=True):
     """Full device decode on image-layout coefficients.
 
     size_passes: per-size dicts for the dense full-grid plain-DCT passes
@@ -445,7 +445,8 @@ def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
         xyb = gaborish_jax(xyb, gab_kernels)
     if epf_iters > 0:
         xyb = epf_jax(xyb, inv_sigma_px, sad_mul, channel_scale, epf_iters,
-                      pass0_sigma_scale, pass2_sigma_scale)
+                      pass0_sigma_scale, pass2_sigma_scale,
+                      use_pallas=use_pallas)
     if to_rgb == "u8srgb":
         # full write stage on device: XYB -> linear RGB -> sRGB u8 HWC
         rgb = xyb_to_rgb_jax(xyb)
@@ -528,18 +529,43 @@ def _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
     return jnp.where(skip[None], xyb, out)
 
 
+def _epf_pass_dispatch(xyb, inv_sigma_px, sad_mul, channel_scale,
+                       neighbors, sad_pattern, sigma_scale,
+                       use_pallas=True):
+    """Route one EPF pass to the Pallas stencil kernel on TPU (measured
+    1.8x faster than the XLA shift-add chain on v5e: explicit VMEM
+    strip tiling beats XLA's fusion for the 12-tap SAD stencil); the
+    XLA path remains the CPU/odd-shape fallback and the bit-exactness
+    reference. Pass use_pallas=False inside vmapped (multi-image)
+    programs — batched pallas_call lowering is unreliable at 2048px
+    widths on the current toolchain."""
+    _, h, w = xyb.shape
+    if (use_pallas and jax.default_backend() == "tpu"
+            and w % 128 == 0 and h % 8 == 0 and h >= 16):
+        from .pallas_kernels import epf_pass_pallas
+
+        return epf_pass_pallas(xyb, inv_sigma_px, sad_mul, channel_scale,
+                               neighbors, sad_pattern, sigma_scale)
+    return _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale,
+                         neighbors, sad_pattern, sigma_scale)
+
+
 def epf_jax(xyb, inv_sigma_px, sad_mul, channel_scale, epf_iters,
-            pass0_sigma_scale=0.9, pass2_sigma_scale=6.5):
+            pass0_sigma_scale=0.9, pass2_sigma_scale=6.5,
+            use_pallas=True):
     """Edge-preserving filter chain on device (stage_epf.cc)."""
     if epf_iters == 3:
-        xyb = _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale,
-                            _EPF0_NEIGHBORS, _EPF_PLUS, pass0_sigma_scale)
+        xyb = _epf_pass_dispatch(xyb, inv_sigma_px, sad_mul, channel_scale,
+                                 _EPF0_NEIGHBORS, _EPF_PLUS,
+                                 pass0_sigma_scale, use_pallas)
     if epf_iters >= 1:
-        xyb = _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale,
-                            _EPF12_NEIGHBORS, _EPF_PLUS, 1.0)
+        xyb = _epf_pass_dispatch(xyb, inv_sigma_px, sad_mul, channel_scale,
+                                 _EPF12_NEIGHBORS, _EPF_PLUS, 1.0,
+                                 use_pallas)
     if epf_iters >= 2:
-        xyb = _epf_pass_jax(xyb, inv_sigma_px, sad_mul, channel_scale,
-                            _EPF12_NEIGHBORS, None, pass2_sigma_scale)
+        xyb = _epf_pass_dispatch(xyb, inv_sigma_px, sad_mul, channel_scale,
+                                 _EPF12_NEIGHBORS, None, pass2_sigma_scale,
+                                 use_pallas)
     return xyb
 
 

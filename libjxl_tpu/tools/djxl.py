@@ -18,6 +18,13 @@ def build_parser():
                    help="also decode the preview frame to this file")
     p.add_argument("--num_threads", type=int, default=0,
                    help="accepted for djxl compatibility")
+    p.add_argument("--color_management", dest="color_management",
+                   action="store_true", default=None,
+                   help="force the decoder CMS stage (default: auto "
+                        "when the stream embeds an RGB ICC profile)")
+    p.add_argument("--no_color_management", dest="color_management",
+                   action="store_false",
+                   help="skip the CMS stage; output plain sRGB")
     p.add_argument("--host", action="store_true",
                    help="force the host (NumPy) render path; by default "
                         "the pixel pipeline runs on the JAX device "
@@ -74,7 +81,8 @@ def _main(argv=None):
     image, meta = decode(codestream, target_nits=args.display_nits,
                          num_threads=args.num_threads,
                          device=False if args.host else None,
-                         decode_info=info)
+                         decode_info=info,
+                         color_management=args.color_management)
     dt = time.perf_counter() - t0
     if args.verbose:
         print(f"render path: {info.get('path')}", file=sys.stderr)

@@ -35,34 +35,43 @@ def test_encode_applies_input_profile():
     icc = cms.make_rgb_profile(_WIDE, gamma=2.2)
     img = _wide_image()
     with_cms = codestream.encode_lossy(img, distance=1.0, effort=3, icc=icc)
-    plain = codestream.encode_lossy(img, distance=1.0, effort=3)
+    # round-3 semantics: the profile is EMBEDDED as the stream's color
+    # encoding and the decoder's CMS stage converts back into it
     dec_cms, meta = codestream.decode(with_cms)
-    dec_plain, _ = codestream.decode(plain)
-    # converted streams signal sRGB (reference lossy semantics)
-    assert not meta.m.color_encoding.want_icc
-    # the CMS-encoded stream must decode to the lcms ground truth, not to
-    # the raw (misinterpreted-as-sRGB) pixels
+    assert meta.m.color_encoding.want_icc
+    # full profile->sRGB->XYB->sRGB->profile loop reproduces the input
+    err = np.abs(dec_cms[:, :, :3].astype(float)
+                 - img.astype(float)).mean()
+    assert err < 3.5, err
+    # disabling the CMS stage yields the intermediate sRGB rendering,
+    # which must track the lcms ground truth
     from libjxl_tpu.ops.xyb import linear_to_srgb
 
+    dec_srgb, _ = codestream.decode(with_cms, color_management=False)
     truth = np.clip(np.round(linear_to_srgb(
         cms.icc_to_linear_srgb(img, icc).astype(np.float64)) * 255), 0,
         255)
-    err_cms = np.abs(dec_cms[:, :, :3].astype(float) - truth).mean()
-    err_plain = np.abs(dec_plain[:, :, :3].astype(float) - truth).mean()
-    assert err_cms < 3.0, err_cms
-    assert err_cms < err_plain * 0.5
+    err_srgb = np.abs(dec_srgb[:, :, :3].astype(float) - truth).mean()
+    assert err_srgb < 3.0, err_srgb
 
 
 def test_oracle_agrees_on_cms_stream():
+    """The system libjxl (0.7, no CMS attached) returns the XYB-decoded
+    LINEAR values for custom-ICC streams; our coded data must agree with
+    it in that space (the transfer/profile rendering on top is the CMS
+    stage the 0.7 oracle cannot run)."""
     from libjxl_tpu.extras import oracle
 
     if not oracle.available():
         pytest.skip("no system libjxl")
+    from libjxl_tpu.ops.xyb import srgb_to_linear
+
     icc = cms.make_rgb_profile(_WIDE, gamma=2.2)
     img = _wide_image()
     stream = codestream.encode_lossy(img, distance=1.0, effort=3, icc=icc)
-    ours, _ = codestream.decode(stream)
+    ours_srgb, _ = codestream.decode(stream, color_management=False)
+    ours_linear = np.clip(np.round(srgb_to_linear(
+        ours_srgb[:, :, :3].astype(np.float64) / 255.0) * 255.0), 0, 255)
     theirs, _ = oracle.decode(stream)
-    d = np.abs(theirs[:, :, :3].astype(np.int64)
-               - ours[:, :, :3].astype(np.int64))
-    assert float(np.sqrt((d.astype(float) ** 2).mean())) < 0.7
+    d = theirs[:, :, :3].astype(np.float64) - ours_linear
+    assert float(np.sqrt((d ** 2).mean())) < 1.5
