@@ -151,18 +151,43 @@ def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None,
                          collect=None):
     """collect: optional list; receives (ctx, tok, nbits, bits) per stream
     so the write pass can skip re-tokenizing."""
-    counts = np.zeros(num_contexts * _MAX_TOK, dtype=np.int64)
+    from ..native_ext import get_lib, hybrid_tokenize_native
+
+    n_bins = num_contexts * _MAX_TOK
+    lib = get_lib()
+    use_native = (lz77 is None and lib is not None
+                  and hasattr(lib, "hybrid_tokenize"))
+    counts_c = np.zeros(n_bins, dtype=np.uint32) if use_native else None
+    flats = []
     for tokens in tokens_list:
         ctx, val, lz = flatten_tokens(tokens)
         if len(val) == 0:
             if collect is not None:
                 collect.append(None)
             continue
+        if use_native and lz is None and len(val) >= 32:
+            # one C pass: hybrid-uint split + (ctx, tok) histogram
+            res = hybrid_tokenize_native(
+                lib, ctx, val, uint_config.split_exponent,
+                uint_config.msb_in_token, uint_config.lsb_in_token,
+                counts_c, _MAX_TOK)
+            if res is not None:
+                if collect is not None:
+                    collect.append((ctx,) + res)
+                continue
         tok, nbits, bits = _tokenize_arrays(ctx, val, lz, uint_config, lz77)
         if collect is not None:
             collect.append((ctx, tok, nbits, bits))
-        flat = ctx.astype(np.int64) * _MAX_TOK + tok
-        counts += np.bincount(flat, minlength=len(counts))
+        flats.append(ctx.astype(np.int64) * _MAX_TOK + tok)
+    if flats:
+        counts = np.bincount(np.concatenate(flats) if len(flats) > 1
+                             else flats[0], minlength=n_bins)
+        if counts_c is not None:
+            counts = counts + counts_c
+    elif counts_c is not None:
+        counts = counts_c.astype(np.int64)
+    else:
+        counts = np.zeros(n_bins, dtype=np.int64)
     grid = counts.reshape(num_contexts, _MAX_TOK)
     histograms = []
     for row in grid:

@@ -58,6 +58,7 @@ def get_lib():
         lib.ans_read_uints.restype = ctypes.c_int
         lib.ans_read_permutation.restype = ctypes.c_int
         lib.tokenize_ac_image.restype = ctypes.c_int
+        lib.hybrid_tokenize.restype = ctypes.c_int
     except AttributeError:
         pass
     _lib = lib
@@ -112,6 +113,31 @@ class NativeTree:
 
 def _ptr(a, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def hybrid_tokenize_native(lib, ctx: np.ndarray, val: np.ndarray,
+                           split_exponent: int, msb: int, lsb: int,
+                           counts: np.ndarray, max_tok: int):
+    """One-pass hybrid-uint split + histogram accumulation (C).
+
+    ctx: i32[n] contiguous, val: i64[n] contiguous; counts: u32 array of
+    num_ctx*max_tok accumulated IN PLACE. Returns (tok u16, nbits u8,
+    bits u32) or None when a token overflows the alphabet (caller uses
+    the Python path)."""
+    n = len(val)
+    tok = np.empty(n, dtype=np.uint16)
+    nbits = np.empty(n, dtype=np.uint8)
+    bits = np.empty(n, dtype=np.uint32)
+    rc = lib.hybrid_tokenize(
+        _ptr(ctx, ctypes.c_int32), _ptr(val, ctypes.c_int64),
+        ctypes.c_size_t(n), ctypes.c_int(split_exponent),
+        ctypes.c_int(msb), ctypes.c_int(lsb),
+        _ptr(tok, ctypes.c_uint16), _ptr(nbits, ctypes.c_uint8),
+        _ptr(bits, ctypes.c_uint32), _ptr(counts, ctypes.c_uint32),
+        ctypes.c_int(max_tok))
+    if rc != 0:
+        return None
+    return tok, nbits, bits
 
 
 def ans_write_native(lib, histo: np.ndarray, tok: np.ndarray,

@@ -2292,7 +2292,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             w.append_bits_from(ac_histo_writers[p])
 
     def write_ac_group(w, g, p=0):
-        write_tokens(ac_token_lists[p][g], ac_codes[p], ac_context_maps[p], w)
+        write_tokens(ac_token_lists[p][g], ac_codes[p], ac_context_maps[p], w,
+                     pretok=(ac_codes[p].tokenized[g]
+                             if ac_codes[p].tokenized is not None else None))
         if (p, g) in ec_ac_tokens:
             gh = GroupHeader()
             gh.use_global_tree = True

@@ -47,20 +47,17 @@ def gaborish_inverse_kernel(mul: float = 1.0) -> np.ndarray:
 
 
 def apply_gaborish_inverse(xyb: np.ndarray) -> np.ndarray:
-    """Sharpen all three channels with the inverse kernel (edge padding)."""
+    """Sharpen all three channels with the inverse kernel (edge padding).
+
+    One C stencil pass per channel (scipy.ndimage, mode='reflect' ==
+    symmetric edge padding) instead of 21 full-image numpy temporaries.
+    """
+    from scipy import ndimage
+
     kern = gaborish_inverse_kernel(1.0)
     out = np.empty_like(xyb)
-    pad = 2
     for c in range(3):
-        p = np.pad(xyb[c], pad, mode="symmetric")
-        acc = np.zeros_like(xyb[c])
-        for dy in range(5):
-            for dx in range(5):
-                w = kern[dy, dx]
-                if w == 0.0:
-                    continue
-                acc += w * p[dy:dy + xyb.shape[1], dx:dx + xyb.shape[2]]
-        out[c] = acc
+        ndimage.correlate(xyb[c], kern, output=out[c], mode="reflect")
     return out
 
 

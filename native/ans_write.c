@@ -15,6 +15,54 @@
 
 #define ANS_LOG 12
 
+/* Hybrid-uint split of one token stream + histogram accumulation.
+ *
+ * Covers the vectorized encode_array + bincount pair on the Python side
+ * (hybrid_uint.py encode_array, enc_ans.h TokenizeWithConfig role) in a
+ * single pass: every value is split into (alphabet token, extra-bit
+ * count, extra bits) per the (split_exponent, msb, lsb) config, and the
+ * per-(context, token) counts accumulate into `counts` (num_ctx rows of
+ * `max_tok` columns). Returns 0, or -1 when a token does not fit the
+ * `max_tok` alphabet / a value needs more than 32 extra bits (caller
+ * falls back to the Python path). */
+int hybrid_tokenize(const int32_t* ctx, const int64_t* val, size_t n,
+                    int split_exponent, int msb, int lsb,
+                    uint16_t* tok_out, uint8_t* nbits_out,
+                    uint32_t* bits_out, uint32_t* counts, int max_tok) {
+  uint64_t split_token = (uint64_t)1 << split_exponent;
+  for (size_t i = 0; i < n; i++) {
+    uint64_t v = (uint64_t)val[i];
+    uint32_t t;
+    unsigned nb;
+    uint32_t b;
+    if (v < split_token) {
+      t = (uint32_t)v;
+      nb = 0;
+      b = 0;
+    } else {
+      unsigned lg = 63 - (unsigned)__builtin_clzll(v);
+      uint64_t m = v - ((uint64_t)1 << lg);
+      nb = lg - msb - lsb;
+      if (nb > 32) return -1;
+      t = (uint32_t)(split_token +
+                     (((uint64_t)(lg - split_exponent)) << (msb + lsb)) +
+                     ((m >> (lg - msb)) << lsb) +
+                     (m & (((uint64_t)1 << lsb) - 1)));
+      b = (uint32_t)((v >> lsb) & ((((uint64_t)1 << nb) - 1)));
+    }
+    if (t >= (uint32_t)max_tok) return -1;
+    tok_out[i] = (uint16_t)t;
+    nbits_out[i] = (uint8_t)nb;
+    bits_out[i] = b;
+  }
+  /* second pass so a mid-stream alphabet overflow above leaves `counts`
+   * untouched (the caller then reruns the whole stream in Python) */
+  for (size_t i = 0; i < n; i++) {
+    counts[(size_t)ctx[i] * max_tok + tok_out[i]]++;
+  }
+  return 0;
+}
+
 int ans_write_tokens(const uint16_t* histo, const uint16_t* tok,
                      const uint8_t* nbits, const uint32_t* bits, size_t n,
                      const uint16_t* freqs,  /* nhisto * alpha_max */
