@@ -43,14 +43,18 @@ def _jitted():
 
     gab_kernel = gaborish_inverse_kernel(1.0).astype(np.float32)
 
-    @functools.partial(jax.jit, static_argnames=("adaptive", "cfl", "gab"))
+    @functools.partial(jax.jit,
+                       static_argnames=("adaptive", "cfl", "gab",
+                                        "distance"))
     def enc(rgb, dm_inv, dm, inv_global_scale, base_quant, x_dm_mult,
-            b_dm_mult, qf_in=None, adaptive=True, cfl=True, gab=True):
+            b_dm_mult, qf_in=None, adaptive=True, cfl=True, gab=True,
+            distance=None):
         return pl.encode_step(rgb, dm_inv, dm,
                               gab_kernel if gab else None,
                               inv_global_scale, base_quant,
                               x_dm_mult, b_dm_mult,
-                              adaptive=adaptive, cfl=cfl, qf_in=qf_in)
+                              adaptive=adaptive, cfl=cfl, qf_in=qf_in,
+                              distance=distance)
 
     @jax.jit
     def dec(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
@@ -156,27 +160,14 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     quant_dc = initial_quant_dc(public_distance)
     qf_arr = None
     if adaptive_quant:
-        from ..ops.xyb import linear_rgb_to_xyb, srgb_to_linear as s2l
-        from ..vardct.heuristics import (
-            apply_gaborish_inverse,
-            initial_quant_field_full,
-        )
-
-        rgb64 = np.moveaxis(s2l(image.astype(np.float64) / 255.0), -1, 0)
-        rgb64 = np.pad(rgb64, ((0, 0), (0, pad_y), (0, pad_x)),
-                       mode="edge")
-        # the field is computed on the PRE-sharpening opsin image
-        # (enc_heuristics.cc:1105) with the fixed 0.39/d global-scale
-        # anchor (enc_heuristics.cc:1115); inverse Gaborish is applied
-        # by the device encode step afterwards
-        xyb64 = linear_rgb_to_xyb(rgb64)
-        nby, nbx = fd.ysize_blocks, fd.xsize_blocks
-        qf_float = initial_quant_field_full(xyb64, nby, nbx, distance)
+        # the full AdaptiveQuantizationMap runs ON DEVICE inside the
+        # jitted encode step (ops/pipeline.py adaptive_quant_field_jax,
+        # computed on the PRE-sharpening opsin image per
+        # enc_heuristics.cc:1105); the host only fixes the scalar
+        # global scale from the 0.39/d anchor (enc_heuristics.cc:1115)
         quant_median = 0.39 / distance
         quantizer.compute_global_scale_and_quant(quant_dc, quant_median)
-        qf_arr = np.clip(qf_float * quantizer.inv_global_scale + 0.5,
-                         1, QUANT_MAX).astype(np.int32)
-        base_quant = int(qf_arr.mean())
+        base_quant = 0  # unused on the device adaptive path
     else:
         quantizer.compute_global_scale_and_quant(quant_dc, quant_ac)
         base_quant = max(1, min(QUANT_MAX, int(
@@ -194,7 +185,8 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(x_dm_mult),
         np.float32(b_dm_mult), qf_in=qf_arr,
-        adaptive=adaptive_quant, cfl=cfl)
+        adaptive=adaptive_quant, cfl=cfl,
+        distance=float(distance) if adaptive_quant else None)
     precomputed = {
         "quant_median": (quant_median if adaptive_quant
                          else K_AC_QUANT / distance),

@@ -622,6 +622,106 @@ def quant_field_jax(y, nby, nbx, base_quant, quant_max):
     return qf, sharp
 
 
+def adaptive_quant_field_jax(xyb, nby, nbx, distance, rescale=1.0):
+    """Device AdaptiveQuantizationMap: the full per-block float quant
+    field (mirrors heuristics.initial_quant_field_full, which mirrors
+    enc_adaptive_quantization.cc:85-660) as one fused XLA program —
+    elementwise rational polynomials, 4x4 cell sums, a 9-neighbor
+    partial sort (FuzzyErosion) and 8x8 block sums all stay on device.
+    `distance` is a static Python float (compile-time constant)."""
+    from ..vardct.heuristics import (
+        _LOG2,
+        _SG_MUL,
+        _SG_RETMUL,
+        _SG_VOFFSET,
+    )
+
+    quant_ac = 0.725 / max(distance, 1e-3)
+    scale = quant_ac * rescale
+    h, w = nby * 8, nbx * 8
+    yp = xyb[1][:h, :w]
+    xp = xyb[0][:h, :w]
+    bp = xyb[2][:h, :w]
+
+    def ratio_cbrt_gamma(v, invert=False):
+        eps = 1e-2
+        v = jnp.maximum(v, 0.0)
+        num = (_SG_RETMUL * 3 * _SG_MUL) * v * v + eps
+        den = (_LOG2 * _SG_MUL) * v * v * v + (_SG_VOFFSET * _LOG2 + eps)
+        return num / den if invert else den / num
+
+    def block_sum(img):
+        return img.reshape(nby, 8, nbx, 8).sum(axis=(1, 3))
+
+    # per-pixel masking diff
+    p = jnp.pad(yp, 1, mode="edge")
+    base = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+    gammac = ratio_cbrt_gamma(yp + 0.019)
+    diff = jnp.minimum((gammac * (yp - base)) ** 2, 0.2)
+    k_log_offset = 27.505837037000106
+    k_mul = 211.66567973503678
+    diff = 0.25 * jnp.sqrt(diff * np.sqrt(k_mul * 1e8) + k_log_offset)
+    pre = diff.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3)) * 0.25
+
+    # FuzzyErosion: weighted 4 smallest of the 9-neighborhood
+    mul = max(0.0, min(1.0, (2.0 - distance) / 2.0)) if distance < 2.0 \
+        else 0.0
+    k = np.array([0.125, 0.10 - mul * 0.10, 0.09 - mul * 0.09,
+                  0.06 - mul * 0.06])
+    k *= 0.29959705784054957 / k.sum()
+    pp = jnp.pad(pre, 1, mode="edge")
+    hh, ww = pre.shape
+    neigh = jnp.stack([pp[1 + dy:1 + dy + hh, 1 + dx:1 + dx + ww]
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    part = jnp.sort(neigh, axis=0)
+    eroded = (k[0] * part[0] + k[1] * part[1] + k[2] * part[2]
+              + k[3] * part[3])
+    aq = eroded.reshape(nby, 2, nbx, 2).sum(axis=(1, 3))
+
+    # ComputeMask rational polynomial
+    v1 = jnp.maximum(aq * 0.80061762862741759, 1e-3)
+    v2 = 1.0 / (v1 + 302.59587815579727)
+    v3 = 1.0 / (v1 * v1 + 3.7179635626140772)
+    v4 = 1.0 / (v1 * v1 + 0.25 * 3.7179635626140772)
+    out = (-0.7647 + 9.4708735624378946 * v4 + 17.35036561631863 * v2
+           + 6.7943250517376494 * v3)
+
+    # HfModulation: intra-block capped |gradient| sums
+    vmin = 0.0206
+    dx_ = jnp.minimum(jnp.abs(yp[:, 1:] - yp[:, :-1]), vmin)
+    dy_ = jnp.minimum(jnp.abs(yp[1:, :] - yp[:-1, :]), vmin)
+    dx_ = jnp.pad(dx_, ((0, 0), (0, 1)))
+    dy_ = jnp.pad(dy_, ((0, 1), (0, 0)))
+    col = (jnp.arange(w) % 8) != 7
+    row = (jnp.arange(h) % 8) != 7
+    dx_ = dx_ * col[None, :]
+    dy_ = dy_ * row[:, None]
+    hf = block_sum(dx_) + block_sum(dy_)
+    out = out + hf * -0.38 + 0.42
+
+    # GammaModulation
+    r = ratio_cbrt_gamma(yp + 0.16 - xp, invert=True)
+    g = ratio_cbrt_gamma(yp + 0.16 + xp, invert=True)
+    overall = (block_sum(r) + block_sum(g)) * (0.5 / 64)
+    out = out + 0.1005613337192697 * jnp.log2(jnp.maximum(overall, 1e-9))
+
+    # BlueModulation
+    k_limit = 0.027121074570634722
+    k_offset = 0.084381641171960495
+    p_y_eff = bp - (yp + k_offset + jnp.abs(xp))
+    contrib = jnp.where(p_y_eff > 0, jnp.minimum(p_y_eff, k_limit), 0.0)
+    s = block_sum(contrib)
+    s = jnp.where(s >= 32 * k_limit, 64 * k_limit - s, s)
+    s = jnp.minimum(s, 15.398788439047934 * k_limit)
+    out = out + s * 0.14207000358439159
+
+    # final mapping: exp with distance-dependent dampening
+    base_level = 0.48 * scale
+    dampen = max(0.0, 1.0 - (distance - 2.0) / 12.0) if distance >= 2.0 \
+        else 1.0
+    return jnp.exp(out) * (scale * dampen) + (1.0 - dampen) * base_level
+
+
 def fit_cfl_jax(co, color_factor=84.0, base_b=1.0):
     """Device port of heuristics.fit_cfl: per-64x64-tile least squares of
     the X and B coefficients against Y, LLF excluded.
@@ -645,7 +745,8 @@ def fit_cfl_jax(co, color_factor=84.0, base_b=1.0):
 
 def encode_step(rgb, dm_inv, dm, gab_kernel, inv_global_scale, base_quant,
                 x_dm_mult, b_dm_mult, quant_max=255,
-                color_factor=84.0, adaptive=True, cfl=True, qf_in=None):
+                color_factor=84.0, adaptive=True, cfl=True, qf_in=None,
+                distance=None):
     """Full device-side VarDCT encode step (ComputeCoefficients +
     LossyFrameHeuristics subset): linear RGB -> (qcoeffs, dc, qf,
     ytox_map, ytob_map).
@@ -656,6 +757,14 @@ def encode_step(rgb, dm_inv, dm, gab_kernel, inv_global_scale, base_quant,
     coefficients (the host quantizes them against the DC quantizer when
     tokenizing the modular DC stream)."""
     xyb = rgb_to_xyb_jax(rgb)
+    if qf_in is None and adaptive and distance is not None:
+        # full AdaptiveQuantizationMap on device, on the PRE-sharpening
+        # opsin image (enc_heuristics.cc:1105); the host only supplies
+        # the scalar global scale (fixed 0.39/d anchor)
+        _, h, w = xyb.shape
+        field = adaptive_quant_field_jax(xyb, h // 8, w // 8, distance)
+        qf_in = jnp.clip(field * inv_global_scale + 0.5, 1,
+                         quant_max).astype(jnp.int32)
     if gab_kernel is not None:
         xyb = gaborish_inverse_jax(xyb, gab_kernel)
     return encode_step_xyb(xyb, dm_inv, dm, inv_global_scale, base_quant,

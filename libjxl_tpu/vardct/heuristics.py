@@ -306,7 +306,9 @@ def initial_quant_field_full(xyb: np.ndarray, nby: int, nbx: int,
     hh, ww = pre.shape
     neigh = np.stack([pp[1 + dy:1 + dy + hh, 1 + dx:1 + dx + ww]
                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
-    part = np.partition(neigh, 3, axis=0)
+    # full sort of the 4 smallest: np.partition leaves slots 0-2 in
+    # arbitrary order while the weights k[0..3] differ per rank
+    part = np.sort(neigh, axis=0)
     eroded = (k[0] * part[0] + k[1] * part[1] + k[2] * part[2]
               + k[3] * part[3])
     # sum the four half-block cells into each block
