@@ -626,6 +626,42 @@ def _skip_or_decode_preview(r: BitReader, meta, want: bool = False):
     return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
 
 
+def decode_rows(data: bytes, num_threads: int = 0):
+    """Bounded-memory decode: generator of (y0, uint8 rows (h, W, 3)).
+
+    The low-memory group-at-a-time scheduler
+    (vardct/low_memory.py; reference low_memory_render_pipeline.cc):
+    peak pixel memory is three AC-group rows plus the 1/64-area DC
+    fields, never the full image. Raises JXLError for features needing
+    whole-image context (patches, splines, upsampling, progressive,
+    animation, extra channels, modular mode) — fall back to decode().
+    """
+    from ..io.frame_header import ENC_MODULAR as _MOD, FT_REGULAR
+    from ..ops.xyb import linear_to_srgb, xyb_to_linear_rgb
+    from ..vardct.low_memory import decode_vardct_strips
+
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    if meta.m.bit_depth.bits_per_sample > 8:
+        raise JXLError("low-memory decode: >8-bit output")
+    if meta.m.orientation != 1:
+        raise JXLError("low-memory decode: orientation")
+    if meta.m.have_preview:
+        raise JXLError("low-memory decode: preview frame")
+    if not meta.m.xyb_encoded:
+        raise JXLError("low-memory decode: non-XYB stream")
+    fh = FrameHeader(meta)
+    fh.read(r)
+    if fh.frame_type != FT_REGULAR or not fh.is_last:
+        raise JXLError("low-memory decode: multi-frame stream")
+    if fh.encoding == _MOD:
+        raise JXLError("low-memory decode: modular frame")
+    for y0, xyb in decode_vardct_strips(r, fh, num_threads):
+        rgb = xyb_to_linear_rgb(xyb)
+        srgb = linear_to_srgb(np.moveaxis(rgb, 0, -1))
+        yield y0, np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+
+
 def decode_preview(data: bytes):
     """Decode only the preview frame; returns (image, meta) or
     (None, meta) when the stream has no preview."""

@@ -122,10 +122,14 @@ def noise_strength(lut, x: np.ndarray) -> np.ndarray:
 
 
 def add_noise(xyb: np.ndarray, noise_planes, lut, ytox: float,
-              ytob: float) -> np.ndarray:
-    """AddNoiseStage (stage_noise.cc:127-225)."""
+              ytob: float, preconvolved: bool = False) -> np.ndarray:
+    """AddNoiseStage (stage_noise.cc:127-225).
+
+    preconvolved: noise_planes already went through convolve_noise (the
+    low-memory strip decoder convolves with a cross-strip halo first)."""
     norm_const = 0.22
-    rnd_r, rnd_g, rnd_c = [convolve_noise(p) for p in noise_planes]
+    rnd_r, rnd_g, rnd_c = noise_planes if preconvolved \
+        else [convolve_noise(p) for p in noise_planes]
     vx, vy, vb = xyb[0], xyb[1], xyb[2]
     in_g = (vy - vx) * 0.5
     in_r = (vy + vx) * 0.5

@@ -25,6 +25,11 @@ def build_parser():
     p.add_argument("--no_color_management", dest="color_management",
                    action="store_false",
                    help="skip the CMS stage; output plain sRGB")
+    p.add_argument("--low_memory", action="store_true",
+                   help="bounded-memory group-at-a-time decode "
+                        "(low_memory_render_pipeline.cc analog); falls "
+                        "back to the regular decoder for streams with "
+                        "whole-image features")
     p.add_argument("--host", action="store_true",
                    help="force the host (NumPy) render path; by default "
                         "the pixel pipeline runs on the JAX device "
@@ -78,11 +83,33 @@ def _main(argv=None):
         return _write_apng(codestream, args)
     t0 = time.perf_counter()
     info = {}
-    image, meta = decode(codestream, target_nits=args.display_nits,
-                         num_threads=args.num_threads,
-                         device=False if args.host else None,
-                         decode_info=info,
-                         color_management=args.color_management)
+    image = meta = None
+    if args.low_memory:
+        from ..api.codestream import decode_rows, parse_codestream_header
+        from ..base.status import JXLError
+        from ..io.bits import BitReader
+
+        try:
+            import numpy as np
+
+            parts = []
+            for _y0, rows in decode_rows(codestream,
+                                         num_threads=args.num_threads):
+                parts.append(rows)
+            image = np.concatenate(parts, axis=0)
+            meta = parse_codestream_header(BitReader(codestream))
+            info["path"] = "host:low-memory"
+        except JXLError as e:
+            if args.verbose:
+                print(f"low-memory path unavailable ({e}); "
+                      "falling back", file=sys.stderr)
+            image = None
+    if image is None:
+        image, meta = decode(codestream, target_nits=args.display_nits,
+                             num_threads=args.num_threads,
+                             device=False if args.host else None,
+                             decode_info=info,
+                             color_management=args.color_management)
     dt = time.perf_counter() - t0
     if args.verbose:
         print(f"render path: {info.get('path')}", file=sys.stderr)

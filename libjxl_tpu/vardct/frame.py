@@ -168,7 +168,8 @@ def adjust_quant_bias(q: np.ndarray, c: int) -> np.ndarray:
 class VarDCTState:
     """Per-frame decoder/encoder shared state (PassesSharedState analog)."""
 
-    def __init__(self, fh: FrameHeader, fd: FrameDimensions):
+    def __init__(self, fh: FrameHeader, fd: FrameDimensions,
+                 alloc_xyb: bool = True):
         self.fh = fh
         self.fd = fd
         self.matrices = DequantMatrices()
@@ -201,9 +202,10 @@ class VarDCTState:
                            dtype=np.float64)
         self.quant_dc_img = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
                                      dtype=np.int32)
-        # decoded XYB image
-        self.xyb = np.zeros((3, fd.ysize_padded, fd.xsize_padded),
-                            dtype=np.float64)
+        # decoded XYB image (the low-memory strip decoder never
+        # materializes it; see vardct/low_memory.py)
+        self.xyb = None if not alloc_xyb else np.zeros(
+            (3, fd.ysize_padded, fd.xsize_padded), dtype=np.float64)
         self.x_dm_mult = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
         self.b_dm_mult = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
         # modular substream codec state (global tree)

@@ -1,0 +1,299 @@
+"""Bounded-memory group-at-a-time VarDCT decode.
+
+Mirrors the reference's low-memory render pipeline scheduling
+(lib/jxl/render_pipeline/low_memory_render_pipeline.{h,cc}:27-80,
+dec_group_border.h:19): the image is decoded one AC-group ROW at a time
+— entropy decode the row's sections via TOC random access, dequant+IDCT
+into a strip, run the filter chain over a 3-strip rolling window with an
+8px halo (covering the gaborish(1) + EPF pass radii 3+2+1), and emit the
+finished rows. Peak pixel memory is O(3 group rows x width) plus the DC
+/ per-block fields (1/64 area), never the full image.
+
+Strips are AC-group rows, so every transform (<= 256x256 px) is fully
+contained in its strip; filters at interior strip edges read real
+neighbor data from the window, and at frame edges the same symmetric
+mirroring as the whole-image path (render/pipeline.py
+mirror_fill_padding, image_ops.h:184 Mirror). Noise synthesis is seeded
+per AC group (PrepareNoiseInput), so it reproduces exactly per strip.
+
+Features that need whole-image context (patches, splines, upsampling,
+progressive passes, subsampled YCbCr, extra channels, animation
+blending) raise JXLError; callers fall back to the regular decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..base.status import JXLError
+from ..io.bits import BitReader
+
+_HALO = 8  # px; > gaborish(1) + epf0(3) + epf1(2) + epf2(1)
+
+
+class _StripView:
+    """State proxy for render_groups: identical attributes, sliced to one
+    group row with strip-local block coordinates."""
+
+
+def _render_strip(state, gy):
+    from .frame import render_groups
+
+    fd = state.fd
+    gdim_b = fd.group_dim // 8
+    by0 = gy * gdim_b
+    by1 = min(by0 + gdim_b, fd.ysize_blocks)
+    p = _StripView()
+    p.fd = fd
+    p.qblocks = {(by - by0, bx): v
+                 for (by, bx), v in state.qblocks.items()}
+    p.strategy = state.strategy[by0:by1]
+    p.raw_quant_field = state.raw_quant_field[by0:by1]
+    p.dc = state.dc[:, by0:by1]
+    # group rows (32 blocks) align with CfL tile rows (8 blocks)
+    t0, t1 = by0 // 8, -(-by1 // 8)
+    p.ytox_map = state.ytox_map[t0:t1]
+    p.ytob_map = state.ytob_map[t0:t1]
+    p.ytox = state.ytox
+    p.ytob = state.ytob
+    p.matrices = state.matrices
+    p.quantizer = state.quantizer
+    p.x_dm_mult = state.x_dm_mult
+    p.b_dm_mult = state.b_dm_mult
+    p.xyb = np.zeros((3, (by1 - by0) * 8, fd.xsize_padded),
+                     dtype=np.float64)
+    render_groups(p)
+    return p.xyb
+
+
+def _filter_strip(comp, fh, state, comp_y0):
+    """Mirror frame-edge padding, then gaborish + EPF over one composite
+    (halo + strip + halo), exactly like apply_restoration on the whole
+    image (render/pipeline.py:178)."""
+    from ..render.pipeline import (
+        apply_epf,
+        apply_gaborish,
+        compute_sigma,
+        mirror_fill_padding,
+    )
+
+    fd = state.fd
+    lf = fh.loop_filter
+    comp = mirror_fill_padding(
+        np.array(comp), min(comp.shape[1], fd.ysize - comp_y0), fd.xsize)
+    if lf.gab:
+        comp = apply_gaborish(comp, lf)
+    if lf.epf_iters > 0:
+        b0 = comp_y0 // 8
+        b1 = b0 + comp.shape[1] // 8
+        inv_sigma = compute_sigma(lf, state.quantizer.global_scale_float,
+                                  state.raw_quant_field[b0:b1],
+                                  state.epf_sharpness[b0:b1])
+        comp = apply_epf(comp, lf, inv_sigma)
+    return comp
+
+
+def _add_strip_noise(state, strip, gy):
+    """Noise synthesis for one strip: the per-group xorshift fields are
+    exactly reproducible (seeded by group origin), but ConvolveNoise is
+    a 5x5 stencil, so the strip's planes carry a 2-row halo from the
+    neighboring group rows before convolution."""
+    from ..render.noise import add_noise, convolve_noise, random_3planes
+
+    fd = state.fd
+    rows = strip.shape[1]
+    nrows_g = fd.ysize_groups
+    hal_top = 2 if gy > 0 else 0
+    hal_bot = 2 if gy + 1 < nrows_g else 0
+    comp_rows = rows + hal_top + hal_bot
+    planes = [np.zeros((comp_rows, fd.xsize_padded), dtype=np.float32)
+              for _ in range(3)]
+    for gyy in (gy - 1, gy, gy + 1):
+        if not (0 <= gyy < nrows_g):
+            continue
+        for gx in range(fd.xsize_groups):
+            g = gyy * fd.xsize_groups + gx
+            gx0, gy0, gw, gh = fd.group_rect(g)
+            ps = random_3planes(1, 0, gx0, gy0, gw, gh)
+            # group rows mapped into the haloed composite
+            if gyy == gy - 1:
+                dst0, src0, n = 0, gh - hal_top, hal_top
+            elif gyy == gy:
+                dst0, src0, n = hal_top, 0, gh
+            else:
+                dst0, src0, n = hal_top + rows, 0, hal_bot
+            if n <= 0:
+                continue
+            for c in range(3):
+                planes[c][dst0:dst0 + n, gx0:gx0 + gw] = \
+                    ps[c][src0:src0 + n]
+    conv = [convolve_noise(p)[hal_top:hal_top + rows] for p in planes]
+    return add_noise(strip, conv, state.noise_lut,
+                     state.ytox(state.ytox_dc),
+                     state.ytob(state.ytob_dc), preconvolved=True)
+
+
+def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0):
+    """Generator of (y0, xyb f64[3, rows, xsize]) strips, top to bottom.
+
+    The reader must be positioned after the frame header. Unsupported
+    features raise JXLError (caller falls back to decode_vardct_frame).
+    """
+    from ..api.frame import (
+        decode_global_info,
+        decode_modular_group,
+        modular_dc_stream_id,
+        ModularFrameState,
+        num_toc_entries,
+    )
+    from ..io.frame_header import (
+        CT_XYB,
+        CT_YCBCR,
+        FLAG_NOISE,
+        FLAG_PATCHES,
+        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FLAG_SPLINES,
+        FLAG_USE_DC_FRAME,
+    )
+    from ..io.toc import read_group_offsets
+    from .ctx import decode_block_ctx_map
+    from .frame import (
+        ORDER_ENC,
+        VarDCTState,
+        adaptive_dc_smoothing,
+        decode_ac_group,
+        decode_cmap_dc,
+        decode_dc_group,
+    )
+    from ..entropy.decode import decode_histograms
+    from ..io.fields import u32_read
+    from .coeff_order import decode_coeff_orders
+
+    m = fh.nonserialized_metadata.m
+    if fh.passes.num_passes != 1:
+        raise JXLError("low-memory decode: progressive passes")
+    if fh.upsampling != 1:
+        raise JXLError("low-memory decode: upsampling")
+    if fh.color_transform == CT_YCBCR \
+            and not fh.chroma_subsampling.is_444():
+        raise JXLError("low-memory decode: subsampled YCbCr")
+    if m.num_extra_channels:
+        raise JXLError("low-memory decode: extra channels")
+    if fh.flags & (FLAG_PATCHES | FLAG_SPLINES):
+        raise JXLError("low-memory decode: patches/splines")
+    if fh.flags & FLAG_USE_DC_FRAME:
+        raise JXLError("low-memory decode: DC frames")
+
+    fd = fh.frame_dimensions()
+    state = VarDCTState(fh, fd, alloc_xyb=False)
+    state.num_threads = num_threads
+    mstate = ModularFrameState()
+
+    n = num_toc_entries(fd, 1)
+    offsets, sizes, total = read_group_offsets(n, r)
+    r.jump_to_byte_boundary()
+    base = r.total_bits_consumed() // 8
+    data = r.data
+
+    def section_reader(idx):
+        start = base + offsets[idx]
+        return BitReader(data[start:start + sizes[idx]])
+
+    def dc_global(sr):
+        if fh.flags & FLAG_NOISE:
+            from ..render.noise import decode_noise
+
+            state.noise_lut = decode_noise(sr)
+        state.matrices.decode_dc(sr)
+        state.quantizer.decode(sr)
+        state.block_ctx_map = decode_block_ctx_map(sr)
+        decode_cmap_dc(sr, state)
+        decode_global_info(sr, fh, fd, mstate)
+        state.tree = mstate.tree
+        state.code = mstate.code
+        state.context_map = mstate.context_map
+
+    def dc_group(g, sr):
+        decode_dc_group(sr, state, g)
+        gx = g % fd.xsize_dc_groups
+        gy = g // fd.xsize_dc_groups
+        rect = (gx * fd.dc_group_dim, gy * fd.dc_group_dim,
+                fd.dc_group_dim, fd.dc_group_dim)
+        decode_modular_group(sr, fh, fd, mstate, rect, 3, 1000,
+                             modular_dc_stream_id(fd, g))
+
+    def ac_global(sr):
+        if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
+            fac = [state.quantizer.mul_dc(c) for c in range(3)]
+            state.dc = adaptive_dc_smoothing(state.dc, fac)
+        state.matrices.decode(sr, num_dc_groups=fd.num_dc_groups,
+                              global_tree=state.tree,
+                              global_code=state.code,
+                              global_ctx_map=state.context_map)
+        nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 \
+            else 0
+        state.num_histograms = 1 + (sr.read_bits(nbits) if nbits else 0)
+        used_orders = u32_read(ORDER_ENC, sr)
+        state.orders.append(decode_coeff_orders(used_orders, sr))
+        num_contexts = (state.num_histograms
+                        * state.block_ctx_map.num_ac_contexts())
+        code, cmap = decode_histograms(sr, num_contexts)
+        state.ac_code.append(code)
+        state.ac_context_map.append(cmap)
+
+    single = fd.num_groups == 1
+    if single:
+        sr = section_reader(0)
+        dc_global(sr)
+        dc_group(0, sr)
+        ac_global(sr)
+        row_reader = {0: sr}
+    else:
+        dc_global(section_reader(0))
+        for g in range(fd.num_dc_groups):
+            dc_group(g, section_reader(1 + g))
+        ac_global(section_reader(1 + fd.num_dc_groups))
+        row_reader = None
+
+    lf = fh.loop_filter
+    filtered = lf.gab or lf.epf_iters > 0
+
+    def decode_row(gy):
+        for gx in range(fd.xsize_groups):
+            g = gy * fd.xsize_groups + gx
+            sr = row_reader[0] if single \
+                else section_reader(2 + fd.num_dc_groups + g)
+            decode_ac_group(sr, state, g)
+        strip = _render_strip(state, gy)
+        state.qblocks.clear()
+        cache = getattr(state, "_ac_native", None)
+        if cache is not None:
+            cache.clear()
+        return strip
+
+    nrows = fd.ysize_groups
+    prev = None
+    cur = decode_row(0)
+    for gy in range(nrows):
+        nxt = decode_row(gy + 1) if gy + 1 < nrows else None
+        y0 = gy * fd.group_dim
+        rows = cur.shape[1]
+        if filtered:
+            top = prev[:, -_HALO:] if prev is not None else None
+            bot = nxt[:, :_HALO] if nxt is not None else None
+            comp = np.concatenate(
+                [p for p in (top, cur, bot) if p is not None], axis=1)
+            comp_y0 = y0 - (_HALO if prev is not None else 0)
+            out = _filter_strip(comp, fh, state, comp_y0)
+            off = _HALO if prev is not None else 0
+            strip = out[:, off:off + rows]
+        else:
+            strip = cur
+        if state.noise_lut is not None:
+            strip = _add_strip_noise(state, np.ascontiguousarray(strip),
+                                     gy)
+        emit = min(rows, fd.ysize - y0)
+        if emit > 0:
+            yield y0, strip[:, :emit, :fd.xsize]
+        prev, cur = cur, nxt
+    r.skip_bits(total * 8)

@@ -1,0 +1,102 @@
+"""Bounded-memory group-at-a-time decode (vardct/low_memory.py;
+reference low_memory_render_pipeline.{h,cc}, dec_group_border.h)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api import codestream
+from libjxl_tpu.base.status import JXLError
+
+
+def _image(h, w, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(yy * 0.4 + xx * 0.1) % 256, (xx * 0.6) % 256,
+                    ((yy - xx) * 0.3) % 256], -1)
+    return np.clip(img + rng.normal(0, 6, (h, w, 3)), 0,
+                   255).astype(np.uint8)
+
+
+def _assemble(stream):
+    out, h = [], 0
+    for y0, rows in codestream.decode_rows(stream):
+        assert y0 == h  # strips arrive in order, no gaps
+        out.append(rows)
+        h += rows.shape[0]
+    return np.concatenate(out, axis=0)
+
+
+@pytest.mark.parametrize("h,w,d", [
+    (600, 520, 1.0),    # multi-strip, odd width
+    (256, 256, 2.0),    # exactly one group
+    (64, 48, 1.0),      # single-section special case
+    (257, 1030, 1.5),   # padding rows and columns
+])
+def test_strips_match_whole_image(h, w, d):
+    img = _image(h, w)
+    stream = codestream.encode_lossy(img, distance=d, effort=3,
+                                     device=False)
+    ref, _ = codestream.decode(stream, device=False)
+    out = _assemble(stream)
+    assert out.shape == ref[:, :, :3].shape
+    assert np.array_equal(ref[:, :, :3], out)
+
+
+def test_strips_match_with_noise():
+    img = _image(700, 300)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     device=False, photon_noise_iso=1600)
+    ref, _ = codestream.decode(stream, device=False)
+    assert np.array_equal(ref[:, :, :3], _assemble(stream))
+
+
+def test_unsupported_features_raise():
+    img = _image(128, 128)
+    prog = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                   device=False, progressive=2)
+    with pytest.raises(JXLError):
+        list(codestream.decode_rows(prog))
+    lossless = codestream.encode_lossless(img)
+    with pytest.raises(JXLError):
+        list(codestream.decode_rows(lossless))
+
+
+def test_peak_memory_is_bounded():
+    """The strip decoder must never materialize the full image: peak
+    traced allocation stays well under the whole-image decoder's."""
+    import tracemalloc
+
+    img = _image(1536, 256)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     device=False)
+    codestream.decode(stream, device=False)  # warm caches
+    _assemble(stream)
+
+    tracemalloc.start()
+    codestream.decode(stream, device=False)
+    _, peak_full = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    tracemalloc.start()
+    out = _assemble(stream)
+    _, peak_strips = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # exclude the assembled result buffer the test itself accumulates
+    peak_strips -= out.nbytes
+    assert peak_strips < 0.55 * peak_full, (peak_strips, peak_full)
+
+
+def test_djxl_low_memory_flag(tmp_path):
+    from libjxl_tpu.extras.io import load_image, save_image
+    from libjxl_tpu.tools import cjxl, djxl
+
+    img = _image(320, 200)
+    src = tmp_path / "in.png"
+    save_image(str(src), img)
+    jxl = tmp_path / "out.jxl"
+    dec = tmp_path / "dec.png"
+    cjxl._main([str(src), str(jxl), "-d", "1.0", "-e", "3"])
+    djxl._main([str(jxl), str(dec), "--low_memory"])
+    ref = tmp_path / "ref.png"
+    djxl._main([str(jxl), str(ref), "--host"])
+    assert np.array_equal(load_image(str(dec)), load_image(str(ref)))
