@@ -525,8 +525,11 @@ def decode(data: bytes, target_nits: float = None,
 
         # the direct u8 write stage only applies when no host post-stage
         # (tone map / CMS / spot colors / >8-bit output) needs the floats
+        from ..io.frame_header import CT_YCBCR as _CT_YCBCR_W
+
         out["want_u8"] = (target_nits is None and bits <= 8
-                          and meta.m.xyb_encoded
+                          and (meta.m.xyb_encoded
+                               or fh.color_transform == _CT_YCBCR_W)
                           and meta.m.orientation == 1
                           and not color_management)
         render_fn = make_device_render(fh, out)

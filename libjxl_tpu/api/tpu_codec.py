@@ -104,6 +104,29 @@ def _jitted():
     return enc, dec, dec_full, srgb2lin, dec_image
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_sub():
+    """Jitted device render for chroma-subsampled YCbCr frames."""
+    import jax
+
+    from ..ops import pipeline as pl
+
+    @functools.partial(jax.jit,
+                       static_argnames=("shifts", "epf_iters", "gab",
+                                       "to_u8", "true_size"))
+    def dec_sub(qs, dcs, scaled_maps, dm, gab_kernels, inv_sigma_px,
+                sad_mul, channel_scale, shifts, epf_iters=0, gab=False,
+                pass0_scale=0.9, pass2_scale=6.5, to_u8=False,
+                true_size=None):
+        return pl.decode_render_subsampled(
+            qs, dcs, scaled_maps, dm, gab_kernels, inv_sigma_px, sad_mul,
+            channel_scale, shifts, epf_iters=epf_iters, gab=gab,
+            pass0_sigma_scale=pass0_scale, pass2_sigma_scale=pass2_scale,
+            to_u8=to_u8, true_size=true_size)
+
+    return dec_sub
+
+
 def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
                      adaptive_quant: bool = True, cfl: bool = True) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily with the device
@@ -369,6 +392,116 @@ def _qblocks_from_qimg(state):
             state.qblocks[(int(by), int(bx))] = tiles[i].astype(np.int64)
 
 
+def _render_subsampled_device(state, fh, out):
+    """Device render for chroma-subsampled YCbCr frames (the JPEG
+    recompression decode path): dequant + IDCT8 + box chroma upsampling
+    + Gaborish/EPF + BT.601 + u8 write as one jitted program
+    (ops/pipeline.py decode_render_subsampled). Returns True when final
+    pixels were produced in out['u8']; False -> host fallback."""
+    import logging
+
+    log = logging.getLogger("libjxl_tpu.device")
+    fd = state.fd
+    if out is None or not out.get("want_u8", False):
+        return False
+    if state.patches is not None or state.splines is not None \
+            or state.noise_lut is not None:
+        return False
+    if fh.upsampling != 1 \
+            or fh.nonserialized_metadata.m.num_extra_channels:
+        return False
+    qb = getattr(state, "qblocks_sub", None)
+    is444 = qb is None
+    if is444:
+        # 444 YCbCr rides the regular dense layout; all-DCT8 only
+        from ..vardct import ac_strategy as acs
+
+        if getattr(state, "qimg", None) is None:
+            return False
+        strategies = np.unique(state.strategy[state.is_origin])
+        if not all(int(s) == acs.DCT for s in strategies):
+            return False
+        # the dense host path applies CfL and the x/b qm multipliers;
+        # this lean YCbCr program assumes they are neutral
+        if np.any(state.ytox_map) or np.any(state.ytob_map) \
+                or state.x_dm_mult != 1.0 or state.b_dm_mult != 1.0 \
+                or state.base_x != 0.0 or state.base_b != 0.0:
+            return False
+    elif getattr(state, "dc_sub", None) is None:
+        return False
+    try:
+        from ..vardct.subsampled import _shifts
+
+        hs, vs = _shifts(fh) if not is444 else ([0, 0, 0], [0, 0, 0])
+        inv_gs = state.quantizer.inv_global_scale
+        qs, dcs, scaled = [], [], []
+        for c in range(3):
+            nby = (fd.ysize_blocks + (1 << vs[c]) - 1) >> vs[c]
+            nbx = (fd.xsize_blocks + (1 << hs[c]) - 1) >> hs[c]
+            if is444:
+                qs.append(state.qimg[c])
+                dcs.append(np.asarray(state.dc[c], dtype=np.float32))
+            else:
+                plane5 = np.zeros((nby, 8, nbx, 8), dtype=np.int32)
+                d = qb[c]
+                if d:
+                    keys = np.array(list(d.keys()), dtype=np.int64)
+                    vals = np.stack([np.asarray(v) for v in
+                                     d.values()]).astype(np.int32)
+                    plane5[keys[:, 0], :, keys[:, 1], :] = \
+                        vals.reshape(-1, 8, 8)
+                qs.append(plane5.reshape(nby * 8, nbx * 8))
+                dcs.append(np.asarray(state.dc_sub[c],
+                                      dtype=np.float32)[:nby, :nbx])
+            qf = state.raw_quant_field[::1 << vs[c],
+                                       ::1 << hs[c]][:nby, :nbx]
+            scaled.append((inv_gs / qf).astype(np.float32))
+        lf = fh.loop_filter
+        h, w = fd.ysize_blocks * 8, fd.xsize_blocks * 8
+        gab_kernels = np.zeros((3, 3, 3), dtype=np.float32)
+        if lf.gab:
+            from ..render.pipeline import gaborish_kernel
+
+            gab_kernels = np.stack([
+                gaborish_kernel(getattr(lf, f"gab_{ch}_weight1"),
+                                getattr(lf, f"gab_{ch}_weight2"))
+                for ch in "xyb"]).astype(np.float32)
+        if lf.epf_iters > 0:
+            from ..render.pipeline import _sad_mul_map, compute_sigma
+
+            inv_sigma_b = compute_sigma(
+                lf, state.quantizer.global_scale_float,
+                state.raw_quant_field, state.epf_sharpness)
+            inv_sigma_px = np.repeat(np.repeat(
+                inv_sigma_b.astype(np.float32), 8, 0), 8, 1)[:h, :w]
+            sad_mul = _sad_mul_map(h, w, lf.epf_border_sad_mul).astype(
+                np.float32)
+        else:
+            inv_sigma_px = np.zeros((h, w), dtype=np.float32)
+            sad_mul = np.ones((h, w), dtype=np.float32)
+        dec_sub = _jitted_sub()
+        result = dec_sub(
+            tuple(qs), tuple(dcs), tuple(scaled),
+            np.stack([state.matrices.dequant_matrix(0, c).reshape(8, 8)
+                      for c in range(3)]).astype(np.float32),
+            gab_kernels, inv_sigma_px, sad_mul,
+            tuple(np.float32(v) for v in lf.epf_channel_scale),
+            tuple((int(hs[c]), int(vs[c])) for c in range(3)),
+            epf_iters=int(lf.epf_iters), gab=bool(lf.gab),
+            pass0_scale=np.float32(lf.epf_pass0_sigma_scale),
+            pass2_scale=np.float32(lf.epf_pass2_sigma_scale),
+            to_u8=True,
+            true_size=(fd.ysize, fd.xsize)
+            if (fd.ysize, fd.xsize) != (h, w) else None)
+        out["u8"] = np.asarray(result)
+        out["path"] = "device:u8-ycbcr"
+        state.device_output_done = True
+        return True
+    except Exception as e:
+        log.warning("device subsampled render failed (%s); host", e)
+        return False
+
+
 def make_device_render(fh, out=None):
     """render_fn for decode_vardct_frame: dequant + all-strategy inverse
     transforms + Gaborish + EPF as one jitted XLA program. Subsampled
@@ -395,6 +528,9 @@ def make_device_render(fh, out=None):
         fd = state.fd
         if getattr(state, "qblocks_sub", None) is not None \
                 or list(fh.chroma_subsampling.channel_mode) != [0, 0, 0]:
+            if _render_subsampled_device(state, fh, out):
+                state.restoration_done = True
+                return
             if out is not None:
                 out["path"] = "host:chroma-subsampled"
             log.warning("device render fell back to host: "
@@ -418,8 +554,16 @@ def make_device_render(fh, out=None):
                 state.qimg[:, by * 8:(by + cy) * 8,
                            bx * 8:(bx + cx) * 8] = \
                     np.asarray(blk).reshape(3, cy * 8, cx * 8)
-        from ..io.frame_header import CT_XYB
+        from ..io.frame_header import CT_XYB, CT_YCBCR
 
+        if fh.color_transform == CT_YCBCR:
+            # 444 YCbCr (JPEG transcode without chroma subsampling)
+            if _render_subsampled_device(state, fh, out):
+                state.restoration_done = True
+                return
+            host_fallback(state, "YCbCr 444 outside the lean device "
+                          "program")
+            return
         if fh.color_transform != CT_XYB or \
                 getattr(state, "color_factor", 84) != 84 or \
                 getattr(state, "base_x", 0.0) != 0.0 or \

@@ -461,6 +461,68 @@ def decode_render_image(qimg, qf, dc, ytox_map, ytob_map, dm,
     return xyb
 
 
+def ycbcr_to_rgb_jax(planes):
+    """Full-range BT.601 (stage_ycbcr.cc:31-52) on device: (Cb, Y, Cr)
+    planes -> RGB in [0, 1]."""
+    cb, y, cr = planes[0], planes[1], planes[2]
+    yp = y + jnp.float32(128.0 / 255)
+    r = yp + 1.402 * cr
+    g = yp + jnp.float32(-0.114 * 1.772 / 0.587) * cb \
+        + jnp.float32(-0.299 * 1.402 / 0.587) * cr
+    b = yp + 1.772 * cb
+    return jnp.stack([r, g, b])
+
+
+def decode_render_subsampled(qs, dcs, scaled_maps, dm, gab_kernels,
+                             inv_sigma_px, sad_mul, channel_scale,
+                             shifts, epf_iters=0, gab=False,
+                             pass0_sigma_scale=0.9, pass2_sigma_scale=6.5,
+                             to_u8=False, true_size=None):
+    """Device decode of a chroma-subsampled YCbCr DCT8 frame
+    (dec_group.cc:569 quant-from-luma + stage_chroma_upsampling +
+    stage_ycbcr): per-channel dequant + batched IDCT8 at native
+    resolution, box chroma upsampling, optional Gaborish/EPF, BT.601.
+
+    qs: 3 x i32[nbyc*8, nbxc*8] dense transposed-layout coefficients;
+    dcs: 3 x f32[nbyc, nbxc] unquantized DC; scaled_maps: 3 x
+    f32[nbyc, nbxc] per-block inv_global_scale/quant (from the LUMA
+    quant field); shifts: ((hs, vs) per channel, static).
+    """
+    planes = []
+    h = w = None
+    for c in range(3):
+        q = qs[c].astype(jnp.float32)
+        blocks = image_to_blocks(q[None])[0]  # (nby, nbx, 8, 8)
+        scaled = scaled_maps[c][:, :, None, None]
+        co = adjust_quant_bias_jax(blocks, c) \
+            * dm[c].reshape(1, 1, 8, 8) * scaled
+        co = co.at[:, :, 0, 0].set(dcs[c])
+        pix = idct8_blocks(co[None])  # (1, nby, nbx, 8, 8)
+        plane = blocks_to_image(pix)[0]
+        hs, vs = shifts[c]
+        if vs:
+            plane = jnp.repeat(plane, 1 << vs, axis=0)
+        if hs:
+            plane = jnp.repeat(plane, 1 << hs, axis=1)
+        if c == 1:
+            h, w = plane.shape
+        planes.append(plane)
+    ycc = jnp.stack([p[:h, :w] for p in planes])
+    if gab:
+        ycc = gaborish_jax(ycc, gab_kernels)
+    if epf_iters > 0:
+        ycc = epf_jax(ycc, inv_sigma_px, sad_mul, channel_scale,
+                      epf_iters, pass0_sigma_scale, pass2_sigma_scale)
+    rgb = ycbcr_to_rgb_jax(ycc)
+    if true_size is not None:
+        rgb = rgb[:, :true_size[0], :true_size[1]]
+    if to_u8:
+        # YCbCr VarDCT frames carry display-space values: no transfer
+        u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+        return u8.transpose(1, 2, 0)
+    return rgb
+
+
 def gaborish_jax(xyb, kernels):
     """Decoder-side 3x3 Gaborish blur, per-channel kernels (3, 3, 3).
 

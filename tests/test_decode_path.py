@@ -76,10 +76,19 @@ def test_subsampled_stream_falls_back_loudly(caplog):
 
     planes = [ds(ycbcr[c], 1 << vs[c], 1 << hs[c]) for c in range(3)]
     encode_vardct_subsampled(w, planes, fh, distance=1.0)
+    stream = w.get_bytes()
+    # round 3: subsampled YCbCr renders ON DEVICE (decode_render_
+    # subsampled); the device output must track the host render
+    info = {}
+    out, _ = codestream.decode(stream, device=True, decode_info=info)
+    assert info["path"] == "device:u8-ycbcr", info
+    assert out.shape[:2] == (120, 144)
+    host, _ = codestream.decode(stream, device=False)
+    assert np.abs(host.astype(int) - out.astype(int)).max() <= 1
+    # a post-stage needing floats (tone map) still falls back LOUDLY
     info = {}
     with caplog.at_level(logging.WARNING, logger="libjxl_tpu.device"):
-        out, _ = codestream.decode(w.get_bytes(), device=True,
-                                   decode_info=info)
+        codestream.decode(stream, device=True, decode_info=info,
+                          target_nits=100.0)
     assert info["path"].startswith("host:"), info
     assert any("fell back" in r.message for r in caplog.records)
-    assert out.shape[:2] == (120, 144)
