@@ -870,14 +870,22 @@ def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
     return writer.get_bytes()
 
 
-def decode_frames(data: bytes):
-    """Generator yielding (image, duration_ticks) for every frame."""
+def decode_frames(data: bytes, device: bool = None):
+    """Generator yielding (image, duration_ticks) for every frame.
+
+    device: render each VarDCT frame's pixel pipeline on the JAX device
+    (same program as decode(); None = auto when an accelerator is
+    attached)."""
     from ..ops.xyb import linear_to_srgb
     from ..vardct.frame import decode_vardct_frame
 
     r = BitReader(data)
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
+    if device is None:
+        from .tpu_codec import device_worthwhile
+
+        device = device_worthwhile(meta.size.xsize() * meta.size.ysize())
     while True:
         fh = FrameHeader(meta)
         fh.read(r)
@@ -889,10 +897,23 @@ def decode_frames(data: bytes):
             elif bits <= 16:
                 stacked = stacked.astype(np.uint16)
         else:
-            chans = decode_vardct_frame(r, fh)
-            srgb = linear_to_srgb(np.stack(chans, axis=-1))
-            stacked = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8) \
-                if bits <= 8 else srgb
+            render_fn = None
+            out = {}
+            if device:
+                from .tpu_codec import make_device_render
+
+                out["want_u8"] = (bits <= 8 and meta.m.orientation == 1
+                                  and meta.m.xyb_encoded)
+                render_fn = make_device_render(fh, out)
+            chans = decode_vardct_frame(r, fh, render_fn=render_fn,
+                                        want_qimg=device)
+            if chans is None and "u8" in out:
+                stacked = out["u8"]
+            else:
+                srgb = linear_to_srgb(np.stack(chans, axis=-1))
+                stacked = np.clip(np.round(srgb * 255.0), 0,
+                                  255).astype(np.uint8) \
+                    if bits <= 8 else srgb
         r.jump_to_byte_boundary()
         yield stacked, fh.animation_frame.duration
         if fh.is_last:

@@ -63,3 +63,22 @@ def test_apng_cli_roundtrip(tmp_path):
                               np.asarray(b.convert("RGB")))
         durs.append(b.info.get("duration"))
     assert durs == [50, 100, 150, 200]
+
+
+def test_lossy_animation_device_decode():
+    """decode_frames renders VarDCT animation frames on the device path
+    (same program as decode(); f32 vs f64 -> at most 1 u8 step)."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(2)
+    frames = [np.clip(rng.normal(100 + 40 * i, 30, (256, 256, 3)), 0,
+                      255).astype(np.uint8) for i in range(3)]
+    stream = codestream.encode_animation(frames, lossless=False,
+                                         distance=1.0)
+    host = [f for f, _ in codestream.decode_frames(stream, device=False)]
+    dev = [f for f, _ in codestream.decode_frames(stream, device=True)]
+    assert len(host) == len(dev) == 3
+    for a, c in zip(host, dev):
+        assert np.abs(a.astype(int) - c.astype(int)).max() <= 1
