@@ -37,6 +37,7 @@ K_DC_QUANT = 1.095924047623553
 @functools.lru_cache(maxsize=1)
 def _jitted():
     import jax
+    import jax.numpy as jnp
 
     from ..ops import pipeline as pl
     from ..vardct.heuristics import gaborish_inverse_kernel
@@ -49,12 +50,16 @@ def _jitted():
     def enc(rgb, dm_inv, dm, inv_global_scale, base_quant, x_dm_mult,
             b_dm_mult, qf_in=None, adaptive=True, cfl=True, gab=True,
             distance=None):
-        return pl.encode_step(rgb, dm_inv, dm,
-                              gab_kernel if gab else None,
-                              inv_global_scale, base_quant,
-                              x_dm_mult, b_dm_mult,
-                              adaptive=adaptive, cfl=cfl, qf_in=qf_in,
-                              distance=distance)
+        q, dc, qf, ytox, ytob, sharp = pl.encode_step(
+            rgb, dm_inv, dm, gab_kernel if gab else None,
+            inv_global_scale, base_quant, x_dm_mult, b_dm_mult,
+            adaptive=adaptive, cfl=cfl, qf_in=qf_in, distance=distance)
+        # image-layout coefficients + per-position zero counts ON DEVICE:
+        # the host entropy coder consumes these directly, skipping the
+        # ~100 MB transpose/astype copies of the block tensor
+        qimg = pl.blocks_to_image(q)
+        nz = (q == 0).sum(axis=(1, 2)).reshape(3, 64).astype(jnp.int32)
+        return qimg, nz, dc, qf, ytox, ytob, sharp
 
     @jax.jit
     def dec(qcoeffs, qf, dc, ytox_map, ytob_map, dm, inv_global_scale,
@@ -204,7 +209,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
 
     enc, _, _, srgb2lin, _ = _jitted()
     rgb = srgb2lin(srgb)
-    qall, dc, qf, ytox_map, ytob_map, sharp = enc(
+    qimg, nz, dc, qf, ytox_map, ytob_map, sharp = enc(
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(x_dm_mult),
         np.float32(b_dm_mult), qf_in=qf_arr,
@@ -213,7 +218,8 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     precomputed = {
         "quant_median": (quant_median if adaptive_quant
                          else K_AC_QUANT / distance),
-        "qall": np.asarray(qall),
+        "qimg": np.asarray(qimg),
+        "nz": np.asarray(nz),
         "dc": np.asarray(dc),
         "qf": np.asarray(qf),
         "ytox_map": np.asarray(ytox_map),

@@ -45,7 +45,13 @@ class TokenArray:
     __slots__ = ("ctx", "value", "is_lz77")
 
     def __init__(self, ctx, value, is_lz77=None):
-        self.value = np.ascontiguousarray(value, dtype=np.int64)
+        # uint32 passes through unconverted: the bulk AC tokenizer emits
+        # u32 and both tokenization paths accept it (the C fast path
+        # reads either width), sparing an int64 copy of every stream
+        v = np.asarray(value)
+        if v.dtype not in (np.uint32, np.int64):
+            v = v.astype(np.int64)
+        self.value = np.ascontiguousarray(v)
         c = np.asarray(ctx)
         if c.ndim == 0:
             c = np.full(len(self.value), int(c), dtype=np.int32)
@@ -91,8 +97,13 @@ def flatten_tokens(tokens):
     if not ctxs:
         z = np.zeros(0, dtype=np.int64)
         return z.astype(np.int32), z, None
+    if len(ctxs) == 1:
+        # single bulk block: no concatenate copy
+        return ctxs[0], vals[0], (lzs[0] if any_lz else None)
     ctx = np.concatenate(ctxs)
     val = np.concatenate(vals)
+    if val.dtype != np.int64:
+        val = val.astype(np.int64)
     lz = np.concatenate(lzs) if any_lz else None
     return ctx, val, lz
 

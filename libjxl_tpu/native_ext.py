@@ -128,13 +128,15 @@ def hybrid_tokenize_native(lib, ctx: np.ndarray, val: np.ndarray,
     tok = np.empty(n, dtype=np.uint16)
     nbits = np.empty(n, dtype=np.uint8)
     bits = np.empty(n, dtype=np.uint32)
+    is_u32 = val.dtype == np.uint32
     rc = lib.hybrid_tokenize(
-        _ptr(ctx, ctypes.c_int32), _ptr(val, ctypes.c_int64),
+        _ptr(ctx, ctypes.c_int32),
+        val.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_size_t(n), ctypes.c_int(split_exponent),
         ctypes.c_int(msb), ctypes.c_int(lsb),
         _ptr(tok, ctypes.c_uint16), _ptr(nbits, ctypes.c_uint8),
         _ptr(bits, ctypes.c_uint32), _ptr(counts, ctypes.c_uint32),
-        ctypes.c_int(max_tok))
+        ctypes.c_int(max_tok), ctypes.c_int(1 if is_u32 else 0))
     if rc != 0:
         return None
     return tok, nbits, bits
@@ -331,8 +333,9 @@ def tokenize_ac_image_native(lib, xsize_groups, ysize_groups,
     for g in range(n_groups):
         n = int(group_len[g])
         base = g * group_cap
-        out.append((out_ctx[base:base + n],
-                    out_u[base:base + n].astype(np.int64)))
+        # uint32 views, no copy: TokenArray and both tokenization paths
+        # accept u32 directly
+        out.append((out_ctx[base:base + n], out_u[base:base + n]))
     return out
 
 

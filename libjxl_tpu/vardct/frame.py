@@ -1712,7 +1712,16 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                     dtype=np.int32)
         state.ytob_map = np.asarray(precomputed["ytob_map"],
                                     dtype=np.int32)
-        qall_full = np.asarray(precomputed["qall"], dtype=np.int64)
+        if "qimg" in precomputed:
+            # device already emitted image-layout i32 coefficients and
+            # the (3, 64) per-position zero counts: no 100 MB host
+            # transpose/astype of the block tensor
+            qall_full = None
+            qimg_pre = np.asarray(precomputed["qimg"], dtype=np.int32)
+            nz_pre = np.asarray(precomputed["nz"], dtype=np.int64)
+        else:
+            qall_full = np.asarray(precomputed["qall"], dtype=np.int64)
+            qimg_pre = nz_pre = None
         splines_state = None
         coeffs_q = None  # dense DCT8 grid: fast tokenization path
     else:
@@ -1972,6 +1981,7 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         qall = np.stack([qx, qy, qb]).astype(np.int64)
         qall[:, :, :, 0, 0] = 0  # LLF not coded
         qall_full = qall
+        qimg_pre = nz_pre = None
         if bool((state.strategy == acs.DCT).all()):
             coeffs_q = None  # dense DCT8 grid: fast tokenization path
         else:
@@ -2131,6 +2141,11 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         _nlib = get_lib()
         if (num_passes != 1 or bcm.num_dc_ctxs != 1 or _nlib is None
                 or not hasattr(_nlib, "tokenize_ac_image")):
+            if qall_full is None:  # rebuild blocks from image layout
+                nby_, nbx_ = fd.ysize_blocks, fd.xsize_blocks
+                qall_full = np.ascontiguousarray(
+                    qimg_pre.reshape(3, nby_, 8, nbx_, 8).transpose(
+                        0, 1, 3, 2, 4)).astype(np.int64)
             coeffs_q = {}
             for by in range(fd.ysize_blocks):
                 for bx in range(fd.xsize_blocks):
@@ -2151,16 +2166,20 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
 
         nby, nbx = fd.ysize_blocks, fd.xsize_blocks
         used_strategies = {acs.DCT}
-        nz = (qall_full == 0).sum(axis=(1, 2)).reshape(3, 64).astype(
-            np.int64)
+        if nz_pre is not None:
+            nz = nz_pre
+        else:
+            nz = (qall_full == 0).sum(axis=(1, 2)).reshape(3, 64).astype(
+                np.int64)
         num_zeros = {(acs.STRATEGY_ORDER[acs.DCT], c): nz[c]
                      for c in range(3)}
         used_p, orders_p = compute_coeff_orders(
             num_zeros, used_strategies, customize=customize)
         pass_orders = [(used_p, orders_p)]
-        qimg_enc = np.ascontiguousarray(
-            qall_full.transpose(0, 1, 3, 2, 4).reshape(
-                3, nby * 8, nbx * 8).astype(np.int32))
+        qimg_enc = qimg_pre if qimg_pre is not None \
+            else np.ascontiguousarray(
+                qall_full.transpose(0, 1, 3, 2, 4).reshape(
+                    3, nby * 8, nbx * 8).astype(np.int32))
         bctx_lut, qf_thr = _bctx_luts(bcm)
         cov_x, cov_y, log2cb, ord_lut = _geometry_luts()
         off_tab, oflat = _order_image_luts(

@@ -25,13 +25,16 @@
  * `max_tok` columns). Returns 0, or -1 when a token does not fit the
  * `max_tok` alphabet / a value needs more than 32 extra bits (caller
  * falls back to the Python path). */
-int hybrid_tokenize(const int32_t* ctx, const int64_t* val, size_t n,
+int hybrid_tokenize(const int32_t* ctx, const void* val, size_t n,
                     int split_exponent, int msb, int lsb,
                     uint16_t* tok_out, uint8_t* nbits_out,
-                    uint32_t* bits_out, uint32_t* counts, int max_tok) {
+                    uint32_t* bits_out, uint32_t* counts, int max_tok,
+                    int val_is_u32) {
   uint64_t split_token = (uint64_t)1 << split_exponent;
+  const int64_t* v64 = (const int64_t*)val;
+  const uint32_t* v32 = (const uint32_t*)val;
   for (size_t i = 0; i < n; i++) {
-    uint64_t v = (uint64_t)val[i];
+    uint64_t v = val_is_u32 ? (uint64_t)v32[i] : (uint64_t)v64[i];
     uint32_t t;
     unsigned nb;
     uint32_t b;
