@@ -1,26 +1,29 @@
 """Benchmark: real-codestream VarDCT decode throughput on one TPU chip.
 
-Round-3 methodology — every reported number is a measured wall clock:
+Round-3 methodology — every reported number is a measured wall clock and
+every image in a dispatch is a DISTINCT real bitstream:
 
-1. Synthesize a 2048x2048 photo-like image and encode it at d1/e3 with
-   this package's encoder (real VarDCT stream: adaptive quant field,
-   merged AC strategies, CfL, gaborish+EPF signaled).
-2. Host entropy decode of the real bitstream (native/vardct_decode.c;
+1. Synthesize B distinct 2048x2048 photo-like images (independent noise
+   fields) and encode each at d1/e3 with this package's encoder (real
+   VarDCT streams: adaptive quant field on device, CfL, gaborish+EPF
+   signaled).
+2. Host entropy decode of each real bitstream (native/vardct_decode.c;
    per-AC-group pthread pool when cores are available). `entropy_mp_s`
-   is the measured rate on this machine's cores (`entropy_threads`).
-3. Device render: dequant + LLF + full strategy zoo + Gaborish + EPF +
-   XYB->sRGB-u8 write stage as ONE jitted XLA program. The program is
-   vmapped over a leading batch axis of B per-image coefficient salts:
-   each dispatch REALLY renders B distinct full images (distinct inputs,
-   distinct checksums), so `value` = B * MP / median dispatch seconds is
-   the measured device pixel-pipeline rate. B is auto-reduced if the
-   batched program fails to fit.
+   is the measured single-stream rate on this machine's cores.
+3. Device render: the serving-path batched program
+   (api/tpu_codec.prepare_tpu_batch — dequant + IDCT + Gaborish + EPF +
+   sRGB-u8 write vmapped over the batch axis). One dispatch renders the
+   B distinct images; the timed program reduces each image to a
+   checksum on device (the dev-rig tunnel makes full-image readback a
+   measurement artifact). `value` = B * MP / median dispatch seconds.
+   B halves automatically if the batched program fails to fit.
 
-`e2e_mp_s` is the honest unpipelined single-stream rate (host entropy +
-staging + one-image render through the dev-rig tunnel). `encode_mp_s`
-is the e3 encoder rate on the same image. Baseline for vs_baseline: the
-reference's ~400 MP/s multithreaded-CPU decode design target
-(doc/xl_overview.md:7-9), compared against the headline device rate.
+`e2e_mp_s` is the honest unpipelined single-stream rate
+(decode_tpu_batch on one stream: entropy + staging + render + full u8
+readback). `encode_mp_s` is the e3 device-encoder rate on the same
+content. Baseline for vs_baseline: the reference's ~400 MP/s
+multithreaded-CPU decode design target (doc/xl_overview.md:7-9),
+compared against the headline batched device rate.
 """
 
 import json
@@ -47,29 +50,36 @@ def main():
 
     from libjxl_tpu.api import codestream
     from libjxl_tpu.api.codestream import parse_codestream_header
-    from libjxl_tpu.api.tpu_codec import _prepare_batches
+    from libjxl_tpu.api.tpu_codec import decode_tpu_batch, prepare_tpu_batch
     from libjxl_tpu.io.bits import BitReader
     from libjxl_tpu.io.frame_header import FrameHeader
-    from libjxl_tpu.ops import pipeline as pl
-    from libjxl_tpu.render.pipeline import (_sad_mul_map, compute_sigma,
-                                            gaborish_kernel)
     from libjxl_tpu.vardct import frame as vf
 
     n = 2048
     mp = n * n / 1e6
-    img = _make_image(n)
-    print("bench: encoding...", file=sys.stderr, flush=True)
-    codestream.encode_lossy(img, distance=1.0, effort=3)  # warm (jit)
-    t0 = time.time()
-    stream = codestream.encode_lossy(img, distance=1.0, effort=3)
-    t_enc = time.time() - t0
-    print(f"bench: encoded in {t_enc:.1f}s", file=sys.stderr, flush=True)
+    n_streams = int(os.environ.get("BENCH_STREAMS", "16"))
+    print(f"bench: encoding {n_streams} distinct streams...",
+          file=sys.stderr, flush=True)
+    codestream.encode_lossy(_make_image(n, seed=999), distance=1.0,
+                            effort=3)  # warm (jit)
+    streams = []
+    t_enc = None
+    for i in range(n_streams):
+        img = _make_image(n, seed=100 + i)
+        t0 = time.time()
+        streams.append(codestream.encode_lossy(img, distance=1.0,
+                                               effort=3))
+        if t_enc is None:
+            t_enc = time.time() - t0
+            print(f"bench: first encode {t_enc:.1f}s", file=sys.stderr,
+                  flush=True)
+    assert len(set(streams)) == n_streams, "streams must be distinct"
 
-    # --- host entropy decode (C hot loop) of the real bitstream
+    # --- host entropy decode (C hot loop) of one real bitstream
     n_threads = os.cpu_count() or 1
 
     def entropy_decode(threads=n_threads):
-        r = BitReader(stream)
+        r = BitReader(streams[0])
         meta = parse_codestream_header(r)
         fh = FrameHeader(meta)
         fh.read(r)
@@ -84,7 +94,7 @@ def main():
                                num_threads=threads)
         return cap["state"], fh
 
-    st, fh = entropy_decode()  # warm (builds native tables)
+    entropy_decode()  # warm (builds native tables)
     times = []
     for _ in range(3):
         t0 = time.time()
@@ -92,91 +102,24 @@ def main():
         times.append(time.time() - t0)
     t_entropy = statistics.median(times)
 
-    # --- stage the decoded data on device, build the batched program
-    prep = _prepare_batches(st, st.qimg)
-    assert prep is not None
-    extra, shapes, _mask_px, size_passes, size_shapes, class_map = prep
-    lf = fh.loop_filter
-    nby, nbx = st.fd.ysize_blocks, st.fd.xsize_blocks
-    h, w = nby * 8, nbx * 8
-    gab = np.stack([
-        gaborish_kernel(getattr(lf, f"gab_{c}_weight1"),
-                        getattr(lf, f"gab_{c}_weight2"))
-        for c in "xyb"]).astype(np.float32)
-    inv_sigma_b = compute_sigma(lf, st.quantizer.global_scale_float,
-                                st.raw_quant_field, st.epf_sharpness)
-    isp = np.repeat(np.repeat(inv_sigma_b.astype(np.float32), 8, 0),
-                    8, 1)[:h, :w]
-    sad = _sad_mul_map(h, w, lf.epf_border_sad_mul).astype(np.float32)
-    dm = np.stack([st.matrices.dequant_matrix(0, c)
-                   for c in range(3)]).astype(np.float32)
-    chs = tuple(np.float32(v) for v in lf.epf_channel_scale)
-    igs = np.float32(st.quantizer.inv_global_scale)
-    xdm = np.float32(st.x_dm_mult)
-    bdm = np.float32(st.b_dm_mult)
-    epf_iters = int(lf.epf_iters)
-    p0 = np.float32(lf.epf_pass0_sigma_scale)
-    p2 = np.float32(lf.epf_pass2_sigma_scale)
-    import functools
-
-    @functools.partial(jax.jit,
-                       static_argnames=("epf_iters", "tile_shapes",
-                                       "size_shapes"))
-    def decode_batch(qimg, salts, qf, dc, ytox, ytob, dmk, gabk, ispk,
-                     sadk, extra_t, sp_t, cls, epf_iters=2,
-                     tile_shapes=(), size_shapes=()):
-        # One dispatch renders salts.shape[0] DISTINCT images: each lane
-        # perturbs the shared coefficient image with its own salt (one
-        # coefficient per block row), runs the full render pipeline, and
-        # reduces to a per-image checksum (tiny readback for the slow
-        # dev-rig tunnel). All arrays travel as arguments (closure-
-        # captured buffers overflow the remote-compile request).
-        # coefficient (1, 1) of every block in the first block column: a
-        # real AC slot (the DC at (0, 0) is overwritten from the DC
-        # image inside the render). Elementwise mask-add — a strided
-        # scatter costs ~10x more on TPU and would inflate the
-        # harness's share of the measured time.
-        row = jnp.arange(qimg.shape[1]) % 8 == 1
-        col = jnp.arange(qimg.shape[2]) == 1
-        salt_mask = (row[:, None] & col[None, :]).astype(jnp.int32)[None]
-
-        def render_one(salt):
-            q = qimg + salt * salt_mask
-            u8 = pl.decode_render_image(
-                q, qf, dc, ytox, ytob, dmk, igs, xdm, bdm,
-                gabk, ispk, sadk, chs,
-                epf_iters, to_rgb="u8srgb", pass0_sigma_scale=p0,
-                pass2_sigma_scale=p2, extra_tiles=extra_t,
-                dct8_mask=None, tile_shapes=tile_shapes,
-                size_passes=sp_t, size_shapes=size_shapes,
-                class_map=cls, use_pallas=False)
-            return u8.astype(jnp.int32).sum()
-
-        return jax.vmap(render_one)(salts)
-
-    dp = jax.device_put
-    dev_args = (dp(st.raw_quant_field.astype(np.int32)),
-                dp(st.dc.astype(np.float32)),
-                dp(st.ytox_map.astype(np.int32)),
-                dp(st.ytob_map.astype(np.int32)), dp(dm), dp(gab),
-                dp(isp), dp(sad), dp(tuple(extra)),
-                dp(tuple(size_passes)), dp(class_map))
-    qimg_dev = dp(st.qimg)
-
-    def run(salts):
-        return decode_batch(
-            qimg_dev, jnp.asarray(salts, dtype=jnp.int32), *dev_args,
-            epf_iters=epf_iters, tile_shapes=shapes,
-            size_shapes=size_shapes)
-
-    B = 64
-    print(f"bench: compiling device program (B={B})...", file=sys.stderr,
-          flush=True)
+    # --- batched device render over B DISTINCT real bitstreams
+    B = n_streams
     chks = None
     while B >= 1:
         try:
+            print(f"bench: preparing+compiling batch (B={B})...",
+                  file=sys.stderr, flush=True)
+            prog, args = prepare_tpu_batch(streams[:B])
+            args = jax.device_put(args)
+
+            @jax.jit
+            def chk_prog(*a):
+                # per-image checksum on device: tiny readback through
+                # the dev-rig tunnel instead of B full u8 images
+                return prog(*a).astype(jnp.int32).sum(axis=(1, 2, 3))
+
             t0 = time.time()
-            chks = np.asarray(run(np.arange(1, 1 + B)))
+            chks = np.asarray(chk_prog(*args))
             print(f"bench: compiled+ran in {time.time()-t0:.0f}s",
                   file=sys.stderr, flush=True)
             break
@@ -187,26 +130,20 @@ def main():
     assert chks is not None and len(set(int(c) for c in chks)) == B, \
         "batch lanes must produce distinct images"
     times = []
-    for i in range(4):
-        salts = np.arange(100 + i * B, 100 + (i + 1) * B)
+    for _ in range(4):
         t0 = time.time()
         # host readback of the B checksums is the only true barrier on
         # the dev rig (block_until_ready does not sync axon arrays)
-        np.asarray(run(salts))
+        np.asarray(chk_prog(*args))
         times.append(time.time() - t0)
     t_batch = statistics.median(times)
     device_mp_s = mp * B / t_batch
 
-    # --- honest single-stream end-to-end (entropy + staging + render)
-    np.asarray(decode_batch(  # warm the B=1 program (compile once)
-        qimg_dev, jnp.asarray([0], dtype=jnp.int32), *dev_args,
-        epf_iters=epf_iters, tile_shapes=shapes, size_shapes=size_shapes))
+    # --- honest single-stream end-to-end: entropy + staging + batched
+    # render + full u8 readback, through the public API
+    decode_tpu_batch([streams[0]])  # warm the B=1 program
     t0 = time.time()
-    st2, _ = entropy_decode()
-    q_dev = dp(st2.qimg)
-    np.asarray(decode_batch(
-        q_dev, jnp.asarray([0], dtype=jnp.int32), *dev_args,
-        epf_iters=epf_iters, tile_shapes=shapes, size_shapes=size_shapes))
+    decode_tpu_batch([streams[1 % n_streams]])
     t_e2e = time.time() - t0
 
     value = round(device_mp_s, 2)
@@ -216,6 +153,7 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(value / 400.0, 3),
         "images_per_dispatch": B,
+        "distinct_streams": B,
         "dispatch_s": round(t_batch, 4),
         "entropy_mp_s": round(mp / t_entropy, 2),
         "entropy_threads": n_threads,

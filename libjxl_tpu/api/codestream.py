@@ -629,6 +629,22 @@ def _skip_or_decode_preview(r: BitReader, meta, want: bool = False):
     return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
 
 
+def decode_batch(streams, num_threads: int = 0):
+    """Decode a list of codestreams, batching same-geometry all-DCT8
+    streams into ONE vmapped device dispatch (tpu_codec.decode_tpu_batch
+    — the TPU serving path). Falls back to per-stream decode() when the
+    batch is heterogeneous or device batching is unavailable. Returns a
+    list of uint8 images in input order."""
+    from .tpu_codec import accelerator_available, decode_tpu_batch
+
+    if accelerator_available():
+        try:
+            return decode_tpu_batch(streams, num_threads=num_threads)
+        except Exception:
+            pass
+    return [decode(s, num_threads=num_threads)[0] for s in streams]
+
+
 def decode_rows(data: bytes, num_threads: int = 0):
     """Bounded-memory decode: generator of (y0, uint8 rows (h, W, 3)).
 

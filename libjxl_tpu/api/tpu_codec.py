@@ -382,6 +382,148 @@ def decode_tpu(data: bytes):
     return (np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta)
 
 
+_BATCH_PROGS = {}
+
+
+def decode_tpu_batch(streams, num_threads: int = 0):
+    """Decode N same-geometry all-DCT8 VarDCT streams with ONE vmapped
+    device dispatch (the serving path: host entropy decode per stream,
+    then every image's dequant + IDCT + Gaborish + EPF + sRGB u8 write
+    runs as one XLA program over the batch axis — amortizing dispatch
+    and keeping the MXU fed).
+
+    Returns a list of uint8 (H, W, 3) images in input order. Raises
+    JXLError when the batch is not homogeneous (different geometry,
+    non-DCT8 strategies, mismatched filter/dequant config) — callers
+    fall back to per-stream decode().
+    """
+    prog, args = prepare_tpu_batch(streams, num_threads=num_threads)
+    out = np.asarray(prog(*args))
+    return [out[i] for i in range(len(streams))]
+
+
+def prepare_tpu_batch(streams, num_threads: int = 0):
+    """Entropy-decode `streams` and build the batched device program.
+
+    Returns (prog, args): `np.asarray(prog(*args))` renders every
+    stream's pixels in one dispatch (bench times this directly)."""
+    import jax
+
+    from ..base.status import JXLError
+    from ..io.frame_header import FrameHeader
+    from ..ops import pipeline as pl
+    from ..render.pipeline import (_sad_mul_map, compute_sigma,
+                                   gaborish_kernel)
+    from ..vardct import ac_strategy as acs
+    from ..vardct.frame import decode_vardct_frame
+
+    if not streams:
+        return []
+    states, fhs = [], []
+    for data in streams:
+        r = BitReader(data)
+        meta = parse_codestream_header(r)
+        if not meta.m.xyb_encoded or meta.m.orientation != 1 \
+                or meta.m.bit_depth.bits_per_sample > 8:
+            raise JXLError("batch decode: stream needs host stages")
+        fh = FrameHeader(meta)
+        fh.read(r)
+        cap = {}
+
+        def capture(state, cap=cap):
+            cap["state"] = state
+            state.restoration_done = True
+            state.device_output_done = True
+
+        decode_vardct_frame(r, fh, render_fn=capture, want_qimg=True,
+                            num_threads=num_threads)
+        states.append(cap["state"])
+        fhs.append(fh)
+    fd0 = states[0].fd
+    lf0 = fhs[0].loop_filter
+    dm0 = np.stack([states[0].matrices.dequant_matrix(0, c)
+                    for c in range(3)]).astype(np.float32)
+    for st, fh in zip(states, fhs):
+        fd = st.fd
+        if (fd.ysize, fd.xsize) != (fd0.ysize, fd0.xsize):
+            raise JXLError("batch decode: mixed geometry")
+        if np.any(st.strategy[st.is_origin] != acs.DCT):
+            raise JXLError("batch decode: non-DCT8 strategies")
+        if st.qimg is None:
+            raise JXLError("batch decode: no dense coefficients")
+        if st.patches is not None or st.splines is not None \
+                or st.noise_lut is not None or fh.upsampling != 1:
+            raise JXLError("batch decode: post-render features")
+        lf = fh.loop_filter
+        if (lf.epf_iters, lf.gab) != (lf0.epf_iters, lf0.gab) or any(
+                getattr(lf, f) != getattr(lf0, f) for f in (
+                    "epf_pass0_sigma_scale", "epf_pass2_sigma_scale",
+                    "epf_border_sad_mul") if lf.epf_iters):
+            raise JXLError("batch decode: mixed filter config")
+        dm = np.stack([st.matrices.dequant_matrix(0, c)
+                       for c in range(3)]).astype(np.float32)
+        if not np.array_equal(dm, dm0):
+            raise JXLError("batch decode: mixed dequant tables")
+        if (st.x_dm_mult, st.b_dm_mult) != (states[0].x_dm_mult,
+                                            states[0].b_dm_mult):
+            raise JXLError("batch decode: mixed qm scales")
+    nby, nbx = fd0.ysize_blocks, fd0.xsize_blocks
+    h, w = nby * 8, nbx * 8
+    B = len(states)
+    qimg = np.stack([st.qimg for st in states])
+    qf = np.stack([st.raw_quant_field for st in states]).astype(np.int32)
+    dc = np.stack([st.dc for st in states]).astype(np.float32)
+    ytox = np.stack([st.ytox_map for st in states]).astype(np.int32)
+    ytob = np.stack([st.ytob_map for st in states]).astype(np.int32)
+    igs = np.array([st.quantizer.inv_global_scale for st in states],
+                   dtype=np.float32)
+    xdm = np.float32(states[0].x_dm_mult)
+    bdm = np.float32(states[0].b_dm_mult)
+    if lf0.epf_iters > 0:
+        isp = np.stack([
+            np.repeat(np.repeat(compute_sigma(
+                fh.loop_filter, st.quantizer.global_scale_float,
+                st.raw_quant_field, st.epf_sharpness).astype(np.float32),
+                8, 0), 8, 1)[:h, :w]
+            for st, fh in zip(states, fhs)])
+        sad = _sad_mul_map(h, w, lf0.epf_border_sad_mul).astype(
+            np.float32)
+    else:
+        isp = np.zeros((B, h, w), dtype=np.float32)
+        sad = np.ones((h, w), dtype=np.float32)
+    gabk = np.stack([gaborish_kernel(getattr(lf0, f"gab_{ch}_weight1"),
+                                     getattr(lf0, f"gab_{ch}_weight2"))
+                     for ch in "xyb"]).astype(np.float32) \
+        if lf0.gab else np.zeros((3, 3, 3), dtype=np.float32)
+    cs = tuple(np.float32(v) for v in lf0.epf_channel_scale)
+    ts = (fd0.ysize, fd0.xsize) if (fd0.ysize, fd0.xsize) != (h, w) \
+        else None
+    key = (B, h, w, int(lf0.epf_iters), bool(lf0.gab), ts,
+           float(xdm), float(bdm),
+           float(lf0.epf_pass0_sigma_scale),
+           float(lf0.epf_pass2_sigma_scale),
+           tuple(float(v) for v in cs))
+    prog = _BATCH_PROGS.get(key)
+    if prog is None:
+        p0 = np.float32(lf0.epf_pass0_sigma_scale)
+        p2 = np.float32(lf0.epf_pass2_sigma_scale)
+
+        def one(qi, qfi, dci, xi, bi, gi, ispi, dmi, gki, sadi):
+            return pl.decode_render_image(
+                qi, qfi, dci, xi, bi, dmi, gi, xdm, bdm,
+                gki if lf0.gab else None, ispi, sadi, cs,
+                int(lf0.epf_iters), to_rgb="u8srgb",
+                pass0_sigma_scale=p0, pass2_sigma_scale=p2,
+                extra_tiles=(), dct8_mask=None, tile_shapes=(),
+                size_passes=(), size_shapes=(), class_map=None,
+                true_size=ts, use_pallas=False)
+
+        prog = jax.jit(jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)))
+        _BATCH_PROGS[key] = prog
+    return prog, (qimg, qf, dc, ytox, ytob, igs, isp, dm0, gabk, sad)
+
+
 def _qblocks_from_qimg(state):
     """Rebuild the per-block dict from the dense coefficient image so the
     host render path can take over (rare fallback)."""

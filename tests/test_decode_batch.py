@@ -1,0 +1,52 @@
+"""Batched device decode (api/tpu_codec.decode_tpu_batch): N distinct
+same-geometry streams rendered by one vmapped dispatch — the TPU
+serving path the benchmark times."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api import codestream
+from libjxl_tpu.api.tpu_codec import decode_tpu_batch
+from libjxl_tpu.base.status import JXLError
+
+
+def _streams(n, h=320, w=240, seed=9):
+    rng = np.random.default_rng(seed)
+    out, refs = [], []
+    for i in range(n):
+        img = np.clip(rng.normal(110 + 15 * i, 35, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+        s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                    device=False)
+        out.append(s)
+        refs.append(codestream.decode(s, device=False)[0])
+    return out, refs
+
+
+def test_batch_matches_individual_decodes():
+    streams, refs = _streams(3)
+    outs = decode_tpu_batch(streams)
+    assert len(outs) == 3
+    for ref, out in zip(refs, outs):
+        assert out.shape == ref[:, :, :3].shape
+        assert np.abs(ref[:, :, :3].astype(int)
+                      - out.astype(int)).max() <= 1
+
+
+def test_batch_rejects_mixed_geometry():
+    a, _ = _streams(1)
+    b, _ = _streams(1, h=128, w=128)
+    with pytest.raises(JXLError):
+        decode_tpu_batch(a + b)
+
+
+def test_public_decode_batch_falls_back():
+    """codestream.decode_batch returns correct pixels even when device
+    batching is unavailable (heterogeneous input)."""
+    a, ra = _streams(1)
+    b, rb = _streams(1, h=128, w=128)
+    outs = codestream.decode_batch(a + b)
+    assert np.abs(outs[0][:, :, :3].astype(int)
+                  - ra[0][:, :, :3].astype(int)).max() <= 1
+    assert np.abs(outs[1][:, :, :3].astype(int)
+                  - rb[0][:, :, :3].astype(int)).max() <= 1
