@@ -675,8 +675,12 @@ def decode_rows(data: bytes, num_threads: int = 0):
         raise JXLError("low-memory decode: multi-frame stream")
     if fh.encoding == _MOD:
         raise JXLError("low-memory decode: modular frame")
-    for y0, xyb in decode_vardct_strips(r, fh, num_threads):
-        rgb = xyb_to_linear_rgb(xyb)
+    for y0, strip in decode_vardct_strips(r, fh, num_threads):
+        if strip.dtype == np.uint8:
+            # device-rendered strip: already final sRGB u8 rows
+            yield y0, strip
+            continue
+        rgb = xyb_to_linear_rgb(strip)
         srgb = linear_to_srgb(np.moveaxis(rgb, 0, -1))
         yield y0, np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
 

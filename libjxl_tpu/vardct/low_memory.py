@@ -133,8 +133,105 @@ def _add_strip_noise(state, strip, gy):
                      state.ytob(state.ytob_dc), preconvolved=True)
 
 
-def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0):
-    """Generator of (y0, xyb f64[3, rows, xsize]) strips, top to bottom.
+def _strip_qimg(state, gy):
+    """Dense image-layout i32 coefficients for one all-DCT8 group row."""
+    fd = state.fd
+    gdim_b = fd.group_dim // 8
+    by0 = gy * gdim_b
+    by1 = min(by0 + gdim_b, fd.ysize_blocks)
+    nby, nbx = by1 - by0, fd.xsize_blocks
+    plane5 = np.zeros((3, nby, 8, nbx, 8), dtype=np.int32)
+    if state.qblocks:
+        keys = np.array(list(state.qblocks.keys()), dtype=np.int64)
+        vals = np.stack([np.asarray(v) for v in
+                         state.qblocks.values()]).astype(np.int32)
+        plane5[:, keys[:, 0] - by0, :, keys[:, 1], :] = \
+            vals.reshape(-1, 3, 8, 8)
+    return plane5.reshape(3, nby * 8, nbx * 8)
+
+
+_HALO_B = 8  # block rows of device-strip halo (64 px, CfL-tile aligned)
+
+
+def _device_strip_emitter(state, fh):
+    """Returns emit(prev_q, cur_q, nxt_q, gy) -> u8 rows for the strip,
+    rendering the haloed composite with the SAME jitted program as the
+    whole-image device decode (ops/pipeline.decode_render_image): mirror
+    at the frame edge, dequant + IDCT8 + Gaborish + EPF + sRGB u8."""
+    from ..api.tpu_codec import _jitted
+    from ..render.pipeline import (_sad_mul_map, compute_sigma,
+                                   gaborish_kernel)
+
+    dec_image = _jitted()[4]
+    fd = state.fd
+    lf = fh.loop_filter
+    gdim_b = fd.group_dim // 8
+    w = fd.xsize_blocks * 8
+    dm = np.stack([state.matrices.dequant_matrix(0, c)
+                   for c in range(3)]).astype(np.float32)
+    gabk = np.stack([gaborish_kernel(getattr(lf, f"gab_{ch}_weight1"),
+                                     getattr(lf, f"gab_{ch}_weight2"))
+                     for ch in "xyb"]).astype(np.float32) \
+        if lf.gab else np.zeros((3, 3, 3), dtype=np.float32)
+    igs = np.float32(state.quantizer.inv_global_scale)
+    xdm = np.float32(state.x_dm_mult)
+    bdm = np.float32(state.b_dm_mult)
+    cs = tuple(np.float32(v) for v in lf.epf_channel_scale)
+    p0 = np.float32(lf.epf_pass0_sigma_scale)
+    p2 = np.float32(lf.epf_pass2_sigma_scale)
+    if lf.epf_iters > 0:
+        inv_sigma_all = compute_sigma(lf,
+                                      state.quantizer.global_scale_float,
+                                      state.raw_quant_field,
+                                      state.epf_sharpness).astype(
+                                          np.float32)
+
+    def emit(prev_q, cur_q, nxt_q, gy):
+        top_b = _HALO_B if prev_q is not None else 0
+        bot_b = _HALO_B if nxt_q is not None else 0
+        parts = []
+        if top_b:
+            parts.append(prev_q[:, -top_b * 8:])
+        parts.append(cur_q)
+        if bot_b:
+            parts.append(nxt_q[:, :bot_b * 8])
+        comp = np.ascontiguousarray(np.concatenate(parts, axis=1)) \
+            if len(parts) > 1 else parts[0]
+        comp_by0 = gy * gdim_b - top_b
+        comp_nby = comp.shape[1] // 8
+        b0, b1 = comp_by0, comp_by0 + comp_nby
+        t0, t1 = b0 // 8, -(-b1 // 8)
+        comp_h = comp_nby * 8
+        if lf.epf_iters > 0:
+            isp = np.repeat(np.repeat(inv_sigma_all[b0:b1], 8, 0), 8, 1)
+            sad = _sad_mul_map(comp_h, w,
+                               lf.epf_border_sad_mul).astype(np.float32)
+        else:
+            isp = np.zeros((comp_h, w), dtype=np.float32)
+            sad = np.ones((comp_h, w), dtype=np.float32)
+        comp_y0 = b0 * 8
+        th = min(comp_h, fd.ysize - comp_y0)
+        ts = (th, fd.xsize) if (th, fd.xsize) != (comp_h, w) else None
+        u8 = np.asarray(dec_image(
+            comp, np.ascontiguousarray(state.raw_quant_field[b0:b1]),
+            np.ascontiguousarray(state.dc[:, b0:b1]).astype(np.float32),
+            np.ascontiguousarray(state.ytox_map[t0:t1]),
+            np.ascontiguousarray(state.ytob_map[t0:t1]), dm, igs,
+            xdm, bdm, gabk, isp, sad, cs, int(lf.epf_iters), p0, p2,
+            (), None, (), None, tile_shapes=(), gab=bool(lf.gab),
+            to_rgb="u8srgb", size_shapes=(), true_size=ts))
+        rows = cur_q.shape[1]
+        return u8[top_b * 8:top_b * 8 + rows]
+
+    return emit
+
+
+def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
+                         device: bool = None):
+    """Generator of (y0, strip) top to bottom: strip is either
+    xyb f64[3, rows, xsize] (host render) or uint8[rows, xsize, 3]
+    (device render — the strip composite runs through the same jitted
+    program as the whole-image device decode).
 
     The reader must be positioned after the frame header. Unsupported
     features raise JXLError (caller falls back to decode_vardct_frame).
@@ -257,20 +354,41 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0):
 
     lf = fh.loop_filter
     filtered = lf.gab or lf.epf_iters > 0
+    from ..io.frame_header import CT_XYB
 
-    def decode_row(gy):
+    if device is None:
+        from ..api.tpu_codec import accelerator_available
+
+        device = accelerator_available()
+    device = bool(
+        device and fh.color_transform == CT_XYB
+        and state.noise_lut is None
+        and np.all(state.strategy[state.is_origin] == _acs().DCT)
+        and getattr(state, "color_factor", 84) == 84
+        and getattr(state, "base_x", 0.0) == 0.0
+        and getattr(state, "base_b", 1.0) == 1.0)
+
+    def decode_row_blocks(gy):
         for gx in range(fd.xsize_groups):
             g = gy * fd.xsize_groups + gx
             sr = row_reader[0] if single \
                 else section_reader(2 + fd.num_dc_groups + g)
             decode_ac_group(sr, state, g)
-        strip = _render_strip(state, gy)
+
+    def finish_row(gy):
+        strip = _strip_qimg(state, gy) if device \
+            else _render_strip(state, gy)
         state.qblocks.clear()
         cache = getattr(state, "_ac_native", None)
         if cache is not None:
             cache.clear()
         return strip
 
+    def decode_row(gy):
+        decode_row_blocks(gy)
+        return finish_row(gy)
+
+    emitter = _device_strip_emitter(state, fh) if device else None
     nrows = fd.ysize_groups
     prev = None
     cur = decode_row(0)
@@ -278,6 +396,13 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0):
         nxt = decode_row(gy + 1) if gy + 1 < nrows else None
         y0 = gy * fd.group_dim
         rows = cur.shape[1]
+        if device:
+            u8 = emitter(prev, cur, nxt, gy)
+            emit = min(rows, fd.ysize - y0)
+            if emit > 0:
+                yield y0, u8[:emit, :fd.xsize]
+            prev, cur = cur, nxt
+            continue
         if filtered:
             top = prev[:, -_HALO:] if prev is not None else None
             bot = nxt[:, :_HALO] if nxt is not None else None
@@ -297,3 +422,9 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0):
             yield y0, strip[:, :emit, :fd.xsize]
         prev, cur = cur, nxt
     r.skip_bits(total * 8)
+
+
+def _acs():
+    from . import ac_strategy as acs
+
+    return acs

@@ -100,3 +100,29 @@ def test_djxl_low_memory_flag(tmp_path):
     ref = tmp_path / "ref.png"
     djxl._main([str(jxl), str(ref), "--host"])
     assert np.array_equal(load_image(str(dec)), load_image(str(ref)))
+
+
+def test_device_strips_match_device_whole_image():
+    """Device-rendered strips (64px haloed composites through the same
+    jitted program) track the whole-image device render within 1 u8
+    step (different XLA fusion shapes can shift rounding by 1 ulp)."""
+    from libjxl_tpu.api.codestream import parse_codestream_header
+    from libjxl_tpu.io.bits import BitReader
+    from libjxl_tpu.io.frame_header import FrameHeader
+    from libjxl_tpu.vardct.low_memory import decode_vardct_strips
+
+    for h, w in [(600, 520), (257, 1030)]:
+        img = _image(h, w)
+        stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                         device=False)
+        whole, _ = codestream.decode(stream, device=True)
+        r = BitReader(stream)
+        meta = parse_codestream_header(r)
+        fh = FrameHeader(meta)
+        fh.read(r)
+        out = np.zeros_like(whole[:, :, :3])
+        for y0, strip in decode_vardct_strips(r, fh, device=True):
+            assert strip.dtype == np.uint8  # final u8 rows from device
+            out[y0:y0 + strip.shape[0]] = strip
+        assert np.abs(whole[:, :, :3].astype(int)
+                      - out.astype(int)).max() <= 1
