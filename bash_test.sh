@@ -3,6 +3,9 @@
 set -e
 PY=${PY:-/opt/venv/bin/python}
 export PYTHONPATH=${PYTHONPATH:-$(pwd):/root/.axon_site}
+# CLI-logic smoke test: pin the CPU backend so a slow/unreachable
+# accelerator tunnel cannot stall it (device paths have their own tests)
+export JAX_PLATFORMS=cpu
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
 

@@ -795,6 +795,9 @@ def accelerator_available() -> bool:
     API then renders on device by default; CPU-JAX stays host-rendered —
     XLA-on-host compile times dwarf the NumPy render for one image)."""
     try:
+        from ..base.jaxenv import ensure_cpu_pin
+
+        ensure_cpu_pin()
         import jax
 
         return jax.default_backend() not in ("cpu",)

@@ -19,6 +19,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from ..base.jaxenv import ensure_cpu_pin
+
+ensure_cpu_pin()
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.jaxenv import ensure_cpu_pin
+
+ensure_cpu_pin()
+
 from ..io.headers import (
     DEFAULT_INVERSE_OPSIN_MATRIX,
     DEFAULT_QUANT_BIAS,

@@ -23,6 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.jaxenv import ensure_cpu_pin
+
+ensure_cpu_pin()
+
 from jax.sharding import Mesh, PartitionSpec as P
 
 
