@@ -44,7 +44,38 @@ def _make_image(n=2048, seed=42):
     return np.clip(rgb, 0, 255).astype(np.uint8)
 
 
+def _probe_backend(timeout_s=240):
+    """Initialize the JAX backend in a SUBPROCESS first: an unreachable
+    accelerator tunnel blocks backend init forever (uninterruptible C
+    call), and a bench that hangs reports nothing. Returns the backend
+    name or None."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s, text=True)
+        if out.returncode == 0:
+            return out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
+    backend = _probe_backend()
+    if backend is None:
+        print("bench: accelerator backend unreachable (init timed out)",
+              file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "vardct_device_decode_pipeline", "value": 0,
+            "unit": "MP/s", "vs_baseline": 0.0,
+            "error": "accelerator backend init timed out; "
+                     "no measurement possible on this run"}))
+        return
+    print(f"bench: backend {backend}", file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
