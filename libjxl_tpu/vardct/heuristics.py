@@ -194,11 +194,21 @@ def _perceptual_diffmap(xyb_a: np.ndarray, xyb_b: np.ndarray) -> np.ndarray:
     model on images large enough for its frequency separation, else the
     fast approximate XYB comparator."""
     if min(xyb_a.shape[1:]) >= 32:
-        from ..metrics.butteraugli import butteraugli_diffmap
         from ..ops.xyb import xyb_to_linear_rgb
 
         lin_a = np.clip(xyb_to_linear_rgb(xyb_a), 0.0, 1.0)
         lin_b = np.clip(xyb_to_linear_rgb(xyb_b), 0.0, 1.0)
+        from ..api.tpu_codec import accelerator_available
+
+        if accelerator_available():
+            # device comparator (metrics/butteraugli_jax.py): the whole
+            # diffmap — matmul blurs, Malta filters, masking — is one
+            # jitted program; matches the host model to ~2e-4 relative
+            from ..metrics.butteraugli_jax import butteraugli_diffmap_jax
+
+            return np.asarray(butteraugli_diffmap_jax(lin_a, lin_b))
+        from ..metrics.butteraugli import butteraugli_diffmap
+
         return butteraugli_diffmap(lin_a, lin_b)
     from ..metrics.distance import butteraugli_diffmap_xyb
 
