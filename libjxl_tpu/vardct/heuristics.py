@@ -139,6 +139,15 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
     # doc/encode_effort.md)
     target = max(distance, 0.05) * 1.4
     qf_float = state.raw_quant_field.astype(np.float64)
+    from ..api.tpu_codec import accelerator_available
+
+    if accelerator_available() and min(nby * 8, nbx * 8) >= 32:
+        # device proxy: trial quantize + dequant + IDCT + Gaborish + EPF
+        # AND the butteraugli diffmap run as jitted programs per iter;
+        # only the tiny per-block field update stays host-side
+        _refine_device(state, co, dc, dm, dm_inv, inv_gs, gab, lf,
+                       xyb_orig, qf_float, target, iters, nby, nbx)
+        return
     for _ in range(iters):
         scaled = (inv_gs / np.maximum(np.round(qf_float), 1.0))[
             None, :, :, None, None]
@@ -183,6 +192,86 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
         # refinement must only spend rate where the loop sees damage
         # (FindBestQuantization's asymmetric updates,
         # enc_adaptive_quantization.cc:934-1010)
+        ratio = np.clip((berr / target) ** 0.5, 1.0, 1.6)
+        qf_float = np.clip(qf_float * ratio, 1.0, QUANT_MAX)
+    state.raw_quant_field = np.clip(
+        np.round(qf_float), 1, QUANT_MAX).astype(np.int32)
+
+
+_TRIAL_JIT = None
+
+
+def _refine_device(state, co, dc, dm, dm_inv, inv_gs, gab, lf, xyb_orig,
+                   qf_float, target, iters, nby, nbx):
+    """Device body of refine_quant_field: trial quantize + dequant +
+    IDCT8 + Gaborish + EPF and the butteraugli diffmap run as jitted
+    programs; only the per-block field update stays on host."""
+    global _TRIAL_JIT
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..metrics.butteraugli_jax import butteraugli_diffmap_jax
+    from ..ops import pipeline as pl
+    from ..ops.dct import inv_matrix
+    from ..ops.xyb import xyb_to_linear_rgb
+    from ..render.pipeline import _sad_mul_map, compute_sigma
+
+    h, w = nby * 8, nbx * 8
+    epf_iters = int(lf.epf_iters)
+    if _TRIAL_JIT is None:
+        @functools.partial(jax.jit,
+                           static_argnames=("gab_on", "epf_iters"))
+        def trial(co_, dc_, qfr, dm_, dmi_, igs, i8, gabk, isp, sadk,
+                  cs, p0, p2, gab_on=True, epf_iters=0):
+            scaled = (igs / qfr)[None, :, :, None, None]
+            q = jnp.round(co_ * dmi_[:, None, None] / scaled)
+            rec = q * dm_[:, None, None] * scaled
+            rec = rec.at[:, :, :, 0, 0].set(dc_)
+            # non-transposed (u, v) coefficient layout, same as the
+            # host proxy's forward transform
+            pix = jnp.einsum("ru,cnmuv,kv->cnmrk", i8, rec, i8,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            img = pl.blocks_to_image(pix)
+            if gab_on:
+                img = pl.gaborish_jax(img, gabk)
+            if epf_iters > 0:
+                img = pl.epf_jax(img, isp, sadk, cs, epf_iters, p0, p2,
+                                 use_pallas=False)
+            return jnp.clip(pl.xyb_to_rgb_jax(img), 0.0, 1.0)
+
+        _TRIAL_JIT = trial
+    trial = _TRIAL_JIT
+    co32 = co.astype(np.float32)
+    dc32 = dc.astype(np.float32)
+    dm32 = dm.astype(np.float32)
+    dmi32 = dm_inv.astype(np.float32)
+    i8 = inv_matrix(8).astype(np.float32)
+    gabk = np.stack(gab).astype(np.float32) if gab is not None \
+        else np.zeros((3, 3, 3), dtype=np.float32)
+    sad = _sad_mul_map(h, w, lf.epf_border_sad_mul).astype(np.float32) \
+        if epf_iters else np.ones((h, w), dtype=np.float32)
+    cs = tuple(np.float32(v) for v in lf.epf_channel_scale)
+    p0 = np.float32(lf.epf_pass0_sigma_scale)
+    p2 = np.float32(lf.epf_pass2_sigma_scale)
+    lin_orig = np.clip(xyb_to_linear_rgb(xyb_orig), 0.0,
+                       1.0).astype(np.float32)
+    for _ in range(iters):
+        qfr = np.maximum(np.round(qf_float), 1.0).astype(np.float32)
+        if epf_iters:
+            isp = np.repeat(np.repeat(compute_sigma(
+                lf, state.quantizer.global_scale_float,
+                qfr.astype(np.int32), state.epf_sharpness).astype(
+                    np.float32), 8, 0), 8, 1)[:h, :w]
+        else:
+            isp = np.zeros((h, w), dtype=np.float32)
+        lin = trial(co32, dc32, qfr, dm32, dmi32, np.float32(inv_gs),
+                    i8, gabk, isp, sad, cs, p0, p2,
+                    gab_on=gab is not None, epf_iters=epf_iters)
+        dmap = np.asarray(butteraugli_diffmap_jax(lin, lin_orig))
+        berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3))
         ratio = np.clip((berr / target) ** 0.5, 1.0, 1.6)
         qf_float = np.clip(qf_float * ratio, 1.0, QUANT_MAX)
     state.raw_quant_field = np.clip(
