@@ -402,6 +402,36 @@ def decode_tpu_batch(streams, num_threads: int = 0):
     return [out[i] for i in range(len(streams))]
 
 
+def decode_tpu_batch_sharded(streams, mesh=None, num_threads: int = 0):
+    """Multi-chip serving decode: the batched program data-parallel over
+    a device mesh (each chip renders batch_size/n_chips images; XLA
+    inserts no collectives — the batch axis is embarrassingly
+    parallel). `mesh` defaults to a 1-D mesh over all devices; the
+    batch must divide evenly across them."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..base.status import JXLError
+
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), ("batch",))
+    n_dev = int(np.prod([mesh.shape[k] for k in mesh.shape]))
+    if len(streams) % n_dev:
+        raise JXLError("sharded batch decode: batch size must divide "
+                       f"across {n_dev} devices")
+    prog, args = prepare_tpu_batch(streams, num_threads=num_threads)
+    axes = next(iter(mesh.shape))  # single mesh axis name
+    batched = NamedSharding(mesh, P(axes))
+    repl = NamedSharding(mesh, P())
+    # first 7 args carry the batch axis; the trailing 3 are shared
+    placed = tuple(
+        jax.device_put(a, batched if i < 7 else repl)
+        for i, a in enumerate(args))
+    out = np.asarray(prog(*placed))
+    return [out[i] for i in range(len(streams))]
+
+
 def prepare_tpu_batch(streams, num_threads: int = 0):
     """Entropy-decode `streams` and build the batched device program.
 
@@ -449,8 +479,19 @@ def prepare_tpu_batch(streams, num_threads: int = 0):
             raise JXLError("batch decode: mixed geometry")
         if np.any(st.strategy[st.is_origin] != acs.DCT):
             raise JXLError("batch decode: non-DCT8 strategies")
-        if st.qimg is None:
-            raise JXLError("batch decode: no dense coefficients")
+        if getattr(st, "qimg", None) is None:
+            if not st.qblocks:
+                raise JXLError("batch decode: no coefficients")
+            # single-group streams skip the bulk entropy path: assemble
+            # the dense image from the per-block dict
+            nby_, nbx_ = fd.ysize_blocks, fd.xsize_blocks
+            plane5 = np.zeros((3, nby_, 8, nbx_, 8), dtype=np.int32)
+            keys = np.array(list(st.qblocks.keys()), dtype=np.int64)
+            vals = np.stack([np.asarray(v) for v in
+                             st.qblocks.values()]).astype(np.int32)
+            plane5[:, keys[:, 0], :, keys[:, 1], :] = \
+                vals.reshape(-1, 3, 8, 8)
+            st.qimg = plane5.reshape(3, nby_ * 8, nbx_ * 8)
         if st.patches is not None or st.splines is not None \
                 or st.noise_lut is not None or fh.upsampling != 1:
             raise JXLError("batch decode: post-render features")

@@ -50,3 +50,24 @@ def test_public_decode_batch_falls_back():
                   - ra[0][:, :, :3].astype(int)).max() <= 1
     assert np.abs(outs[1][:, :, :3].astype(int)
                   - rb[0][:, :, :3].astype(int)).max() <= 1
+
+
+def test_sharded_batch_decode_on_mesh():
+    """Data-parallel serving decode over the 8-device virtual mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from libjxl_tpu.api.tpu_codec import decode_tpu_batch_sharded
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    streams, refs = _streams(8, h=256, w=192)
+    mesh = Mesh(np.array(devs[:8]), ("batch",))
+    outs = decode_tpu_batch_sharded(streams, mesh=mesh)
+    for ref, out in zip(refs, outs):
+        assert np.abs(ref[:, :, :3].astype(int)
+                      - out.astype(int)).max() <= 1
+    # non-divisible batch raises
+    with pytest.raises(JXLError):
+        decode_tpu_batch_sharded(streams[:3], mesh=mesh)
