@@ -193,24 +193,65 @@ def learn_tree(channels, max_nodes: int = 127, sample_step: int = 1,
         best_p, base_cost = _best_predictor(residuals, idx)
         best = None
         if len(tree) + 2 <= max_nodes and len(idx) > 64:
+            # all candidate thresholds of one property at once: a 2D
+            # (token, bucket) histogram per predictor + prefix sums give
+            # every left/right histogram, so the cost of each threshold
+            # is one vectorized entropy expression instead of two
+            # bincount passes over the sample subset
+            toks = {p: residuals[p][idx] for p in residuals}
+            ntok = max(int(t.max()) + 1 if len(t) else 1
+                       for t in toks.values())
+            nb_tab = _NBITS_OF_TOKEN[:ntok].astype(np.float64)
             for prop in SPLIT_PROPERTIES:
                 vals = props[prop][idx]
-                # candidate thresholds: a few quantiles
+                # percentiles over a stride-subsample: the thresholds
+                # are heuristic candidates, and the exact split cost is
+                # still evaluated on the FULL sample set below
+                pv = vals[::max(1, len(vals) // 8192)]
                 qs = np.unique(np.percentile(
-                    vals, [12.5, 25, 37.5, 50, 62.5, 75, 87.5]).astype(np.int64))
-                for t in qs:
-                    right = vals <= t
-                    nr = int(right.sum())
-                    if nr == 0 or nr == len(vals):
-                        continue
-                    idx_l = idx[~right]
-                    idx_r = idx[right]
-                    _, cl = _best_predictor(residuals, idx_l)
-                    _, cr = _best_predictor(residuals, idx_r)
-                    gain = base_cost - (cl + cr)
-                    if gain > threshold_bits and (
-                            best is None or gain > best[0]):
-                        best = (gain, prop, int(t))
+                    pv, [12.5, 25, 37.5, 50, 62.5, 75,
+                         87.5]).astype(np.int64))
+                if len(qs) == 0:
+                    continue
+                # bucket b: first q >= val; "val <= qs[k]" <=> b <= k
+                bucket = np.searchsorted(qs, vals, side="left")
+                nq = len(qs)
+                cl_min = np.full(nq, np.inf)
+                cr_min = np.full(nq, np.inf)
+                nr_k = None
+                for p, tok in toks.items():
+                    c2 = np.bincount(tok * (nq + 1) + bucket,
+                                     minlength=ntok * (nq + 1)).reshape(
+                                         ntok, nq + 1)
+                    right = np.cumsum(c2, axis=1)[:, :nq]  # <= qs[k]
+                    tot = c2.sum(axis=1, keepdims=True)  # full histogram
+                    left = tot - right
+                    if nr_k is None:
+                        nr_k = right.sum(axis=0)
+                        n_all = int(tot.sum())
+
+                    def _cost(h):
+                        t_ = h.sum(axis=0)
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            xl = np.where(h > 0, h * np.log2(
+                                np.maximum(h, 1)), 0.0)
+                            tl = np.where(t_ > 0, t_ * np.log2(
+                                np.maximum(t_, 1)), 0.0)
+                        return tl - xl.sum(axis=0) \
+                            + (h * nb_tab[:, None]).sum(axis=0)
+
+                    cr = _cost(right.astype(np.float64))
+                    cl = _cost(left.astype(np.float64))
+                    cr_min = np.minimum(cr_min, cr)
+                    cl_min = np.minimum(cl_min, cl)
+                valid = (nr_k > 0) & (nr_k < n_all)
+                gains = np.where(valid,
+                                 base_cost - (cl_min + cr_min), -np.inf)
+                k = int(np.argmax(gains))
+                if gains[k] > threshold_bits and (
+                        best is None or gains[k] > best[0]):
+                    best = (float(gains[k]), prop, int(qs[k]))
         if best is None:
             tree[node_pos] = TreeNode(-1, 0, 0, 0, best_p, 0, 1)
             return node_pos
