@@ -99,9 +99,10 @@ def test_our_lossy_oracle_decode_matches_ours(distance):
     data = codestream.encode_lossy(img, distance=distance, effort=5)
     ours, _ = codestream.decode(data)
     theirs, _ = oracle.decode(data)
-    # float pipeline differences only: tight bounds
-    assert _rmse(ours, theirs) < 0.6, _rmse(ours, theirs)
-    assert _peak(ours, theirs) <= 16
+    # float pipeline differences only: tight bounds (measured peak
+    # is 1 u8 step across d0.5-d2; 2 leaves headroom for content)
+    assert _rmse(ours, theirs) < 0.1, _rmse(ours, theirs)
+    assert _peak(ours, theirs) <= 2
 
 
 @pytest.mark.parametrize("effort", [3, 5, 7])
@@ -110,8 +111,8 @@ def test_oracle_lossy_our_decode_matches_oracle(effort):
     data = oracle.encode(img, distance=1.0, effort=effort)
     theirs, _ = oracle.decode(data)
     ours, _ = codestream.decode(data)
-    assert _rmse(ours, theirs) < 0.6, _rmse(ours, theirs)
-    assert _peak(ours, theirs) <= 16
+    assert _rmse(ours, theirs) < 0.1, _rmse(ours, theirs)
+    assert _peak(ours, theirs) <= 2
 
 
 def test_our_lossy_reconstruction_quality_parity():
