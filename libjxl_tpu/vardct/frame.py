@@ -2223,11 +2223,68 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
             used_p, orders_p = compute_coeff_orders(
                 num_zeros, used_strategies, customize=customize)
             pass_orders.append((used_p, orders_p))
-        group_token_lists = [
-            [tokenize_ac_group(state, g, pass_coeffs[p],
-                               pass_orders[p][1])
-             for g in range(fd.num_groups)]
-            for p in range(num_passes)]
+        group_token_lists = None
+        from ..native_ext import get_lib
+
+        _nlib = get_lib()
+        if (num_passes == 1 and bcm.num_dc_ctxs == 1 and _nlib is not None
+                and hasattr(_nlib, "tokenize_ac_image")):
+            # mixed-strategy native tokenization: scatter every block's
+            # wide-layout coefficients into the dense image layout and
+            # run the C tokenizer (it walks arbitrary strategies via
+            # the geometry/order LUTs) — same tokens as the Python
+            # per-group path, one pass, thread-pooled
+            import os as _os
+
+            from ..entropy.encode import TokenArray
+            from ..native_ext import tokenize_ac_image_native
+
+            nby, nbx = fd.ysize_blocks, fd.xsize_blocks
+            qimg_enc = np.zeros((3, nby * 8, nbx * 8), dtype=np.int32)
+            q5 = qimg_enc.reshape(3, nby, 8, nbx, 8)
+            by_strategy = {}
+            for key in coeffs_q:
+                by_strategy.setdefault(
+                    int(state.strategy[key[0], key[1]]), []).append(key)
+            for s, keys in by_strategy.items():
+                cx, cy = acs.COVERED_X[s], acs.COVERED_Y[s]
+                vals = np.stack([np.asarray(coeffs_q[k]) for k in
+                                 keys]).astype(np.int32)
+                if cy == 1 and cx == 1:
+                    ks = np.array(keys, dtype=np.int64)
+                    q5[:, ks[:, 0], :, ks[:, 1], :] = \
+                        vals.reshape(-1, 3, 8, 8)
+                else:
+                    for (by, bx), v in zip(keys, vals):
+                        qimg_enc[:, by * 8:(by + cy) * 8,
+                                 bx * 8:(bx + cx) * 8] = \
+                            v.reshape(3, cy * 8, cx * 8)
+            bctx_lut, qf_thr = _bctx_luts(bcm)
+            cov_x, cov_y, log2cb, ord_lut = _geometry_luts()
+            orders_p = pass_orders[0][1]
+            off_tab, oflat = _order_image_luts(
+                sorted(used_strategies),
+                lambda o, c: orders_p.get((o, c)), nbx * 8)
+            strat32 = np.ascontiguousarray(state.strategy,
+                                           dtype=np.int32)
+            qf32 = np.ascontiguousarray(state.raw_quant_field,
+                                        dtype=np.int32)
+            orig = np.ascontiguousarray(state.is_origin, dtype=np.bool_)
+            toks = tokenize_ac_image_native(
+                _nlib, fd.xsize_groups, fd.ysize_groups,
+                fd.group_dim // 8, (strat32, orig, qf32),
+                (bctx_lut, qf_thr, off_tab, oflat,
+                 cov_x, cov_y, log2cb, ord_lut),
+                bcm.num_ctxs, [qimg_enc[0], qimg_enc[1], qimg_enc[2]],
+                n_threads=_os.cpu_count() or 1)
+            group_token_lists = [[[TokenArray(c_, u_)]
+                                  for (c_, u_) in toks]]
+        if group_token_lists is None:
+            group_token_lists = [
+                [tokenize_ac_group(state, g, pass_coeffs[p],
+                                   pass_orders[p][1])
+                 for g in range(fd.num_groups)]
+                for p in range(num_passes)]
 
     num_contexts = state.block_ctx_map.num_ac_contexts()
     ac_token_lists = []  # [pass][group]
