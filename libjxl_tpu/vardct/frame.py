@@ -1291,6 +1291,84 @@ _INFO_LOSS_MUL = 320.0  # tuned: RD-dominates DCT8-only on noisy
 # content while leaving smooth-content merges untouched (see commit)
 
 
+_TILE_COST_JIT = None
+
+
+def _tile_cost_device(state, xyb, rows, cols, kind, tby, tbx):
+    """Device body of _batched_tile_cost: forward DCT of every candidate
+    tile, quantize, entropy-bits + 8-norm info-loss — one jitted program
+    per tile size; the opsin image transfers once per ACS search."""
+    global _TILE_COST_JIT
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dct import fwd_matrix, inv_matrix
+
+    if _TILE_COST_JIT is None:
+        @_ft.partial(jax.jit,
+                     static_argnames=("rows", "cols", "tby", "tbx"))
+        def f(x, dm_inv, dm, qf, igs, fr, fc, ir, ic, chan_mul,
+              info_mul, rows, cols, tby, tbx):
+            crop = x[:, :tby * rows, :tbx * cols]
+            tiles = crop.reshape(3, tby, rows, tbx,
+                                 cols).transpose(0, 1, 3, 2, 4)
+            co = jnp.einsum("ur,ctmrk,vk->ctmuv", fr, tiles, fc,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            if rows >= cols:
+                co = jnp.swapaxes(co, -2, -1)
+            scaled = (igs / qf)[None, :, :, None, None]
+            qs = jnp.round(co * dm_inv[:, None, None] / scaled)
+            q = jnp.abs(qs)
+            nz = q > 0
+            bits = nz.sum(axis=(3, 4)) * 2.0 \
+                + jnp.where(nz, jnp.log2(1.0 + q), 0.0).sum(axis=(3, 4))
+            coded = dm_inv > 0
+            err = jnp.where(coded[:, None, None],
+                            (qs - co * dm_inv[:, None, None] / scaled)
+                            * dm[:, None, None] * scaled, 0.0)
+            e = jnp.swapaxes(err, -2, -1) if rows >= cols else err
+            pix = jnp.einsum("ru,ctmuv,kv->ctmrk", ir, e, ic,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            loss8 = (jnp.abs(pix) ** 8).sum(axis=(3, 4)) \
+                * chan_mul[:, None, None]
+            size = rows * cols
+            loss_scalar = (loss8.sum(axis=0) / size) ** 0.125 * size \
+                / (igs / qf)
+            return bits.sum(axis=0) + info_mul * loss_scalar + 24.0
+
+        _TILE_COST_JIT = f
+    f = _TILE_COST_JIT
+    cy, cx = rows // 8, cols // 8
+    cache = getattr(state, "_xyb_dev", None)
+    if cache is None or cache[0] is not xyb:
+        import jax as _jax
+
+        cache = (xyb, _jax.device_put(
+            np.ascontiguousarray(xyb, dtype=np.float32)))
+        state._xyb_dev = cache
+    x = cache[1]
+    qf = state.raw_quant_field[:tby * cy, :tbx * cx].reshape(
+        tby, cy, tbx, cx).mean(axis=(1, 3)).astype(np.float32)
+    dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
+                       for c in range(3)]).astype(np.float32)
+    dm = np.stack([state.matrices.dequant_matrix(kind, c)
+                   for c in range(3)]).astype(np.float32)
+    chan_mul = (np.array([10.2, 1.0, 1.03]) ** 8).astype(np.float32)
+    out = f(x, dm_inv, dm, qf,
+            np.float32(state.quantizer.inv_global_scale),
+            fwd_matrix(rows).astype(np.float32),
+            fwd_matrix(cols).astype(np.float32),
+            inv_matrix(rows).astype(np.float32),
+            inv_matrix(cols).astype(np.float32), chan_mul,
+            np.float32(_INFO_LOSS_MUL), rows=rows, cols=cols,
+            tby=tby, tbx=tbx)
+    return np.asarray(out, dtype=np.float64)
+
+
 def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
                        cols: int, kind: int) -> np.ndarray:
     """Estimated coding cost of covering the image with rows x cols px
@@ -1305,6 +1383,10 @@ def _batched_tile_cost(state: VarDCTState, xyb: np.ndarray, rows: int,
     tby, tbx = nby // cy, nbx // cx
     if tby == 0 or tbx == 0:
         return np.full((tby, tbx), np.inf)
+    from ..api.tpu_codec import accelerator_available
+
+    if accelerator_available():
+        return _tile_cost_device(state, xyb, rows, cols, kind, tby, tbx)
     crop = xyb[:, :tby * rows, :tbx * cols].astype(np.float32)
     tiles = crop.reshape(3, tby, rows, tbx, cols).transpose(0, 1, 3, 2, 4)
     co = np.einsum("ur,ctmrk,vk->ctmuv",
