@@ -227,6 +227,12 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
             cms_linear = np.moveaxis(
                 _cms.icc_to_linear_srgb(image, icc), -1, 0).astype(
                     np.float64)
+        elif _cms.available() and _cms.profile_is_gray(icc):
+            # gray input leg (jxl_cms.cc gray handling): samples carry a
+            # GRAY ICC profile; expand through lcms to linear sRGB
+            cms_linear = np.moveaxis(
+                _cms.gray_icc_to_linear_srgb(image, icc), -1, 0).astype(
+                    np.float64)
         meta.m.all_default = False
         meta.m.color_encoding.all_default = False
         meta.m.color_encoding.want_icc = True
@@ -587,6 +593,19 @@ def decode(data: bytes, target_nits: float = None,
                                            255).astype(np.uint8)
                                    for e in extra], axis=-1)
                     u8 = np.concatenate([u8, ec], axis=-1)
+                return _orient(u8), meta
+            return _orient(out_px), meta
+        if _cms.available() and _cms.profile_is_gray(icc_prof):
+            # gray output leg: convert into the GRAY profile's space and
+            # replicate to 3 channels for the RGB output contract
+            g = _cms.linear_srgb_to_gray_icc(np.clip(rgb, 0.0, 1.0),
+                                             icc_prof)
+            if decode_info is not None:
+                decode_info["cms"] = "applied-gray"
+            out_px = np.repeat(g[:, :, None], 3, axis=2)
+            if bits <= 8:
+                u8 = np.clip(np.round(out_px * 255.0), 0,
+                             255).astype(np.uint8)
                 return _orient(u8), meta
             return _orient(out_px), meta
         import logging

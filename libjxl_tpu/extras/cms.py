@@ -73,6 +73,8 @@ def _load():
     lib.cmsCloseProfile.argtypes = [c_void_p]
     lib.cmsGetColorSpace.restype = c_uint32
     lib.cmsGetColorSpace.argtypes = [c_void_p]
+    lib.cmsCreateGrayProfile.restype = c_void_p
+    lib.cmsCreateGrayProfile.argtypes = [POINTER(_CIExyY), c_void_p]
     _lib = lib
     return _lib
 
@@ -183,13 +185,106 @@ def make_rgb_profile(primaries, white=(0.3127, 0.3290),
     return bytes(buf[:size.value])
 
 
+def profile_color_space(icc: bytes) -> int:
+    """ICC color-space signature ('RGB ' = 0x52474220,
+    'GRAY' = 0x47524159, ...), or 0 when unreadable."""
+    lib = _load()
+    if lib is None:
+        return 0
+    p = lib.cmsOpenProfileFromMem(icc, len(icc))
+    if not p:
+        return 0
+    cs = lib.cmsGetColorSpace(p)
+    lib.cmsCloseProfile(p)
+    return cs
+
+
 def profile_is_rgb(icc: bytes) -> bool:
     lib = _load()
     if lib is None:
         return True
-    p = lib.cmsOpenProfileFromMem(icc, len(icc))
-    if not p:
-        return False
-    cs = lib.cmsGetColorSpace(p)
-    lib.cmsCloseProfile(p)
-    return cs == 0x52474220  # 'RGB '
+    return profile_color_space(icc) == 0x52474220  # 'RGB '
+
+
+def profile_is_gray(icc: bytes) -> bool:
+    return profile_color_space(icc) == 0x47524159  # 'GRAY'
+
+
+def make_gray_profile(gamma: float = 2.2) -> bytes:
+    """Serialize a simple grayscale ICC profile (D65, power TRC)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("lcms2 not available")
+    d65 = _CIExyY(0.3127, 0.3290, 1.0)
+    g = lib.cmsBuildGamma(None, float(gamma))
+    prof = lib.cmsCreateGrayProfile(ctypes.byref(d65), g)
+    lib.cmsFreeToneCurve(g)
+    if not prof:
+        raise RuntimeError("cannot create gray profile")
+    lib.cmsSaveProfileToMem.argtypes = [c_void_p, c_void_p,
+                                        POINTER(c_uint32)]
+    n = c_uint32(0)
+    lib.cmsSaveProfileToMem(prof, None, ctypes.byref(n))
+    buf = ctypes.create_string_buffer(n.value)
+    lib.cmsSaveProfileToMem(prof, buf, ctypes.byref(n))
+    lib.cmsCloseProfile(prof)
+    return buf.raw
+
+
+def gray_icc_to_linear_srgb(pixels: np.ndarray, icc: bytes) -> np.ndarray:
+    """(H, W) or (H, W, 1) gray samples described by a GRAY ICC profile
+    -> linear sRGB f32 (H, W, 3) (jxl_cms.cc gray input leg)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("lcms2 not available")
+    if pixels.ndim == 3:
+        pixels = pixels[:, :, 0]
+    if pixels.dtype == np.uint8:
+        src = pixels.astype(np.float32) / 255.0
+    elif pixels.dtype == np.uint16:
+        src = pixels.astype(np.float32) / 65535.0
+    else:
+        src = pixels.astype(np.float32)
+    src = np.ascontiguousarray(src)
+    h, w = src.shape
+    p_in = lib.cmsOpenProfileFromMem(icc, len(icc))
+    if not p_in:
+        raise ValueError("invalid ICC profile")
+    p_out = _linear_srgb_profile(lib)
+    xf = lib.cmsCreateTransform(p_in, TYPE_GRAY_FLT, p_out, TYPE_RGB_FLT,
+                                INTENT_RELATIVE_COLORIMETRIC, 0)
+    lib.cmsCloseProfile(p_in)
+    lib.cmsCloseProfile(p_out)
+    if not xf:
+        raise ValueError("cannot build gray ICC transform")
+    out = np.empty((h, w, 3), dtype=np.float32)
+    lib.cmsDoTransform(xf, src.ctypes.data_as(c_void_p),
+                       out.ctypes.data_as(c_void_p), h * w)
+    lib.cmsDeleteTransform(xf)
+    return np.clip(out, 0.0, 1.0)
+
+
+def linear_srgb_to_gray_icc(pixels: np.ndarray, icc: bytes) -> np.ndarray:
+    """linear sRGB f32 (H, W, 3) -> gray samples f32 (H, W) in the GRAY
+    profile's space (decoder CMS stage, gray output leg)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("lcms2 not available")
+    src = np.ascontiguousarray(pixels.astype(np.float32))
+    h, w, _ = src.shape
+    p_in = _linear_srgb_profile(lib)
+    p_out = lib.cmsOpenProfileFromMem(icc, len(icc))
+    if not p_out:
+        lib.cmsCloseProfile(p_in)
+        raise ValueError("invalid ICC profile")
+    xf = lib.cmsCreateTransform(p_in, TYPE_RGB_FLT, p_out, TYPE_GRAY_FLT,
+                                INTENT_RELATIVE_COLORIMETRIC, 0)
+    lib.cmsCloseProfile(p_in)
+    lib.cmsCloseProfile(p_out)
+    if not xf:
+        raise ValueError("cannot build gray ICC transform")
+    out = np.empty((h, w), dtype=np.float32)
+    lib.cmsDoTransform(xf, src.ctypes.data_as(c_void_p),
+                       out.ctypes.data_as(c_void_p), h * w)
+    lib.cmsDeleteTransform(xf)
+    return np.clip(out, 0.0, 1.0)

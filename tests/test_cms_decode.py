@@ -54,3 +54,31 @@ def test_cms_requested_without_profile_is_noop():
                                device=False)
     plain, _ = codestream.decode(stream, device=False)
     assert np.array_equal(out, plain)
+
+
+def test_gray_profile_roundtrip():
+    """GRAY ICC input expands to linear sRGB on encode; the decoder CMS
+    stage converts back into the gray profile's space."""
+    from libjxl_tpu.extras import cms
+
+    if not cms.available():
+        pytest.skip("no lcms2")
+    icc = cms.make_gray_profile(gamma=2.2)
+    assert cms.profile_is_gray(icc)
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:96, 0:112]
+    gray = np.clip(110 + 60 * np.sin(xx / 13) * np.cos(yy / 9)
+                   + rng.normal(0, 4, (96, 112)), 0,
+                   255).astype(np.uint8)
+    img = np.repeat(gray[:, :, None], 3, axis=2)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     icc=icc, device=False)
+    info = {}
+    dec, meta = codestream.decode(stream, decode_info=info,
+                                  device=False)
+    assert meta.m.color_encoding.want_icc
+    assert info.get("cms") == "applied-gray"
+    err = np.abs(dec[:, :, 0].astype(float) - gray.astype(float)).mean()
+    assert err < 4.0, err
+    # all three output channels carry the replicated gray rendering
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
