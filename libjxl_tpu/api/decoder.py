@@ -39,6 +39,9 @@ FULL_IMAGE = "full_image"
 PREVIEW_IMAGE = "preview_image"          # JXL_DEC_PREVIEW_IMAGE (:219)
 BOX = "box"                              # JXL_DEC_BOX (:270)
 FRAME_PROGRESSION = "frame_progression"  # JXL_DEC_FRAME_PROGRESSION
+# JXL_DEC_JPEG_RECONSTRUCTION (:243): fires when a jbrd box announces
+# that the stream carries exact-JPEG reconstruction data
+JPEG_RECONSTRUCTION = "jpeg_reconstruction"
 
 _ALL_EVENTS = (BASIC_INFO, COLOR_ENCODING, FRAME, FULL_IMAGE)
 
@@ -85,6 +88,7 @@ class Decoder:
         self.box_type = None
         self.box_data = None
         self._preview = None
+        self._jbrd_seen = False
 
     def set_input(self, data: bytes):
         """Append bytes (zero-copy semantics of SetInput/ReleaseInput are
@@ -142,6 +146,15 @@ class Decoder:
     def _process(self):
         if self._finished:
             return SUCCESS
+        if JPEG_RECONSTRUCTION in self._events and not self._jbrd_seen \
+                and len(self._data) >= 12 and is_container(self._data):
+            try:
+                boxes = list(parse_boxes(self._data[12:]))
+            except Exception:
+                boxes = []
+            if any(bt == b"jbrd" for bt, _p, _r in boxes):
+                self._jbrd_seen = True
+                return JPEG_RECONSTRUCTION
         if BOX in self._events:
             ev = self._next_box_event()
             if ev is not None:
@@ -186,6 +199,16 @@ class Decoder:
             self._emitted.add(PREVIEW_IMAGE)
             return PREVIEW_IMAGE
         return self._process_frame(data)
+
+    def reconstruct_jpeg(self) -> bytes:
+        """Exact-JPEG reconstruction from the buffered container
+        (JxlDecoderSetJPEGBuffer flow collapsed: valid after the
+        JPEG_RECONSTRUCTION event once all input has arrived)."""
+        if not self._jbrd_seen:
+            raise JXLError("stream has no jbrd reconstruction data")
+        from ..jpeg.recompress import reconstruct_jpeg
+
+        return reconstruct_jpeg(self._data)
 
     @property
     def preview_image(self):

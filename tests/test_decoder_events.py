@@ -102,3 +102,32 @@ def test_modular_incremental_groups():
     # the incremental path really engaged (modular multi-group streams
     # populate _FrameState.decoded section by section)
     assert dec._frame is not None and len(dec._frame.decoded) > 2
+
+
+def test_jpeg_reconstruction_event():
+    """JXL_DEC_JPEG_RECONSTRUCTION analog: the jbrd box announces exact
+    reconstruction; Decoder.reconstruct_jpeg returns the original."""
+    import io as _io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import numpy as np
+    from PIL import Image
+
+    from libjxl_tpu.api import decoder as dec
+    from libjxl_tpu.jpeg.recompress import recompress_jpeg_vardct
+
+    rng = np.random.default_rng(4)
+    img = np.clip(rng.normal(120, 30, (64, 80, 3)), 0,
+                  255).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85)
+    jpeg = buf.getvalue()
+    container = recompress_jpeg_vardct(jpeg)
+    d = dec.Decoder(events=(dec.JPEG_RECONSTRUCTION, dec.FULL_IMAGE))
+    d.set_input(container)
+    d.close_input()
+    ev = d.process()
+    assert ev == dec.JPEG_RECONSTRUCTION
+    assert d.reconstruct_jpeg() == jpeg
