@@ -53,6 +53,33 @@ def build_parser():
                    default="vardct",
                    help="JPEG recompression layout: real VarDCT frame "
                         "(default) or the legacy token model")
+    p.add_argument("--epf", type=int, default=None, choices=range(-1, 4),
+                   help="edge-preserving filter level (-1 = encoder "
+                        "default, 0 = off)")
+    p.add_argument("--gaborish", type=int, choices=(0, 1), default=None,
+                   help="force Gaborish on/off")
+    p.add_argument("--dots", type=int, choices=(0, 1), default=None,
+                   help="force dot detection on/off")
+    p.add_argument("--patches", type=int, choices=(0, 1), default=None,
+                   help="force patch detection on/off")
+    p.add_argument("--noise", type=int, choices=(0, 1), default=None,
+                   help="content-adaptive noise synthesis")
+    p.add_argument("--progressive_ac", action="store_true",
+                   help="spectral-progression AC passes (= -p 2)")
+    # accepted for cjxl command-line compatibility; not yet wired to a
+    # distinct behavior here (logged when verbose, like the reference
+    # ignores settings outside the active tier)
+    for flag in ("--brotli_effort", "--faster_decoding",
+                 "--progressive_dc", "--qprogressive_ac",
+                 "--intensity_target", "--override_bitdepth",
+                 "--center_x", "--center_y", "--group_order",
+                 "--modular_group_size", "--modular_predictor",
+                 "--modular_colorspace", "--modular_ma_tree_learning_percent",
+                 "--modular_nb_prev_channels", "--modular_palette_colors",
+                 "--modular_lossy_palette", "--pre_compact",
+                 "--post_compact", "--iterations", "--allow_expert_options"):
+        p.add_argument(flag, type=float, default=None,
+                       help=argparse.SUPPRESS)
     p.add_argument("--stats", action="store_true",
                    help="print per-layer bit accounting "
                         "(JxlEncoderCollectStats analog)")
@@ -147,13 +174,38 @@ def _main(argv=None):
                 save_heatmap(state.raw_quant_field, prefix + "_quant.png")
                 save_heatmap(state.epf_sharpness, prefix + "_sharp.png")
                 save_heatmap(state.strategy, prefix + "_acs.png")
+        unwired = [f for f in (
+            "brotli_effort", "faster_decoding", "progressive_dc",
+            "qprogressive_ac", "intensity_target", "override_bitdepth",
+            "center_x", "center_y", "group_order", "modular_group_size",
+            "modular_predictor", "modular_colorspace",
+            "modular_ma_tree_learning_percent",
+            "modular_nb_prev_channels", "modular_palette_colors",
+            "modular_lossy_palette", "pre_compact", "post_compact",
+            "iterations", "allow_expert_options")
+            if getattr(args, f, None) is not None]
+        if unwired and args.verbose:
+            print(f"cjxl: accepted (not wired): {', '.join(unwired)}",
+                  file=sys.stderr)
+        progressive = args.progressive
+        if args.progressive_ac and progressive == 1:
+            progressive = 2
         data = encode_lossy(image, distance=distance,
                             group_size_shift=args.group_size_shift, icc=icc,
                             effort=args.effort,
-                            progressive=args.progressive,
+                            progressive=progressive,
                             resampling=args.resampling,
                             photon_noise_iso=args.photon_noise_iso,
                             preview=args.preview,
+                            epf=args.epf if args.epf not in (None, -1)
+                            else None,
+                            gaborish=None if args.gaborish is None
+                            else bool(args.gaborish),
+                            dots=None if args.dots is None
+                            else bool(args.dots),
+                            patches=None if args.patches is None
+                            else bool(args.patches),
+                            noise=bool(args.noise) if args.noise else False,
                             stats=stats, debug_cb=debug_cb)
         if stats:
             for k, v in sorted(stats.items()):
