@@ -233,6 +233,19 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
             cms_linear = np.moveaxis(
                 _cms.gray_icc_to_linear_srgb(image, icc), -1, 0).astype(
                     np.float64)
+        else:
+            # no CMS (or unsupported profile class): pixels stay in
+            # profile space but the stream still signals the profile —
+            # a CMS-capable decoder will re-convert (double transform).
+            # Loud, because this producer is non-conforming.
+            import logging
+
+            logging.getLogger("libjxl_tpu.cms").warning(
+                "encoding with an ICC profile but %s: pixels are coded "
+                "unconverted; decoders applying the CMS stage will "
+                "double-convert",
+                "lcms2 unavailable" if not _cms.available()
+                else "unsupported profile class")
         meta.m.all_default = False
         meta.m.color_encoding.all_default = False
         meta.m.color_encoding.want_icc = True
@@ -585,16 +598,8 @@ def decode(data: bytes, target_nits: float = None,
                                              icc_prof)
             if decode_info is not None:
                 decode_info["cms"] = "applied"
-            if bits <= 8:
-                u8 = np.clip(np.round(out_px * 255.0), 0,
-                             255).astype(np.uint8)
-                if extra:
-                    ec = np.stack([np.clip(np.round(e), 0,
-                                           255).astype(np.uint8)
-                                   for e in extra], axis=-1)
-                    u8 = np.concatenate([u8, ec], axis=-1)
-                return _orient(u8), meta
-            return _orient(out_px), meta
+            return _finish_cms_output(out_px, extra, bits, meta,
+                                      _orient)
         if _cms.available() and _cms.profile_is_gray(icc_prof):
             # gray output leg: convert into the GRAY profile's space and
             # replicate to 3 channels for the RGB output contract
@@ -603,11 +608,8 @@ def decode(data: bytes, target_nits: float = None,
             if decode_info is not None:
                 decode_info["cms"] = "applied-gray"
             out_px = np.repeat(g[:, :, None], 3, axis=2)
-            if bits <= 8:
-                u8 = np.clip(np.round(out_px * 255.0), 0,
-                             255).astype(np.uint8)
-                return _orient(u8), meta
-            return _orient(out_px), meta
+            return _finish_cms_output(out_px, extra, bits, meta,
+                                      _orient)
         import logging
 
         logging.getLogger("libjxl_tpu.cms").warning(
@@ -646,6 +648,23 @@ def _skip_or_decode_preview(r: BitReader, meta, want: bool = False):
 
     srgb = linear_to_srgb(np.stack(chans, axis=-1))
     return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def _finish_cms_output(out_px, extra, bits, meta, orient):
+    """Attach extra channels and quantize the CMS stage's float pixels
+    (both CMS legs share this; extras must never be dropped)."""
+    if bits <= 8:
+        u8 = np.clip(np.round(out_px * 255.0), 0, 255).astype(np.uint8)
+        if extra:
+            ec = np.stack([np.clip(np.round(e), 0, 255).astype(np.uint8)
+                           for e in extra], axis=-1)
+            u8 = np.concatenate([u8, ec], axis=-1)
+        return orient(u8), meta
+    if extra:
+        out_px = np.concatenate(
+            [out_px] + [np.asarray(e)[:, :, None].astype(out_px.dtype)
+                        for e in extra], axis=-1)
+    return orient(out_px), meta
 
 
 def decode_batch(streams, num_threads: int = 0):
@@ -688,6 +707,8 @@ def decode_rows(data: bytes, num_threads: int = 0):
         raise JXLError("low-memory decode: preview frame")
     if not meta.m.xyb_encoded:
         raise JXLError("low-memory decode: non-XYB stream")
+    if meta.m.color_encoding.want_icc:
+        raise JXLError("low-memory decode: CMS output stage")
     fh = FrameHeader(meta)
     fh.read(r)
     if fh.frame_type != FT_REGULAR or not fh.is_last:

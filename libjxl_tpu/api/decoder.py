@@ -226,7 +226,11 @@ class Decoder:
         except Exception:
             boxes = []
         if self._boxes_emitted < len(boxes):
-            btype, payload, _ = boxes[self._boxes_emitted]
+            btype, payload, unbounded = boxes[self._boxes_emitted]
+            if unbounded and not self._closed:
+                # size==0 box extends to EOF: its payload is only
+                # complete once the caller closes the input
+                return None
             self._boxes_emitted += 1
             self.box_type = btype
             self.box_data = payload

@@ -166,9 +166,11 @@ class FrameSettings:
         """JxlEncoderSetFrameDistance (encode.h:1310): [0, 25]."""
         if not (0.0 <= distance <= 25.0):
             raise JXLError("distance must be in [0, 25]")
+        # d=0 selects lossless, any later d>0 deselects it — the flag
+        # must not latch (the reference keeps SetFrameDistance and
+        # SetFrameLossless independent; set_lossless still overrides)
         self.distance = float(distance)
-        if distance == 0.0:
-            self.lossless = True
+        self.lossless = distance == 0.0
 
     def set_lossless(self, lossless: bool) -> None:
         self.lossless = bool(lossless)

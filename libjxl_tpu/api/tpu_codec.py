@@ -448,7 +448,7 @@ def prepare_tpu_batch(streams, num_threads: int = 0):
     from ..vardct.frame import decode_vardct_frame
 
     if not streams:
-        return []
+        raise JXLError("batch decode: empty stream list")
     states, fhs = [], []
     for data in streams:
         r = BitReader(data)
@@ -456,6 +456,14 @@ def prepare_tpu_batch(streams, num_threads: int = 0):
         if not meta.m.xyb_encoded or meta.m.orientation != 1 \
                 or meta.m.bit_depth.bits_per_sample > 8:
             raise JXLError("batch decode: stream needs host stages")
+        if meta.m.num_extra_channels:
+            raise JXLError("batch decode: extra channels")
+        if meta.m.color_encoding.want_icc:
+            raise JXLError("batch decode: CMS output stage")
+        if meta.m.have_preview:
+            from .codestream import _skip_or_decode_preview
+
+            _skip_or_decode_preview(r, meta)
         fh = FrameHeader(meta)
         fh.read(r)
         cap = {}
@@ -495,6 +503,10 @@ def prepare_tpu_batch(streams, num_threads: int = 0):
         if st.patches is not None or st.splines is not None \
                 or st.noise_lut is not None or fh.upsampling != 1:
             raise JXLError("batch decode: post-render features")
+        if getattr(st, "color_factor", 84) != 84 \
+                or getattr(st, "base_x", 0.0) != 0.0 \
+                or getattr(st, "base_b", 1.0) != 1.0:
+            raise JXLError("batch decode: custom color correlation")
         lf = fh.loop_filter
         if (lf.epf_iters, lf.gab) != (lf0.epf_iters, lf0.gab) or any(
                 getattr(lf, f) != getattr(lf0, f) for f in (

@@ -208,7 +208,9 @@ def build_sharded_decode_full(mesh: Mesh, epf_iters: int = 2):
     )
     from ..render.pipeline import gaborish_kernel
 
-    halo = 4  # gaborish 1 + EPF1 sad(1)+nb(1) + EPF2 1
+    # gaborish 1 + EPF1 sad(1)+nb(1) + EPF2 1; pass 0 (epf_iters == 3)
+    # adds neighbors(2)+sad(1)
+    halo = 8 if epf_iters == 3 else 4
     gab_kernels = np.stack(
         [gaborish_kernel(*GAB_DEFAULT[c]) for c in range(3)]).astype(
             np.float32)
@@ -275,8 +277,10 @@ def build_sharded_decode_stream(mesh: Mesh, lf, igs: float, xdm: float,
         xyb_to_rgb_jax,
     )
 
-    halo = 4
     epf_iters = int(lf.epf_iters)
+    # total filter radius across the seam: gaborish(1) + EPF pass 0
+    # (neighbors 2 + SAD pattern 1 = 3) + pass 1 (2) + pass 2 (1)
+    halo = 8 if epf_iters == 3 else 4
     gab = bool(lf.gab)
     p0 = float(lf.epf_pass0_sigma_scale)
     p2 = float(lf.epf_pass2_sigma_scale)

@@ -84,6 +84,10 @@ def _main(argv=None):
     t0 = time.perf_counter()
     info = {}
     image = meta = None
+    if args.low_memory and args.display_nits is not None:
+        print("djxl: --low_memory has no tone-mapping stage; using the "
+              "regular decoder", file=sys.stderr)
+        args.low_memory = False
     if args.low_memory:
         from ..api.codestream import decode_rows, parse_codestream_header
         from ..base.status import JXLError
