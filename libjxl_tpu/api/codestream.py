@@ -174,11 +174,11 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
             and resampling == 1 and progressive == 1 and preview is None
             and splines is None and custom_quant is None
             and spot_color is None and stats is None and debug_cb is None
-            and gaborish is None and epf is None
             and dots is None and patches is None):
         from .tpu_codec import encode_lossy_tpu
 
-        return encode_lossy_tpu(image, distance=distance)
+        return encode_lossy_tpu(image, distance=distance,
+                                gaborish=gaborish, epf=epf)
     public_distance = distance
     distance = _calibrated_distance(distance)
     if image.ndim == 2:

@@ -133,9 +133,11 @@ def _jitted_sub():
 
 
 def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
-                     adaptive_quant: bool = True, cfl: bool = True) -> bytes:
+                     adaptive_quant: bool = True, cfl: bool = True,
+                     gaborish: bool = None, epf: int = None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3) image lossily with the device
-    compute path. Returns a bare JPEG XL codestream (DCT8 strategy)."""
+    compute path. Returns a bare JPEG XL codestream (DCT8 strategy).
+    gaborish/epf: loop-filter overrides (None = encoder defaults)."""
     from .codestream import _calibrated_distance
 
     public_distance = distance
@@ -165,8 +167,8 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     fh.color_transform = CT_XYB
     fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
     fh.loop_filter.all_default = False
-    fh.loop_filter.gab = True
-    fh.loop_filter.epf_iters = 2
+    fh.loop_filter.gab = True if gaborish is None else bool(gaborish)
+    fh.loop_filter.epf_iters = 2 if epf is None else max(0, min(3, epf))
 
     fd = fh.frame_dimensions()
     # pad to block multiple (device needs static 8-multiple shapes)
@@ -213,7 +215,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
         rgb, dm_inv, dm, np.float32(quantizer.inv_global_scale),
         np.float32(base_quant), np.float32(x_dm_mult),
         np.float32(b_dm_mult), qf_in=qf_arr,
-        adaptive=adaptive_quant, cfl=cfl,
+        adaptive=adaptive_quant, cfl=cfl, gab=fh.loop_filter.gab,
         distance=float(distance) if adaptive_quant else None)
     precomputed = {
         "quant_median": (quant_median if adaptive_quant
