@@ -126,3 +126,13 @@ def test_device_strips_match_device_whole_image():
             out[y0:y0 + strip.shape[0]] = strip
         assert np.abs(whole[:, :, :3].astype(int)
                       - out.astype(int)).max() <= 1
+
+
+def test_truncated_stream_raises_cleanly():
+    img = _image(300, 280)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     device=False)
+    for cut in (50, len(stream) // 2, len(stream) - 10):
+        with pytest.raises(JXLError):
+            for _ in codestream.decode_rows(stream[:cut]):
+                pass
