@@ -78,6 +78,13 @@ class HybridUintConfig:
         tokens = np.where(small, values, token_big)
         nbits = np.where(small, 0, nbits_big)
         bits = np.where(small, 0, bits_big)
+        if nbits.size and int(nbits.max()) > 31:
+            # > 31 extra bits cannot ride the 32-bit bits lane (the
+            # writers and both native decoders cap reads at 31 bits);
+            # silent truncation here would desync the stream
+            from ..base.status import JXLError
+
+            raise JXLError("hybrid-uint value needs > 31 extra bits")
         return (tokens.astype(np.uint32), nbits.astype(np.uint8),
                 bits.astype(np.uint32))
 

@@ -136,7 +136,8 @@ def hybrid_tokenize_native(lib, ctx: np.ndarray, val: np.ndarray,
         ctypes.c_int(msb), ctypes.c_int(lsb),
         _ptr(tok, ctypes.c_uint16), _ptr(nbits, ctypes.c_uint8),
         _ptr(bits, ctypes.c_uint32), _ptr(counts, ctypes.c_uint32),
-        ctypes.c_int(max_tok), ctypes.c_int(1 if is_u32 else 0))
+        ctypes.c_int(max_tok), ctypes.c_int(1 if is_u32 else 0),
+        ctypes.c_int(len(counts) // max_tok))
     if rc != 0:
         return None
     return tok, nbits, bits
@@ -244,8 +245,9 @@ def place_ac_metadata_native(lib, acs_row, qf_row, count, sharp,
 
 def decode_ac_image_native(lib, data: bytes, group_off, group_size,
                            xsize_groups, group_dim_blocks, ncodes,
-                           state_maps, luts, histo_bits, num_ac_ctx,
-                           num_ctxs, shift, planes, n_threads=1):
+                           state_maps, luts, histo_bits, num_histograms,
+                           num_ac_ctx, num_ctxs, shift, planes,
+                           n_threads=1):
     """Whole-image AC decode (native/vardct_decode.c decode_ac_image).
     planes: 3 contiguous int32 (H, W) arrays; n_threads > 1 decodes AC
     groups on a pthread pool (dec_frame.cc:716 RunOnPool analog).
@@ -280,7 +282,9 @@ def decode_ac_image_native(lib, data: bytes, group_off, group_size,
         _ptr(ord_img_flat, ctypes.c_int32),
         _ptr(cov_x, ctypes.c_int32), _ptr(cov_y, ctypes.c_int32),
         _ptr(log2cb, ctypes.c_int32), _ptr(ord_lut, ctypes.c_int32),
-        ctypes.c_int(histo_bits), ctypes.c_int(num_ac_ctx),
+        ctypes.c_int(histo_bits), ctypes.c_int(num_histograms),
+        ctypes.c_int(ncodes.cutoff.shape[0]),  # true table count
+        ctypes.c_int(num_ac_ctx),
         ctypes.c_int(num_ctxs), ctypes.c_int(shift),
         ctypes.c_int(planes[0].shape[1]),
         _ptr(planes[0], ctypes.c_int32), _ptr(planes[1], ctypes.c_int32),

@@ -506,8 +506,8 @@ def decode_ac_bulk_native(state: VarDCTState, data: bytes,
             (state.strategy, state.is_origin, state.raw_quant_field),
             (bctx_lut, qf_thr, off_tab, oflat,
              cov_x, cov_y, log2cb, ord_lut),
-            histo_bits, bcm.num_ac_contexts(), bcm.num_ctxs, shift, planes,
-            n_threads=n_threads)
+            histo_bits, state.num_histograms, bcm.num_ac_contexts(),
+            bcm.num_ctxs, shift, planes, n_threads=n_threads)
         if rc != 0:
             raise JXLError(f"invalid AC stream (group {rc - 1000}, "
                            f"pass {p})")
@@ -526,8 +526,10 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
         if state.num_histograms > 1 else 0
     ctx_offset = 0
     if histo_bits:
-        ctx_offset = r.read_bits(histo_bits) \
-            * state.block_ctx_map.num_ac_contexts()
+        sel = r.read_bits(histo_bits)
+        if sel >= state.num_histograms:
+            raise JXLError("AC group histogram selector out of range")
+        ctx_offset = sel * state.block_ctx_map.num_ac_contexts()
     code = state.ac_code[pass_idx]
     cmap = state.ac_context_map[pass_idx]
     shift = state.fh.passes.shift[pass_idx] \

@@ -29,7 +29,7 @@ int hybrid_tokenize(const int32_t* ctx, const void* val, size_t n,
                     int split_exponent, int msb, int lsb,
                     uint16_t* tok_out, uint8_t* nbits_out,
                     uint32_t* bits_out, uint32_t* counts, int max_tok,
-                    int val_is_u32) {
+                    int val_is_u32, int n_ctx) {
   uint64_t split_token = (uint64_t)1 << split_exponent;
   const int64_t* v64 = (const int64_t*)val;
   const uint32_t* v32 = (const uint32_t*)val;
@@ -46,7 +46,9 @@ int hybrid_tokenize(const int32_t* ctx, const void* val, size_t n,
       unsigned lg = 63 - (unsigned)__builtin_clzll(v);
       uint64_t m = v - ((uint64_t)1 << lg);
       nb = lg - msb - lsb;
-      if (nb > 32) return -1;
+      /* > 31 extra bits cannot ride the 32-bit bits lane and the
+       * decoders' vbr_read; fall back so the caller errors loudly */
+      if (nb > 31) return -1;
       t = (uint32_t)(split_token +
                      (((uint64_t)(lg - split_exponent)) << (msb + lsb)) +
                      ((m >> (lg - msb)) << lsb) +
@@ -54,6 +56,7 @@ int hybrid_tokenize(const int32_t* ctx, const void* val, size_t n,
       b = (uint32_t)((v >> lsb) & ((((uint64_t)1 << nb) - 1)));
     }
     if (t >= (uint32_t)max_tok) return -1;
+    if ((uint32_t)ctx[i] >= (uint32_t)n_ctx) return -1;
     tok_out[i] = (uint16_t)t;
     nbits_out[i] = (uint8_t)nb;
     bits_out[i] = b;

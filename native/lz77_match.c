@@ -258,20 +258,17 @@ static inline uint32_t dist_to_symbol(const Matcher* m, uint32_t dist) {
   } while (0)
 
 /* Best single match at pos: longest, ties broken by lower distance
- * symbol, with a +-2 slack band around the best length (a slightly
- * shorter match with a much closer distance is usually cheaper). */
+ * symbol. (An earlier slack-band heuristic here was dead logic — the
+ * candidate walk visits distances in increasing order, so the first
+ * match of the winning length already has the lowest symbol.) */
 static void best_match(const Matcher* m, uint32_t pos, uint32_t* out_dsym,
                        uint32_t* out_len) {
-  uint32_t best_len = 0;
   uint32_t r_len = 1, r_dsym = 0;
 #define EMIT_BEST(len, dsym)                                   \
   do {                                                         \
-    if ((len) + 2 >= best_len) {                               \
-      if ((len) > r_len || ((len) == r_len && r_dsym > (dsym))) { \
-        r_len = (len);                                         \
-        r_dsym = (dsym);                                       \
-      }                                                        \
-      if ((len) > best_len) best_len = (len);                  \
+    if ((len) > r_len || ((len) == r_len && r_dsym > (dsym))) { \
+      r_len = (len);                                           \
+      r_dsym = (dsym);                                         \
     }                                                          \
   } while (0)
   CANDIDATE_WALK(m, pos, EMIT_BEST);

@@ -212,7 +212,10 @@ int decode_channel_nowp(
     int64_t prev9 = 0;
     for (int x = 0; x < w; x++) {
       const int32_t* row = out + (size_t)y * w;
-      const int32_t* prow = out + (size_t)(y - 1) * w;
+      /* y==0 guard: forming out + (y-1)*w at y==0 is UB pointer
+       * arithmetic even unread; alias the current row instead (every
+       * prow read below is already gated on y > 0) */
+      const int32_t* prow = y ? out + (size_t)(y - 1) * w : row;
       int64_t left = x ? row[x - 1] : (y ? prow[x] : 0);
       int64_t top = y ? prow[x] : left;
       int64_t topleft = (x && y) ? prow[x - 1] : left;
@@ -334,7 +337,10 @@ int decode_channel_wp(
     size_t prev_row = (y & 1) ? stride : 0;
     for (int x = 0; x < w; x++) {
       const int32_t* row = out + (size_t)y * w;
-      const int32_t* prow = out + (size_t)(y - 1) * w;
+      /* y==0 guard: forming out + (y-1)*w at y==0 is UB pointer
+       * arithmetic even unread; alias the current row instead (every
+       * prow read below is already gated on y > 0) */
+      const int32_t* prow = y ? out + (size_t)(y - 1) * w : row;
       int64_t left = x ? row[x - 1] : (y ? prow[x] : 0);
       int64_t top = y ? prow[x] : left;
       int64_t topleft = (x && y) ? prow[x - 1] : left;

@@ -281,7 +281,7 @@ typedef struct {
   const int32_t* cov_y;
   const int32_t* log2cb;
   const int32_t* ord_lut;
-  int histo_bits, num_ac_ctx, num_ctxs, shift, W;
+  int histo_bits, num_histograms, num_ac_ctx, num_ctxs, shift, W;
   int32_t* planes[3];
 } AcImageCtx;
 
@@ -308,8 +308,14 @@ static int decode_one_ac_group_img(const AcImageCtx* cc, int g,
   br.pos = 0;
   br.buf = 0;
   br.bits = 0;
-  int ctx_offset = cc->histo_bits
-      ? (int)vbr_read(&br, cc->histo_bits) * cc->num_ac_ctx : 0;
+  int ctx_offset = 0;
+  if (cc->histo_bits) {
+    uint32_t sel = vbr_read(&br, cc->histo_bits);
+    /* TOC-controlled selector must name an existing histogram set
+     * (dec_frame.cc rejects selector >= num_histograms) */
+    if (sel >= (uint32_t)cc->num_histograms) return 1;
+    ctx_offset = (int)sel * cc->num_ac_ctx;
+  }
   uint32_t state = vbr_read(&br, 32);
   memset(nzmap, 0, sizeof(int32_t) * 3 * bh * bw);
   AnsPackedV t = {cc->entries, cc->log_alpha_size, cc->context_map,
@@ -365,9 +371,13 @@ static int decode_one_ac_group_img(const AcImageCtx* cc, int g,
         int32_t remaining = (int32_t)nzeros;
         while (k < size && remaining != 0) {
           int nzl = (remaining + cb - 1) >> l2;
-          int ctx = histo_offset +
-                    (kCoeffNumNonzeroContext[nzl] +
-                     kCoeffFreqContext[k >> l2]) * 2 + prev;
+          int zctx = (kCoeffNumNonzeroContext[nzl] +
+                      kCoeffFreqContext[k >> l2]) * 2 + prev;
+          /* a lying nzeros (more remaining than positions left) pushes
+           * the pair outside the 458-entry zero-density block; reject
+           * instead of indexing past the context map */
+          if (zctx >= ZERO_DENSITY_CONTEXT_COUNT) return 1;
+          int ctx = histo_offset + zctx;
           uint32_t u = v_read_hybrid_uint_packed(&t, ctx, &state, &br);
           int32_t coeff =
               (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
@@ -391,13 +401,11 @@ static int decode_one_ac_group_img(const AcImageCtx* cc, int g,
 static AliasEntryV* pack_alias_tables(
     const uint16_t* cutoff, const uint16_t* right, const uint16_t* freq0,
     const uint16_t* offsets1, const uint16_t* freq1, int log_alpha_size,
-    const uint8_t* context_map, int num_ac_ctx) {
-  /* one cache line per (cluster, bucket); clusters = max mapped id + 1 */
-  int nclusters = 0;
-  for (int c = 0; c < num_ac_ctx; c++) {
-    if (context_map[c] + 1 > nclusters) nclusters = context_map[c] + 1;
-  }
-  size_t tsize = (size_t)nclusters << log_alpha_size;
+    int n_tables) {
+  /* one cache line per (cluster, bucket); n_tables is the caller's true
+   * table count — deriving it from a prefix of the context map missed
+   * clusters referenced only by later histogram selectors */
+  size_t tsize = (size_t)n_tables << log_alpha_size;
   AliasEntryV* entries = (AliasEntryV*)malloc(tsize * sizeof(AliasEntryV));
   if (!entries) return NULL;
   for (size_t j = 0; j < tsize; j++) {
@@ -454,19 +462,29 @@ int decode_ac_image(
     const int64_t* ord_img_off, const int32_t* ord_img_flat,
     const int32_t* cov_x, const int32_t* cov_y, const int32_t* log2cb,
     const int32_t* ord_lut,
-    int histo_bits, int num_ac_ctx, int num_ctxs, int shift,
+    int histo_bits, int num_histograms, int n_tables,
+    int num_ac_ctx, int num_ctxs, int shift,
     int W, int32_t* q0, int32_t* q1, int32_t* q2, int n_threads) {
+  /* TOC offsets/sizes are attacker-controlled: every group's section
+   * must lie inside the input buffer (the Python fallback slices
+   * data[start:start+size]; mirror that bound here) */
+  for (int g = 0; g < n_groups; g++) {
+    if (group_off[g] > data_size ||
+        group_size[g] > data_size - group_off[g]) {
+      return 1000 + g;
+    }
+  }
   AliasEntryV* entries =
       pack_alias_tables(cutoff, right, freq0, offsets1, freq1,
-                        log_alpha_size, context_map, num_ac_ctx);
+                        log_alpha_size, n_tables);
   if (!entries) return 9999;
   AcImageCtx cc = {data, group_off, group_size, n_groups, xsize_groups,
                    group_dim_blocks, entries, log_alpha_size, context_map,
                    cfg_split, cfg_msb, cfg_lsb, strategy, origin, qf,
                    nby, nbx, bctx_lut, qf_thr, nqf, ord_img_off,
                    ord_img_flat, cov_x, cov_y, log2cb, ord_lut,
-                   histo_bits, num_ac_ctx, num_ctxs, shift, W,
-                   {q0, q1, q2}};
+                   histo_bits, num_histograms, num_ac_ctx, num_ctxs,
+                   shift, W, {q0, q1, q2}};
   int rc = 0;
   if (n_threads > n_groups) n_threads = n_groups;
   if (n_threads > 1) {
@@ -612,10 +630,12 @@ int decode_ac_group(
       int32_t remaining = (int32_t)nzeros;
       while (k < size && remaining != 0) {
         int nzl = (remaining + cb - 1) >> l2;
-        int ctx = histo_offset +
-                  (kCoeffNumNonzeroContext[nzl] + kCoeffFreqContext[k >> l2]) *
-                      2 +
-                  prev;
+        int zctx =
+            (kCoeffNumNonzeroContext[nzl] + kCoeffFreqContext[k >> l2]) *
+                2 +
+            prev;
+        if (zctx >= ZERO_DENSITY_CONTEXT_COUNT) return 1;
+        int ctx = histo_offset + zctx;
         uint32_t u = v_read_hybrid_uint(&t, ctx, &state, &br);
         int32_t coeff = (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
         if (coeff >= 0) {
