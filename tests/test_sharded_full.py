@@ -68,7 +68,7 @@ def _reference(qimg, qf, dc, ytox, ytob, dm, ispx, sad, epf_iters):
     return np.stack(outs)
 
 
-@pytest.mark.parametrize("epf_iters", [0, 2])
+@pytest.mark.parametrize("epf_iters", [0, 2, 3])
 def test_sharded_full_matches_single_device(epf_iters):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
