@@ -152,12 +152,32 @@ TARGETS = {
 
 
 def _seed_corpus() -> list:
-    """Valid streams to mutate (mutation fuzzing beats pure random)."""
-    from ..api.codestream import encode_lossless, encode_lossy
+    """Valid streams to mutate (mutation fuzzing beats pure random).
+
+    Includes a MULTI-GROUP stream (several AC-group TOC sections — the
+    native bulk decoder's per-group offset/selector validation paths)
+    and a streaming-encoder stream (num_histograms > 1 per DC group),
+    not just the single-section special case."""
+    from ..api.codestream import (
+        encode_lossless,
+        encode_lossy,
+        encode_lossy_streaming,
+    )
 
     rng = np.random.default_rng(42)
     img = np.clip(rng.normal(128, 40, (32, 40, 3)), 0, 255).astype(np.uint8)
-    return [encode_lossless(img), encode_lossy(img, distance=2.0)]
+    out = [encode_lossless(img), encode_lossy(img, distance=2.0)]
+    big = np.clip(
+        128 + 60 * np.sin(np.arange(320)[:, None] * 0.04)
+        + rng.normal(0, 10, (320, 280)), 0, 255
+    ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    try:
+        out.append(encode_lossy(big, distance=1.0, effort=3,
+                                device=False))
+        out.append(encode_lossy_streaming(big, distance=1.0))
+    except Exception:
+        pass
+    return out
 
 
 def run(target: str, iters: int, seed: int, max_len: int = 4096) -> int:
