@@ -675,11 +675,11 @@ def decode_batch(streams, num_threads: int = 0):
     list of uint8 images in input order."""
     from .tpu_codec import accelerator_available, decode_tpu_batch
 
-    if accelerator_available():
+    if streams and accelerator_available():
         try:
             return decode_tpu_batch(streams, num_threads=num_threads)
-        except Exception:
-            pass
+        except JXLError:
+            pass  # heterogeneous / feature-gated batch: per-stream path
     return [decode(s, num_threads=num_threads)[0] for s in streams]
 
 
