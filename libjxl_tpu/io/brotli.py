@@ -481,6 +481,8 @@ def brotli_decode(data: bytes, max_output: int = 1 << 30) -> bytes:
             bcount[1] -= 1
             ic_sym = ic_huff[btype[1]].read(br)
             ins, cp, dist0 = _decode_ic(ic_sym, br)
+            if produced + ins > mlen:
+                raise JXLError("brotli: insert length exceeds MLEN")
             for _ in range(ins):
                 if bcount[0] == 0:
                     switch_block(0)
@@ -524,6 +526,8 @@ def brotli_decode(data: bytes, max_output: int = 1 << 30) -> bytes:
                 raise JXLError(
                     "brotli: static dictionary reference (dictionary "
                     "not embedded in this subset decoder)")
+            if produced + cp > mlen:
+                raise JXLError("brotli: copy length exceeds MLEN")
             for _ in range(cp):
                 out.append(out[-distance])
                 produced += 1
@@ -560,8 +564,6 @@ def brotli_store(data: bytes) -> bytes:
         # byte-align, then raw bytes
         while len(bits) % 8:
             bits.append(0)
-        for b in bits:
-            pass
         # flush bits to bytes
         for i in range(0, len(bits), 8):
             byte = 0

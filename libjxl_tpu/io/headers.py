@@ -43,8 +43,9 @@ RI_VALID = {RI_PERCEPTUAL, RI_RELATIVE, RI_SATURATION, RI_ABSOLUTE}
 EC_ALPHA, EC_DEPTH, EC_SPOT_COLOR, EC_SELECTION_MASK = 0, 1, 2, 3
 EC_BLACK, EC_CFA, EC_THERMAL = 4, 5, 6
 EC_UNKNOWN = 15
+EC_OPTIONAL = 16
 EC_VALID = {EC_ALPHA, EC_DEPTH, EC_SPOT_COLOR, EC_SELECTION_MASK,
-            EC_BLACK, EC_CFA, EC_THERMAL}
+            EC_BLACK, EC_CFA, EC_THERMAL, EC_UNKNOWN, EC_OPTIONAL}
 
 # XYB color-space constants (cms/opsin_params.h:20-72)
 K_M00, K_M02 = 0.30, 0.078

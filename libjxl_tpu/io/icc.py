@@ -211,15 +211,18 @@ def _encode_varint(value: int, out: bytearray) -> None:
     out.append(value & 127)
 
 
-def unpredict_icc(enc: bytes) -> bytes:
+def unpredict_icc(enc: bytes, output_limit: int = None) -> bytes:
     """Inverse of predict_icc: reconstruct the ICC profile
-    (icc_codec.cc:97-321)."""
+    (icc_codec.cc:97-321). output_limit bounds the DECODED size (the
+    command stream can amplify ~36x, so the encoded-size check alone
+    permits a memory-exhaustion profile)."""
     size = len(enc)
     pos = 0
     if pos >= size:
         raise JXLError("ICC: out of bounds")
     osize, pos = _decode_varint(enc, size, pos)
-    if osize > SIZE_LIMIT:
+    if osize > SIZE_LIMIT or (output_limit is not None
+                              and osize > output_limit):
         raise JXLError("ICC: output too large")
     if pos >= size:
         raise JXLError("ICC: out of bounds")
@@ -661,7 +664,7 @@ def read_icc(r: BitReader, output_limit: int = 1 << 28) -> bytes:
         b1 = b
     if not reader.check_final_state():
         raise JXLError("ICC: corrupted profile stream")
-    return unpredict_icc(bytes(dec))
+    return unpredict_icc(bytes(dec), output_limit=output_limit)
 
 
 def write_icc(icc: bytes, w: BitWriter) -> None:

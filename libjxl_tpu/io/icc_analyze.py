@@ -66,6 +66,8 @@ def _trc_kind(tag: bytes):
         if n == 0:
             return ("linear", None)
         if n == 1:
+            if len(tag) < 14:
+                return ("unknown", None)
             g = struct.unpack(">H", tag[12:14])[0] / 256.0
             return (("linear", None) if abs(g - 1.0) < 1e-3
                     else ("gamma", g))

@@ -126,8 +126,8 @@ def _decode_channel(r: BitReader, reader: ANSSymbolReader, context_map,
     # Native C fast paths (native/modular_decode.c): WP-free trees and
     # weighted-predictor trees, both limited to non-reference properties
     # and plain rANS streams.
-    needs_wp = uses_wp or any(n.predictor == P_WEIGHTED for n in tree
-                              if n.property == -1)
+    # filter_tree already folds every WP leaf/property into uses_wp
+    needs_wp = uses_wp
     if (max_prop < NUM_NONREF_PROPERTIES - (0 if needs_wp else 1)
             and not reader.use_prefix_code
             and getattr(reader, "lz77_window", None) is None):
@@ -279,19 +279,26 @@ def modular_decode(r: BitReader, image: ModularImage, group_id: int = 0,
             raise JXLError("global tree requested but unavailable")
         tree, code, context_map = global_tree, global_code, global_ctx_map
     reader = ANSSymbolReader(code, r, distance_multiplier)
-    for i in range(nb_channels):
-        ch = image.channel[i]
-        if ch.w == 0 or ch.h == 0:
-            continue
-        if i >= image.nb_meta_channels and (ch.w > options.max_chan_size
-                                            or ch.h > options.max_chan_size):
-            break
-        _decode_channel(r, reader, context_map, tree, header.wp_header, i,
-                        group_id, image)
-    if not reader.check_final_state():
-        raise JXLError("modular ANS final state mismatch")
-    if undo_transforms:
-        _undo_transforms(image, header)
+    try:
+        for i in range(nb_channels):
+            ch = image.channel[i]
+            if ch.w == 0 or ch.h == 0:
+                continue
+            if i >= image.nb_meta_channels and (
+                    ch.w > options.max_chan_size
+                    or ch.h > options.max_chan_size):
+                break
+            _decode_channel(r, reader, context_map, tree,
+                            header.wp_header, i, group_id, image)
+        if not reader.check_final_state():
+            raise JXLError("modular ANS final state mismatch")
+        if undo_transforms:
+            _undo_transforms(image, header)
+    except OverflowError as e:
+        # crafted streams can drive tree-leaf multipliers / hybrid-uint
+        # values past int32; numpy>=2 raises OverflowError on the store,
+        # which must surface as a decode error, not a crash
+        raise JXLError(f"modular sample out of int32 range: {e}") from e
     return header
 
 

@@ -304,6 +304,12 @@ def tokenize_channel_vectorized(data: np.ndarray, chan: int, group_id: int,
             ctx_plane[mask] = node.context
             res = d - preds[node.predictor] - node.predictor_offset
             if node.multiplier != 1:
+                # a residual the multiplier doesn't divide cannot be
+                # coded losslessly with this leaf; the scalar path
+                # raises — falling back keeps the loud error instead of
+                # a silent floor-divided wrong token
+                if np.any(res[mask] % node.multiplier):
+                    return False
                 res = res // node.multiplier
             res_plane[mask] = res[mask]
             continue
