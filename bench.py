@@ -51,10 +51,14 @@ def _probe_backend(timeout_s=240):
     name or None."""
     import subprocess
 
+    probe_src = (
+        "import os, jax\n"
+        "if os.environ.get('JAX_PLATFORMS', '').strip().lower() == 'cpu':\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "print(jax.default_backend())\n")
     try:
         out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend())"],
+            [sys.executable, "-c", probe_src],
             capture_output=True, timeout=timeout_s, text=True)
         if out.returncode == 0:
             return out.stdout.strip().splitlines()[-1]
