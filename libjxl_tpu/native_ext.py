@@ -423,7 +423,9 @@ def decode_channel_native(lib, data: bytes, bitpos: int, state: int,
         ctypes.c_int(w), ctypes.c_int(h),
         _ptr(out, ctypes.c_int32))
     if rc != 0:
-        raise RuntimeError("native decode failed")
+        from .base.status import JXLError
+
+        raise JXLError(f"native modular decode failed (rc={rc})")
     return out, bp.value, st.value
 
 

@@ -159,17 +159,20 @@ def mirror_fill_padding(xyb, ysize: int, xsize: int):
     H, W = xyb.shape[-2], xyb.shape[-1]
     if ysize < H:
         n = min(H - ysize, ysize)
-        xyb[..., ysize:ysize + n, :] = xyb[..., ysize - 1:ysize - 1 - n:-1
-                                           if ysize - 1 - n >= 0 else None,
-                                           :][..., :n, :]
+        # reversed slice from row ysize-1 down; the stop must be None
+        # (not a negative index) when the reflection reaches row 0 —
+        # a conditional binding to the STEP instead used to copy
+        # forward rows (pre-mirror padding) for tiny images
+        stop = ysize - 1 - n
+        src = xyb[..., ysize - 1:(stop if stop >= 0 else None):-1, :]
+        xyb[..., ysize:ysize + n, :] = src[..., :n, :]
         if ysize + n < H:  # degenerate: padding deeper than the image
             xyb[..., ysize + n:, :] = xyb[..., ysize - 1:ysize, :]
     if xsize < W:
         n = min(W - xsize, xsize)
-        xyb[..., :, xsize:xsize + n] = xyb[..., :,
-                                           xsize - 1:xsize - 1 - n:-1
-                                           if xsize - 1 - n >= 0 else None
-                                           ][..., :, :n]
+        stop = xsize - 1 - n
+        src = xyb[..., :, xsize - 1:(stop if stop >= 0 else None):-1]
+        xyb[..., :, xsize:xsize + n] = src[..., :, :n]
         if xsize + n < W:
             xyb[..., :, xsize + n:] = xyb[..., :, xsize - 1:xsize]
     return xyb

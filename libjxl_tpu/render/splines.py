@@ -111,14 +111,19 @@ def draw_centripetal_catmull_rom(points: np.ndarray) -> np.ndarray:
     return np.asarray(result)
 
 
-def equally_spaced_points(points: np.ndarray):
+def equally_spaced_points(points: np.ndarray, max_points: int = None):
     """Walk the polyline 1px at a time (splines.cc:318-356).
-    Returns list of ((x, y), multiplier)."""
+    Returns list of ((x, y), multiplier). max_points bounds the sampled
+    count — control points can legally sit ~2^23 px apart, so without a
+    cap a few points demand millions of samples (the reference bounds
+    the total spline area, splines.cc total_estimated_area_reached)."""
     out = [(tuple(points[0]), DESIRED_RENDERING_DISTANCE)]
     current = np.array(points[0], dtype=np.float64)
     idx = 0
     n = len(points)
     while idx < n:
+        if max_points is not None and len(out) > max_points:
+            raise JXLError("spline arc length exceeds the area budget")
         previous = current.copy()
         arclength_from_previous = 0.0
         while True:
@@ -303,6 +308,9 @@ def compute_segments(st: SplinesState, xsize: int, ysize: int,
     """InitializeDrawCache (splines.cc:631-700): dequantize, upsample,
     arc-length sample, and produce per-point Gaussian segments."""
     segments = []  # (cx, cy, color3, inv_sigma, sigma_over4_int, maxdist)
+    # total-area budget over ALL splines (splines.cc caps
+    # total_estimated_area_reached at min(2^18 + 8*pixels, 2^22))
+    point_budget = min((1 << 18) + 8 * xsize * ysize, 1 << 22)
     for q, start in zip(st.splines, st.starting_points):
         spline = dequantize_spline(q, start, st.quantization_adjustment,
                                    y_to_x, y_to_b)
@@ -310,7 +318,10 @@ def compute_segments(st: SplinesState, xsize: int, ysize: int,
         if len(cps) > 1 and np.any(np.all(cps[1:] == cps[:-1], axis=1)):
             raise JXLError("identical successive control points in spline")
         upsampled = draw_centripetal_catmull_rom(cps)
-        pts = equally_spaced_points(upsampled)
+        pts = equally_spaced_points(upsampled, max_points=point_budget)
+        point_budget -= len(pts)
+        if point_budget < 0:
+            raise JXLError("total spline area exceeds the budget")
         arc_length = (len(pts) - 2) * DESIRED_RENDERING_DISTANCE \
             + pts[-1][1]
         if arc_length <= 0:

@@ -106,6 +106,11 @@ def decode_block_ctx_map(r) -> BlockCtxMap:
     b.ctx_map, b.num_ctxs = decode_context_map(size, r)
     if b.num_ctxs > 16:
         raise JXLError("too many block context map contexts")
+    if b.num_dc_ctxs != 1:
+        # per-block dc_idx derivation from quantized DC is not
+        # implemented; every decode path would silently pick dc_idx=0
+        # and mis-context the whole frame — fail loudly instead
+        raise JXLError("dc-conditioned block context maps unsupported")
     return b
 
 

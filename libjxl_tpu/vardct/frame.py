@@ -56,6 +56,7 @@ from . import ac_strategy as acs
 from .ctx import (
     COEFF_FREQ_CONTEXT,
     COEFF_NUM_NONZERO_CONTEXT,
+    ZERO_DENSITY_CONTEXT_COUNT,
     BlockCtxMap,
     decode_block_ctx_map,
     predict_nzeros,
@@ -575,9 +576,18 @@ def decode_ac_group(r: BitReader, state: VarDCTState, group_idx: int,
             k = cb
             remaining = nzeros
             while k < size and remaining != 0:
-                ctx = histo_offset + zero_density_context(
-                    remaining, k, cb, log2_cb, prev)
+                zctx = zero_density_context(remaining, k, cb, log2_cb,
+                                            prev)
+                if zctx >= ZERO_DENSITY_CONTEXT_COUNT:
+                    # lying nzeros: more remaining than positions left
+                    raise JXLError("invalid AC zero-density context")
+                ctx = histo_offset + zctx
                 u = reader.read_hybrid_uint(ctx, r, cmap)
+                if u >= (1 << 27):
+                    # coefficients this large cannot come from a real
+                    # quantizer and would overflow the native path's
+                    # int32 accumulation (kept bit-compatible)
+                    raise JXLError("invalid AC coefficient magnitude")
                 # UnpackSigned: even -> u/2, odd -> -((u+1)/2)
                 coeff = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
                 qblock[order[k]] += coeff << shift if coeff >= 0 \
@@ -1044,9 +1054,17 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
         state.dc_sub = [np.zeros(g, dtype=np.float64) for g in grids]
         state.qblocks_sub = [dict() for _ in range(3)]
     if fh.flags & FLAG_USE_DC_FRAME:
-        if not dc_frames or dc_frames[1] is None:
+        # the consuming frame at dc_level L reads the 1:8 frame stored
+        # at level L+1 (frame_header.h:348 pyramid indexing)
+        slot = fh.dc_level + 1
+        if not dc_frames or slot >= len(dc_frames) \
+                or dc_frames[slot] is None:
             raise JXLError("kUseDcFrame set but no DC frame decoded")
-        dcf = np.asarray(dc_frames[1], dtype=np.float64)
+        dcf = np.asarray(dc_frames[slot], dtype=np.float64)
+        if dcf.shape[1] < fd.ysize_blocks \
+                or dcf.shape[2] < fd.xsize_blocks:
+            raise JXLError("DC frame smaller than the frame's block "
+                           "grid")
         state.dc[:, :fd.ysize_blocks, :fd.xsize_blocks] = \
             dcf[:, :fd.ysize_blocks, :fd.xsize_blocks]
 

@@ -20,7 +20,12 @@ from ..io.bits import BitReader, BitWriter
 from ..modular.codec import ModularOptions, _tokenize_channel, modular_decode
 from ..modular.image import Channel, ModularImage
 from . import ac_strategy as acs
-from .ctx import QUANT_MAX, predict_nzeros, zero_density_context
+from .ctx import (
+    QUANT_MAX,
+    ZERO_DENSITY_CONTEXT_COUNT,
+    predict_nzeros,
+    zero_density_context,
+)
 from .frame import (
     _modular_stream_ids,
     adjust_quant_bias,
@@ -43,6 +48,13 @@ def channel_block_grid(fd, hs, vs):
 def decode_dc_group_sub(r: BitReader, state, dc_group_id: int) -> None:
     """ProcessDCGroup with per-channel subsampled VarDCTDC dims."""
     fd = state.fd
+    from ..io.frame_header import FLAG_USE_DC_FRAME as _F_DCF
+
+    if state.fh.flags & _F_DCF:
+        # the subsampled DC path reads its own VarDCTDC streams; wiring
+        # a 1:8 DC frame into the per-channel dc_sub grids is not
+        # implemented — fail loudly instead of desyncing the bitstream
+        raise JXLError("kUseDcFrame with subsampled chroma unsupported")
     hs, vs = _shifts(state.fh)
     vardct_dc, _modular_dc, ac_metadata = _modular_stream_ids(fd)
     x0, y0, rw, rh = fd.dc_group_rect(dc_group_id)
@@ -100,9 +112,14 @@ def _decode_ac_metadata(r: BitReader, state, dc_group_id: int) -> None:
     for iy in range(rh):
         for ix in range(rw):
             x, y = x0 + ix, y0 + iy
-            state.epf_sharpness[y, x] = int(sharp[iy, ix])
+            s_val = int(sharp[iy, ix])
+            if not 0 <= s_val < 8:
+                raise JXLError("invalid EPF sharpness")
+            state.epf_sharpness[y, x] = s_val
             if state.strategy[y, x] >= 0:
                 continue
+            if num >= count:
+                raise JXLError("AC metadata overflow")
             raw = int(acs_row[num])
             if raw != acs.DCT:
                 raise JXLError("subsampled frames support DCT8 only")
@@ -165,9 +182,13 @@ def decode_ac_group_sub(r: BitReader, state, group_idx: int,
                 k = 1
                 remaining = nzv
                 while k < 64 and remaining != 0:
-                    ctx = histo_offset + zero_density_context(
-                        remaining, k, 1, 0, prev)
+                    zctx = zero_density_context(remaining, k, 1, 0, prev)
+                    if zctx >= ZERO_DENSITY_CONTEXT_COUNT:
+                        raise JXLError("invalid AC zero-density context")
+                    ctx = histo_offset + zctx
                     u = reader.read_hybrid_uint(ctx, r, cmap)
+                    if u >= (1 << 27):
+                        raise JXLError("invalid AC coefficient magnitude")
                     coeff = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
                     qblock[order[k]] += coeff
                     prev = 1 if u else 0

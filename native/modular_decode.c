@@ -108,13 +108,18 @@ static inline uint32_t read_hybrid_uint(const AnsTablesC* t, int ctx,
   uint32_t lsb = t->cfg_lsb[cluster];
   uint32_t nbits = split_exp - (msb + lsb) +
                    ((token - split_token) >> (msb + lsb));
-  nbits &= 31;
+  if (nbits > 31) return UINT32_MAX; /* saturate: stores bound-check */
   uint32_t low = token & ((1u << lsb) - 1);
   token >>= lsb;
-  uint32_t bits = br_read(br, (int)nbits);
-  uint32_t ret = ((((1u << msb) | (token & ((1u << msb) - 1))) << nbits) |
-                  bits) << lsb | low;
-  return ret;
+  uint64_t bits = br_read(br, (int)nbits);
+  uint64_t ret = ((((uint64_t)(1u << msb) | (token & ((1u << msb) - 1)))
+                   << nbits) |
+                  bits)
+                     << lsb |
+                 low;
+  /* saturate past uint32 so the int32-range store checks fire instead
+   * of silently wrapping (the Python fallback raises) */
+  return ret > UINT32_MAX ? UINT32_MAX : (uint32_t)ret;
 }
 
 static inline int64_t unpack_signed(uint32_t u) {
@@ -248,6 +253,7 @@ int decode_channel_nowp(
           predict_one(t_predictor[pos], left, top, toptop, topleft,
                       topright, leftleft, trr);
       int64_t val = unpack_signed(v) * (int64_t)t_multiplier[pos] + guess;
+      if (val > INT32_MAX || val < INT32_MIN) return 3; /* sample range */
       out[(size_t)y * w + x] = (int32_t)val;
     }
   }
@@ -425,6 +431,7 @@ int decode_channel_wp(
                         topright, leftleft, trr);
       }
       int64_t val = unpack_signed(v) * (int64_t)t_multiplier[pos] + guess;
+      if (val > INT32_MAX || val < INT32_MIN) return 3; /* sample range */
       out[(size_t)y * w + x] = (int32_t)val;
       /* UpdateErrors (context_predict.h:190-208) */
       int64_t val8 = val << 3;

@@ -155,12 +155,18 @@ static inline uint32_t v_read_hybrid_uint_packed(const AnsPackedV* t,
   uint32_t lsb = t->cfg_lsb[cluster];
   uint32_t nbits = split_exp - (msb + lsb) +
                    ((token - split_token) >> (msb + lsb));
-  nbits &= 31;
+  if (nbits > 31) return UINT32_MAX; /* saturate: callers bound-check */
   uint32_t low = token & ((1u << lsb) - 1);
   token >>= lsb;
-  uint32_t bits = vbr_read(br, (int)nbits);
-  return ((((1u << msb) | (token & ((1u << msb) - 1))) << nbits) | bits)
-             << lsb | low;
+  uint64_t bits = vbr_read(br, (int)nbits);
+  uint64_t v = ((((uint64_t)(1u << msb) | (token & ((1u << msb) - 1)))
+                 << nbits) |
+                bits)
+                   << lsb |
+               low;
+  /* values past uint32 wrapped before (diverging from the exact-int
+   * Python fallback); saturate so the callers' range checks fire */
+  return v > UINT32_MAX ? UINT32_MAX : (uint32_t)v;
 }
 
 static inline uint32_t v_read_hybrid_uint(const AnsTablesV* t, int ctx,
@@ -174,12 +180,18 @@ static inline uint32_t v_read_hybrid_uint(const AnsTablesV* t, int ctx,
   uint32_t lsb = t->cfg_lsb[cluster];
   uint32_t nbits = split_exp - (msb + lsb) +
                    ((token - split_token) >> (msb + lsb));
-  nbits &= 31;
+  if (nbits > 31) return UINT32_MAX; /* saturate: callers bound-check */
   uint32_t low = token & ((1u << lsb) - 1);
   token >>= lsb;
-  uint32_t bits = vbr_read(br, (int)nbits);
-  return ((((1u << msb) | (token & ((1u << msb) - 1))) << nbits) | bits)
-             << lsb | low;
+  uint64_t bits = vbr_read(br, (int)nbits);
+  uint64_t v = ((((uint64_t)(1u << msb) | (token & ((1u << msb) - 1)))
+                 << nbits) |
+                bits)
+                   << lsb |
+               low;
+  /* values past uint32 wrapped before (diverging from the exact-int
+   * Python fallback); saturate so the callers' range checks fire */
+  return v > UINT32_MAX ? UINT32_MAX : (uint32_t)v;
 }
 
 /* ac_context.h:24-45 */
@@ -379,6 +391,9 @@ static int decode_one_ac_group_img(const AcImageCtx* cc, int g,
           if (zctx >= ZERO_DENSITY_CONTEXT_COUNT) return 1;
           int ctx = histo_offset + zctx;
           uint32_t u = v_read_hybrid_uint_packed(&t, ctx, &state, &br);
+          /* matches the Python path's bound; also keeps coeff << shift
+           * inside int32 */
+          if (u >= (1u << 27)) return 1;
           int32_t coeff =
               (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
           if (coeff >= 0) {
@@ -637,6 +652,7 @@ int decode_ac_group(
         if (zctx >= ZERO_DENSITY_CONTEXT_COUNT) return 1;
         int ctx = histo_offset + zctx;
         uint32_t u = v_read_hybrid_uint(&t, ctx, &state, &br);
+        if (u >= (1u << 27)) return 1;
         int32_t coeff = (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
         if (coeff >= 0) {
           acc[order[k]] += coeff << shift;
