@@ -260,3 +260,19 @@ def test_oracle_noise_synthesis_matches():
     base, _ = oracle.decode(oracle.encode(img, distance=0.5, effort=5))
     field = odec.astype(np.float32) - base.astype(np.float32)
     assert field.std() > 0.2
+
+
+def test_tiny_images_decode_oracle_exact():
+    """Images smaller than their block padding exercise the frame-edge
+    mirror (mirror_fill_padding); the reference decoder must agree
+    exactly (a slice-binding bug here used to copy pre-mirror padding
+    into the filter windows)."""
+    rng = np.random.default_rng(5)
+    for h, w in [(2, 2), (3, 9), (4, 4), (6, 20)]:
+        img = np.clip(rng.normal(128, 40, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+        data = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                       device=False)
+        ours, _ = codestream.decode(data, device=False)
+        theirs, _ = oracle.decode(data)
+        assert np.array_equal(ours[:, :, :3], theirs[:, :, :3]), (h, w)
