@@ -1,0 +1,67 @@
+"""jpegli decoder: float-precision JPEG decoding (lib/jpegli decode.cc).
+
+Reuses the package's JPEG parser and batched float IDCT
+(jpeg/data.parse_jpeg + jpeg/pixels.jpeg_to_pixels); adds the
+jpegli-style smooth (triangular) chroma upsampling instead of libjpeg's
+box replication.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..jpeg.data import parse_jpeg, ZIGZAG
+from ..ops.dct import idct2d
+
+
+def _upsample_tri(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Triangular (bilinear co-sited) 2x upsampling per axis, matching
+    libjpeg's "fancy" upsampler / jpegli upsample.cc."""
+    for _ in range(fx.bit_length() - 1):
+        p = np.pad(plane, ((0, 0), (1, 1)), mode="edge")
+        left = (3 * p[:, 1:-1] + p[:, :-2]) * 0.25
+        right = (3 * p[:, 1:-1] + p[:, 2:]) * 0.25
+        plane = np.empty((plane.shape[0], plane.shape[1] * 2),
+                         dtype=plane.dtype)
+        plane[:, 0::2] = left
+        plane[:, 1::2] = right
+    for _ in range(fy.bit_length() - 1):
+        p = np.pad(plane, ((1, 1), (0, 0)), mode="edge")
+        top = (3 * p[1:-1] + p[:-2]) * 0.25
+        bottom = (3 * p[1:-1] + p[2:]) * 0.25
+        plane = np.empty((plane.shape[0] * 2, plane.shape[1]),
+                         dtype=plane.dtype)
+        plane[0::2] = top
+        plane[1::2] = bottom
+    return plane
+
+
+def decode_jpegli(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (H, W, C) uint8, C = 1 or 3."""
+    jd = parse_jpeg(data)
+    hmax = max(c.h_samp for c in jd.components)
+    vmax = max(c.v_samp for c in jd.components)
+    planes = []
+    for c in jd.components:
+        q = np.asarray(jd.quant[c.quant_idx], dtype=np.float64)
+        hb, wb = c.height_in_blocks, c.width_in_blocks
+        coeffs = c.coeffs.astype(np.float64) * q[None, None, :]
+        blocks = np.zeros((hb, wb, 64))
+        blocks[:, :, ZIGZAG] = coeffs
+        blocks = blocks.reshape(hb, wb, 8, 8)
+        pix = idct2d(np.swapaxes(blocks, -2, -1) * 0.125, 8, 8)
+        plane = pix.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
+        fy = vmax // c.v_samp
+        fx = hmax // c.h_samp
+        if fy > 1 or fx > 1:
+            plane = _upsample_tri(plane, fy, fx)
+        planes.append(plane[:jd.height, :jd.width])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255) \
+            .astype(np.uint8)[..., None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
