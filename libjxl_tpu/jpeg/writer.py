@@ -83,11 +83,23 @@ def write_jpeg(jd: JPEGData) -> bytes:
     enc_tables = {}
     for t in jd.huffman:
         enc_tables[(t.table_class, t.table_id)] = t.build_encoder()
-    bw = _BitWriterJPEG()
     hmax = max(c.h_samp for c in jd.components)
     vmax = max(c.v_samp for c in jd.components)
     mcux = -(-jd.width // (8 * hmax))
     mcuy = -(-jd.height // (8 * vmax))
+    # native hot loop (same bytes: conventional 1-padding applies)
+    if not jd.eob_padding_bits or set(jd.eob_padding_bits) == {"1"}:
+        from ..native_ext import get_lib, jpegli_scan_native
+
+        scan = jpegli_scan_native(get_lib(), jd.scan_components,
+                                  enc_tables, mcux, mcuy,
+                                  jd.restart_interval)
+        if scan is not None:
+            out += scan
+            out += b"\xff\xd9"
+            out += jd.trailing
+            return bytes(out)
+    bw = _BitWriterJPEG()
     preds = {id(c): 0 for c in jd.components}
     mcu_count = 0
     rst = 0

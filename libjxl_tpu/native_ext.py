@@ -17,7 +17,8 @@ _SRCS = (_ROOT / "native" / "modular_decode.c",
          _ROOT / "native" / "ans_write.c",
          _ROOT / "native" / "vardct_decode.c",
          _ROOT / "native" / "vardct_encode.c",
-         _ROOT / "native" / "lz77_match.c")
+         _ROOT / "native" / "lz77_match.c",
+         _ROOT / "native" / "jpegli_scan.c")
 _SO = _ROOT / "native" / "_jxl_native.so"
 
 _lib = None
@@ -479,3 +480,65 @@ def ans_read_permutation_native(lib, data: bytes, bitpos: int, state: int,
 
         raise JXLError(f"invalid permutation stream (native rc={rc})")
     return out, bp.value, st.value
+
+
+def jpegli_scan_native(lib, comps, enc_tables, mcux: int, mcuy: int,
+                       restart_interval: int):
+    """Baseline interleaved scan emission in C (native/jpegli_scan.c).
+
+    comps: sequence of objects with .coeffs (nby, nbx, 64) int32
+    zigzag, .h_samp/.v_samp and .dc_table/.ac_table ids; enc_tables:
+    dict (table_class, table_id) -> {symbol: (length, code)}.
+    Returns scan bytes (stuffed, 1-padded) or None when the native
+    library is unavailable.
+    """
+    if lib is None:
+        return None
+    slots = sorted(enc_tables)
+    ntab = len(slots)
+    depths = np.zeros((ntab, 256), dtype=np.uint8)
+    codes = np.zeros((ntab, 256), dtype=np.uint16)
+    slot_idx = {}
+    for i, key in enumerate(slots):
+        slot_idx[key] = i
+        for sym, (ln, code) in enc_tables[key].items():
+            depths[i, sym] = ln
+            codes[i, sym] = code
+    ncomp = len(comps)
+    blobs = []
+    offs = np.zeros(ncomp, dtype=np.int64)
+    nbxs = np.zeros(ncomp, dtype=np.int32)
+    vss = np.zeros(ncomp, dtype=np.int32)
+    hss = np.zeros(ncomp, dtype=np.int32)
+    dcs = np.zeros(ncomp, dtype=np.int32)
+    acs = np.zeros(ncomp, dtype=np.int32)
+    total = 0
+    for i, c in enumerate(comps):
+        arr = np.ascontiguousarray(c.coeffs.reshape(-1, 64),
+                                   dtype=np.int32)
+        blobs.append(arr)
+        offs[i] = total
+        total += arr.shape[0]
+        nbxs[i] = c.coeffs.shape[1]
+        vss[i] = c.v_samp
+        hss[i] = c.h_samp
+        dcs[i] = slot_idx[(0, c.dc_table)]
+        acs[i] = slot_idx[(1, c.ac_table)]
+    coeffs = np.concatenate(blobs) if blobs else \
+        np.zeros((0, 64), dtype=np.int32)
+    cap = total * 300 + 4096 + (total // max(restart_interval, 1)) * 2 \
+        if restart_interval else total * 300 + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    lib.jpegli_encode_scan.restype = ctypes.c_int64
+    n = lib.jpegli_encode_scan(
+        _ptr(coeffs, ctypes.c_int32), _ptr(offs, ctypes.c_int64),
+        _ptr(nbxs, ctypes.c_int32), _ptr(vss, ctypes.c_int32),
+        _ptr(hss, ctypes.c_int32), _ptr(dcs, ctypes.c_int32),
+        _ptr(acs, ctypes.c_int32), ctypes.c_int(ncomp),
+        ctypes.c_int(mcux), ctypes.c_int(mcuy),
+        ctypes.c_int(restart_interval),
+        _ptr(depths, ctypes.c_uint8), _ptr(codes, ctypes.c_uint16),
+        _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
