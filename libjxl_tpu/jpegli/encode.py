@@ -189,12 +189,14 @@ _JFIF = (0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
 def encode_jpegli(rgb: np.ndarray, distance: float | None = None,
                   quality: int | None = None, subsampling: str = "444",
                   std_tables: bool = False, adaptive: bool = True,
-                  optimize: bool = True) -> bytes:
+                  optimize: bool = True, progressive: int = 0) -> bytes:
     """Encode (H, W, 3) or (H, W) / (H, W, 1) uint8 pixels to JPEG.
 
     distance is the butteraugli target (default 1.0); quality, if
     given, maps through quality_to_distance (encode.cc:838).
-    subsampling: "444" or "420".
+    subsampling: "444" or "420".  progressive: 0 = sequential
+    baseline, 1/2 = the reference's default progressive scan scripts
+    (jpegli_set_progressive_level, encode.cc:925).
     """
     if quality is not None:
         distance = quality_to_distance(quality)
@@ -276,6 +278,18 @@ def encode_jpegli(rgb: np.ndarray, distance: float | None = None,
                          coeffs=zz.astype(np.int32))
         comps.append(comp)
 
+    n_qt = 1 if gray else tables.shape[0]
+    quant_zz = {i: [int(v) for v in tables[i][ZIGZAG]]
+                for i in range(n_qt)}
+    if progressive:
+        if progressive not in (1, 2):
+            raise JXLError(f"jpegli: progressive level must be 0-2, "
+                           f"got {progressive}")
+        from .progressive import write_progressive_jpeg
+
+        return write_progressive_jpeg(w, h, comps, quant_zz, [_JFIF],
+                                      progressive)
+
     # Huffman tables: optimal two-pass (encode_finish.cc) or the
     # Annex-K defaults
     huffman = []
@@ -298,12 +312,10 @@ def encode_jpegli(rgb: np.ndarray, distance: float | None = None,
             huffman.append(_optimal_huffman(dc_hist, 0, tab))
             huffman.append(_optimal_huffman(ac_hist, 1, tab))
 
-    n_qt = 1 if gray else tables.shape[0]
     jd = JPEGData(
         width=w, height=h, precision=8,
         components=comps,
-        quant={i: [int(v) for v in tables[i][ZIGZAG]]
-               for i in range(n_qt)},
+        quant=quant_zz,
         quant_order=[(i, 0) for i in range(n_qt)],
         huffman=huffman,
         markers=[_JFIF],

@@ -23,6 +23,10 @@ def build_parser():
                    help="use Annex-K standard quantization tables")
     p.add_argument("--noadaptive_quantization", action="store_true",
                    help="disable the adaptive dead-zone quantizer")
+    p.add_argument("-p", "--progressive_level", type=int, default=0,
+                   choices=[0, 1, 2],
+                   help="0 = sequential (default), 1/2 = progressive "
+                        "scan scripts")
     p.add_argument("--fixed_code", action="store_true",
                    help="use fixed Annex-K Huffman tables instead of "
                         "two-pass optimal codes")
@@ -57,6 +61,7 @@ def _main(argv):
         std_tables=args.std_quant,
         adaptive=not args.noadaptive_quantization,
         optimize=not args.fixed_code,
+        progressive=args.progressive_level,
     )
     dt = time.time() - t0
     with open(args.output, "wb") as f:

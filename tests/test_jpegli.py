@@ -169,3 +169,30 @@ def test_cli_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr
     out = np.asarray(PIL.open(png))
     assert out.shape == rgb.shape
+
+
+@pytest.mark.parametrize("level", [1, 2])
+@pytest.mark.parametrize("ss", ["444", "420"])
+def test_progressive_matches_baseline_pixels(level, ss):
+    """Progressive scans carry the same coefficients: identical decode,
+    smaller file (SetDefaultScanScript, encode.cc:107)."""
+    rgb = _test_image()
+    prog = encode_jpegli(rgb, distance=1.0, progressive=level,
+                         subsampling=ss)
+    base = encode_jpegli(rgb, distance=1.0, subsampling=ss)
+    assert np.array_equal(_pil_decode(prog), _pil_decode(base))
+    assert len(prog) < len(base)
+    # own progressive decoder agrees with libjpeg
+    assert np.abs(decode_jpegli(prog).astype(int)
+                  - _pil_decode(prog).astype(int)).max() <= 3
+
+
+def test_progressive_odd_sizes_and_gray():
+    rgb = _test_image()[:97, :61]
+    for ss in ("444", "420"):
+        d = encode_jpegli(rgb, distance=1.0, progressive=2,
+                          subsampling=ss)
+        assert _pil_decode(d).shape == rgb.shape
+    g = rgb[:, :, 0]
+    d = encode_jpegli(g, distance=1.0, progressive=2)
+    assert _pil_decode(d, "L").shape == g.shape
