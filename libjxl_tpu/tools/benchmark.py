@@ -52,6 +52,27 @@ def run_config(image, config: str):
     if parts[0] in ("png", "jpeg", "webp"):
         quality = int(parts[1][1:]) if len(parts) > 1 else 85
         data, out, enc_t, dec_t = _other_codec(image, parts[0], quality)
+    elif parts[0] == "jpegli":
+        # jpegli:d1.0[:p2][:420] — the sibling codec as a benchmark row
+        from ..jpegli import decode_jpegli, encode_jpegli
+
+        distance, level, ss = 1.0, 0, "444"
+        for p in parts[1:]:
+            if p.startswith("d"):
+                distance = float(p[1:])
+            elif p.startswith("p"):
+                level = int(p[1:])
+            elif p in ("420", "444"):
+                ss = p
+        t0 = time.perf_counter()
+        data = encode_jpegli(image, distance=distance, progressive=level,
+                             subsampling=ss)
+        enc_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = decode_jpegli(data)
+        dec_t = time.perf_counter() - t0
+        if out.shape[-1] == 1 and image.ndim == 2:
+            out = out[:, :, 0]
     elif parts[0] == "m" or parts[0] == "lossless":
         t0 = time.perf_counter()
         data = encode_lossless(image)

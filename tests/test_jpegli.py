@@ -196,3 +196,11 @@ def test_progressive_odd_sizes_and_gray():
     g = rgb[:, :, 0]
     d = encode_jpegli(g, distance=1.0, progressive=2)
     assert _pil_decode(d, "L").shape == g.shape
+
+
+def test_benchmark_jpegli_row():
+    from libjxl_tpu.tools.benchmark import run_config
+
+    rgb = _test_image(n=96)
+    res = run_config(rgb, "jpegli:d1.0:p2:420")
+    assert res["bpp"] > 0 and res["butteraugli"] > 0
