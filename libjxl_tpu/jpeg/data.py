@@ -176,13 +176,31 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+# Total coefficient-buffer budget for untrusted input: 8M blocks of
+# 64 int16 = 1 GiB (the reference bounds decode memory the same way,
+# lib/jxl/dec_frame.cc memory limits).
+_MAX_TOTAL_BLOCKS = 8 << 20
+
+
 def parse_jpeg(data: bytes) -> JPEGData:
+    """Parse JPEG bytes; raises JXLError on any malformed input
+    (enc_jpeg_data_reader.cc error stance)."""
+    try:
+        return _parse_jpeg_impl(data)
+    except JXLError:
+        raise
+    except (IndexError, KeyError, ValueError, struct.error,
+            OverflowError, MemoryError) as e:
+        raise JXLError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _parse_jpeg_impl(data: bytes) -> JPEGData:
     if data[:2] != b"\xff\xd8":
         raise JXLError("not a JPEG (no SOI)")
     jd = JPEGData()
     pos = 2
     sof_seen = False
-    while pos < len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JXLError("JPEG marker expected")
         marker = data[pos + 1]
@@ -196,7 +214,11 @@ def parse_jpeg(data: bytes) -> JPEGData:
             return jd
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise JXLError("JPEG truncated in marker length")
         length = struct.unpack(">H", data[pos:pos + 2])[0]
+        if length < 2 or pos + length > len(data):
+            raise JXLError("JPEG marker overruns the file")
         payload = data[pos + 2:pos + length]
         if marker == 0xDB:  # DQT
             p = 0
@@ -204,6 +226,10 @@ def parse_jpeg(data: bytes) -> JPEGData:
                 pq = payload[p] >> 4
                 tq = payload[p] & 15
                 p += 1
+                if pq > 1 or tq > 3:
+                    raise JXLError("invalid DQT header")
+                if p + (128 if pq else 64) > len(payload):
+                    raise JXLError("DQT table truncated")
                 if pq:
                     vals = list(struct.unpack(f">64H", payload[p:p + 128]))
                     p += 128
@@ -213,31 +239,62 @@ def parse_jpeg(data: bytes) -> JPEGData:
                 jd.quant[tq] = vals
                 jd.quant_order.append((tq, pq))
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            if sof_seen:
+                raise JXLError("duplicate SOF")
             jd.precision = payload[0]
+            if jd.precision != 8:
+                raise JXLError(
+                    f"unsupported JPEG precision {jd.precision}")
             jd.progressive = marker == 0xC2
             jd.height, jd.width = struct.unpack(">HH", payload[1:5])
+            if jd.height == 0 or jd.width == 0:
+                raise JXLError("invalid JPEG dimensions")
             ncomp = payload[5]
+            if not 1 <= ncomp <= 4 or len(payload) < 6 + 3 * ncomp:
+                raise JXLError("invalid SOF component list")
             for i in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
-                jd.components.append(
-                    Component(cid, hv >> 4, hv & 15, tq))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4) or tq > 3:
+                    raise JXLError("invalid SOF sampling/table fields")
+                jd.components.append(Component(cid, hs, vs, tq))
+            hmax = max(c.h_samp for c in jd.components)
+            vmax = max(c.v_samp for c in jd.components)
+            mcux0 = -(-jd.width // (8 * hmax))
+            mcuy0 = -(-jd.height // (8 * vmax))
+            total_blocks = sum(
+                mcux0 * c.h_samp * mcuy0 * c.v_samp
+                for c in jd.components)
+            if total_blocks > _MAX_TOTAL_BLOCKS:
+                raise JXLError("JPEG coefficient buffers exceed the "
+                               "memory budget")
             sof_seen = True
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
+                if p + 17 > len(payload):
+                    raise JXLError("DHT truncated")
                 tc = payload[p] >> 4
                 th = payload[p] & 15
+                if tc > 1 or th > 3:
+                    raise JXLError("invalid DHT header")
                 counts = list(payload[p + 1:p + 17])
                 n = sum(counts)
+                if n > 256 or p + 17 + n > len(payload):
+                    raise JXLError("DHT values truncated")
                 values = list(payload[p + 17:p + 17 + n])
                 jd.huffman.append(HuffmanTable(tc, th, counts, values))
                 p += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise JXLError("DRI truncated")
             jd.restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise JXLError("SOS before SOF")
             ns = payload[0]
+            if ns < 1 or len(payload) < 4 + 2 * ns:
+                raise JXLError("invalid SOS header")
             jd.scan_components = []
             scan = ScanMeta()
             for i in range(ns):

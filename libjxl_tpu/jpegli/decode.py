@@ -37,8 +37,21 @@ def _upsample_tri(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
 
 
 def decode_jpegli(data: bytes) -> np.ndarray:
-    """JPEG bytes -> (H, W, C) uint8, C = 1 or 3."""
+    """JPEG bytes -> (H, W, C) uint8, C = 1 or 3.  Raises JXLError on
+    malformed input."""
+    from ..base.status import JXLError
+
     jd = parse_jpeg(data)
+    try:
+        return _render(jd)
+    except JXLError:
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError,
+            MemoryError) as e:
+        raise JXLError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _render(jd) -> np.ndarray:
     hmax = max(c.h_samp for c in jd.components)
     vmax = max(c.v_samp for c in jd.components)
     planes = []

@@ -72,6 +72,14 @@ def fuzz_jpeg(data: bytes) -> None:
     parse_jpeg(data)
 
 
+def fuzz_jpegli_dec(data: bytes) -> None:
+    """jpegli_dec_fuzzer analog: full float decode of arbitrary JPEG
+    bytes (parse + dequant + IDCT + upsample)."""
+    from ..jpegli import decode_jpegli
+
+    decode_jpegli(data)
+
+
 def fuzz_color_encoding(data: bytes) -> None:
     """color_encoding_fuzzer analog: parse a ColorEncoding bundle."""
     from ..io.bits import BitReader
@@ -142,6 +150,7 @@ TARGETS = {
     "fields": fuzz_fields,
     "icc": fuzz_icc,
     "jpeg": fuzz_jpeg,
+    "jpegli_dec": fuzz_jpegli_dec,
     "color_encoding": fuzz_color_encoding,
     "basic_info": fuzz_basic_info,
     "tree": fuzz_tree,
@@ -188,6 +197,17 @@ def run(target: str, iters: int, seed: int, max_len: int = 4096) -> int:
     if target in ("decode", "container"):
         try:
             corpus = _seed_corpus()
+        except Exception:
+            pass
+    elif target in ("jpeg", "jpegli_dec"):
+        try:
+            from ..jpegli import encode_jpegli
+
+            img = np.clip(np.random.default_rng(1).normal(
+                128, 40, (24, 40, 3)), 0, 255).astype(np.uint8)
+            corpus = [encode_jpegli(img, distance=2.0),
+                      encode_jpegli(img, distance=2.0, progressive=2,
+                                    subsampling="420")]
         except Exception:
             pass
     findings = 0
