@@ -348,6 +348,25 @@ def _decode_scan(jd: JPEGData, data: bytes, pos: int, scan: ScanMeta) -> int:
         c0 = scan.components[0]
         mcux = -(-(jd.width * c0.h_samp) // (8 * hmax))
         mcuy = -(-(jd.height * c0.v_samp) // (8 * vmax))
+    if not jd.progressive:
+        # baseline sequential scans decode in C (same bit semantics,
+        # incl. restart/final padding and extra-zero-run capture)
+        from ..native_ext import get_lib, jpeg_decode_scan_native
+
+        specs = [((c.v_samp if interleaved else 1),
+                  (c.h_samp if interleaved else 1))
+                 for c in scan.components]
+        res = jpeg_decode_scan_native(
+            get_lib(), data, pos, scan.components, specs, jd.huffman,
+            mcux, mcuy, jd.restart_interval)
+        if res is not None:
+            new_pos, per_comp, pads, fin, ezr = res
+            for c, arr in zip(scan.components, per_comp):
+                c.coeffs[...] = arr
+            jd.rst_padding.extend(pads)
+            jd.rst_padding.append(fin)
+            scan.extra_zero_runs = ezr
+            return new_pos
     dec_tables = {}
     for t in jd.huffman:
         dec_tables[(t.table_class, t.table_id)] = t.build_decoder()

@@ -56,10 +56,10 @@ def _render(jd) -> np.ndarray:
     vmax = max(c.v_samp for c in jd.components)
     planes = []
     for c in jd.components:
-        q = np.asarray(jd.quant[c.quant_idx], dtype=np.float64)
+        q = np.asarray(jd.quant[c.quant_idx], dtype=np.float32)
         hb, wb = c.height_in_blocks, c.width_in_blocks
-        coeffs = c.coeffs.astype(np.float64) * q[None, None, :]
-        blocks = np.zeros((hb, wb, 64))
+        coeffs = c.coeffs.astype(np.float32) * q[None, None, :]
+        blocks = np.zeros((hb, wb, 64), dtype=np.float32)
         blocks[:, :, ZIGZAG] = coeffs
         blocks = blocks.reshape(hb, wb, 8, 8)
         pix = idct2d(np.swapaxes(blocks, -2, -1) * 0.125, 8, 8)
@@ -72,9 +72,11 @@ def _render(jd) -> np.ndarray:
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255) \
             .astype(np.uint8)[..., None]
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    y = planes[0].astype(np.float32)
+    cb = planes[1].astype(np.float32) - np.float32(128.0)
+    cr = planes[2].astype(np.float32) - np.float32(128.0)
+    r = y + np.float32(1.402) * cr
+    g = (y - np.float32(0.344136) * cb - np.float32(0.714136) * cr)
+    b = y + np.float32(1.772) * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
