@@ -848,14 +848,15 @@ def make_device_render(fh, out=None):
 def accelerator_available() -> bool:
     """True when JAX's default backend is a real accelerator (the decode
     API then renders on device by default; CPU-JAX stays host-rendered —
-    XLA-on-host compile times dwarf the NumPy render for one image)."""
+    XLA-on-host compile times dwarf the NumPy render for one image).
+
+    Backend init is wall-clock bounded (base/jaxenv.py): an unreachable
+    accelerator transport makes this return False after a logged timeout
+    instead of hanging the caller forever."""
     try:
-        from ..base.jaxenv import ensure_cpu_pin
+        from ..base.jaxenv import default_backend_guarded
 
-        ensure_cpu_pin()
-        import jax
-
-        return jax.default_backend() not in ("cpu",)
+        return default_backend_guarded() not in (None, "cpu")
     except Exception:
         return False
 
@@ -872,4 +873,5 @@ def device_worthwhile(pixels: int) -> bool:
 
     thr = int(os.environ.get("LIBJXL_TPU_DEVICE_MIN_PIXELS",
                              DEVICE_AUTO_MIN_PIXELS))
-    return accelerator_available() and pixels >= thr
+    # pixel gate first: small one-shot images never pay backend init
+    return pixels >= thr and accelerator_available()

@@ -22,18 +22,25 @@ _CBRT_BIAS = _BIAS ** (1.0 / 3.0)
 
 
 def linear_rgb_to_xyb(rgb: np.ndarray) -> np.ndarray:
-    """rgb: (3, H, W) linear [0,1] -> xyb (3, H, W)."""
+    """rgb: (3, H, W) linear [0,1] -> xyb (3, H, W).
+
+    dtype-following: float32 input stays float32 end-to-end (the
+    reference's encode path is float32, enc_xyb.cc), anything else
+    computes in float64 (metrics callers)."""
+    dt = np.float32 if rgb.dtype == np.float32 else np.float64
+    m = _M.astype(dt)
+    bias = dt(_BIAS)
     r, g, b = rgb[0], rgb[1], rgb[2]
     mixed = np.stack([
-        _M[0, 0] * r + _M[0, 1] * g + _M[0, 2] * b + _BIAS,
-        _M[1, 0] * r + _M[1, 1] * g + _M[1, 2] * b + _BIAS,
-        _M[2, 0] * r + _M[2, 1] * g + _M[2, 2] * b + _BIAS,
+        m[0, 0] * r + m[0, 1] * g + m[0, 2] * b + bias,
+        m[1, 0] * r + m[1, 1] * g + m[1, 2] * b + bias,
+        m[2, 0] * r + m[2, 1] * g + m[2, 2] * b + bias,
     ])
     mixed = np.maximum(mixed, 0.0)
-    cbrt = np.cbrt(mixed) - _CBRT_BIAS
+    cbrt = np.cbrt(mixed) - dt(_CBRT_BIAS)
     return np.stack([
-        0.5 * (cbrt[0] - cbrt[1]),
-        0.5 * (cbrt[0] + cbrt[1]),
+        dt(0.5) * (cbrt[0] - cbrt[1]),
+        dt(0.5) * (cbrt[0] + cbrt[1]),
         cbrt[2],
     ])
 
@@ -85,11 +92,13 @@ _SRGB_U8_LUT = None
 
 
 def srgb_u8_to_linear(img_u8: np.ndarray) -> np.ndarray:
-    """uint8 sRGB -> linear float64 via a 256-entry LUT (bit-identical to
-    srgb_to_linear(img/255) but without the per-pixel pow)."""
+    """uint8 sRGB -> linear float32 via a 256-entry LUT (values computed
+    in float64 then rounded once; the reference encoder's pixel path is
+    float32, enc_xyb.cc / dec_external_image.cc)."""
     global _SRGB_U8_LUT
     if _SRGB_U8_LUT is None:
-        _SRGB_U8_LUT = srgb_to_linear(np.arange(256) / 255.0)
+        _SRGB_U8_LUT = srgb_to_linear(
+            np.arange(256) / 255.0).astype(np.float32)
     return _SRGB_U8_LUT[img_u8]
 
 

@@ -156,9 +156,12 @@ class Quantizer:
 
 
 def adjust_quant_bias(q: np.ndarray, c: int) -> np.ndarray:
-    """AdjustQuantBias (quantizer-inl.h:34-62), vectorized."""
+    """AdjustQuantBias (quantizer-inl.h:34-62), vectorized.
+
+    dtype-following: float32 input (encode path) stays float32; integer
+    coefficients (decode path) compute in float64 as before."""
     biases = DEFAULT_QUANT_BIAS
-    qf = q.astype(np.float64)
+    qf = q.astype(np.float32 if q.dtype == np.float32 else np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         general = qf - biases[3] / np.where(qf == 0, 1, qf)
     return np.where(q == 0, 0.0,
@@ -1835,12 +1838,16 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         from ..io.frame_header import CT_NONE as _CT_NONE
         from ..io.frame_header import CT_YCBCR as _CT_YCBCR
 
+        # encode-side pixel math is float32 when the input is (matching
+        # the reference's float path, enc_xyb.cc / enc_group.cc); float64
+        # inputs (explicit high-precision callers) keep float64
+        _enc_dt = np.float32 if rgb.dtype == np.float32 else np.float64
         if input_is_xyb:
-            xyb = rgb.astype(np.float64).copy()
+            xyb = rgb.astype(_enc_dt).copy()
         elif fh.color_transform == _CT_YCBCR:
             xyb = rgb_to_ycbcr(rgb)
         elif fh.color_transform == _CT_NONE:
-            xyb = rgb.astype(np.float64).copy()
+            xyb = rgb.astype(_enc_dt).copy()
         else:
             xyb = linear_rgb_to_xyb(rgb)
         splines_state = None
@@ -2052,18 +2059,19 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
         inv_gs = state.quantizer.inv_global_scale
         nby, nbx = fd.ysize_blocks, fd.xsize_blocks
         kind = acs.QUANT_TABLE[acs.DCT]
+        dt = xyb.dtype
         dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
-                           for c in range(3)])  # (3, 8, 8), LLF zeroed
-        dm_y = state.matrices.dequant_matrix(kind, 1)
+                           for c in range(3)]).astype(dt)  # (3,8,8), LLF 0
+        dm_y = state.matrices.dequant_matrix(kind, 1).astype(dt)
         blocks = xyb.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
         from ..ops.dct import fwd_matrix
 
-        f8 = fwd_matrix(8)
+        f8 = fwd_matrix(8).astype(dt)
         # swap (u, v) at the end: coefficients are stored transposed
         # ([hfreq][vfreq]), matching ComputeScaledDCT's square layout
         co = np.einsum("ur,cnmrk,vk->cnmvu", f8, blocks, f8,
                    optimize=True)
-        scaled = (inv_gs / state.raw_quant_field.astype(np.float64))[
+        scaled = (inv_gs / state.raw_quant_field.astype(dt))[
             None, :, :, None, None]
         qy = quantize_deadzone(co[1] * dm_inv[1] / scaled[0], 1, 1, 1)
         dy = adjust_quant_bias(qy, 1) * dm_y * scaled[0]
@@ -2072,10 +2080,10 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                                                      nby, nbx)
         x_cc = (state.base_x + np.repeat(np.repeat(
             state.ytox_map, 8, 0), 8, 1)[:nby, :nbx]
-            / state.color_factor)[:, :, None, None]
+            / state.color_factor)[:, :, None, None].astype(dt)
         b_cc = (state.base_b + np.repeat(np.repeat(
             state.ytob_map, 8, 0), 8, 1)[:nby, :nbx]
-            / state.color_factor)[:, :, None, None]
+            / state.color_factor)[:, :, None, None].astype(dt)
         qx = quantize_deadzone((co[0] - x_cc * dy) * dm_inv[0]
                                / (scaled[0] * state.x_dm_mult), 1, 1, 0)
         qb = quantize_deadzone((co[2] - b_cc * dy) * dm_inv[2]
