@@ -617,14 +617,21 @@ def decode(data: bytes, target_nits: float = None,
             "lcms2 unavailable" if not _cms.available()
             else "profile is not RGB")
     # non-XYB VarDCT frames (YCbCr/None) carry display-space values
-    srgb = linear_to_srgb(rgb) if meta.m.xyb_encoded else rgb
     if bits <= 8:
-        out = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+        from ..ops.xyb import linear_to_srgb_u8
+
+        if meta.m.xyb_encoded:
+            # transfer function + quantization fused into one threshold
+            # search (no full-image pow)
+            out = linear_to_srgb_u8(rgb)
+        else:
+            out = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
         if extra:
             ec = np.stack([np.clip(np.round(e), 0, 255).astype(np.uint8)
                            for e in extra], axis=-1)
             out = np.concatenate([out, ec], axis=-1)
         return _orient(out), meta
+    srgb = linear_to_srgb(rgb) if meta.m.xyb_encoded else rgb
     if extra:
         srgb = np.concatenate(
             [srgb] + [e[:, :, None].astype(srgb.dtype) for e in extra],
@@ -644,10 +651,9 @@ def _skip_or_decode_preview(r: BitReader, meta, want: bool = False):
     r.jump_to_byte_boundary()
     if not want:
         return None
-    from ..ops.xyb import linear_to_srgb
+    from ..ops.xyb import linear_to_srgb_u8
 
-    srgb = linear_to_srgb(np.stack(chans, axis=-1))
-    return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+    return linear_to_srgb_u8(np.stack(chans, axis=-1))
 
 
 def _finish_cms_output(out_px, extra, bits, meta, orient):
@@ -721,8 +727,9 @@ def decode_rows(data: bytes, num_threads: int = 0):
             yield y0, strip
             continue
         rgb = xyb_to_linear_rgb(strip)
-        srgb = linear_to_srgb(np.moveaxis(rgb, 0, -1))
-        yield y0, np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+        from ..ops.xyb import linear_to_srgb_u8
+
+        yield y0, linear_to_srgb_u8(np.moveaxis(rgb, 0, -1))
 
 
 def decode_preview(data: bytes):
@@ -970,10 +977,12 @@ def decode_frames(data: bytes, device: bool = None):
             if chans is None and "u8" in out:
                 stacked = out["u8"]
             else:
-                srgb = linear_to_srgb(np.stack(chans, axis=-1))
-                stacked = np.clip(np.round(srgb * 255.0), 0,
-                                  255).astype(np.uint8) \
-                    if bits <= 8 else srgb
+                if bits <= 8:
+                    from ..ops.xyb import linear_to_srgb_u8
+
+                    stacked = linear_to_srgb_u8(np.stack(chans, axis=-1))
+                else:
+                    stacked = linear_to_srgb(np.stack(chans, axis=-1))
         r.jump_to_byte_boundary()
         yield stacked, fh.animation_frame.duration
         if fh.is_last:

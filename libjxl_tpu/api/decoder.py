@@ -479,7 +479,7 @@ class Decoder:
             fs.decoded.add(idx)
 
     def _render(self, fs):
-        from ..ops.xyb import linear_to_srgb, xyb_to_linear_rgb
+        from ..ops.xyb import xyb_to_linear_rgb
         from ..render.pipeline import apply_restoration
         from ..vardct import frame as vf
 
@@ -490,8 +490,10 @@ class Decoder:
         if fs.fh.loop_filter.gab or fs.fh.loop_filter.epf_iters > 0:
             xyb = apply_restoration(xyb, fs.fh, st)
         rgb = xyb_to_linear_rgb(xyb[:, :fd.ysize, :fd.xsize])
-        srgb = linear_to_srgb(np.stack([rgb[c] for c in range(3)], axis=-1))
-        return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+        from ..ops.xyb import linear_to_srgb_u8
+
+        return linear_to_srgb_u8(np.stack([rgb[c] for c in range(3)],
+                                          axis=-1))
 
     def _finish_frame(self, fs):
         from ..io.frame_header import ENC_MODULAR

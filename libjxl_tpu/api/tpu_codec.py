@@ -368,7 +368,6 @@ def decode_tpu(data: bytes):
 
     Returns (uint8 image (H, W, 3), CodecMetadata)."""
     from ..io.frame_header import FrameHeader
-    from ..ops.xyb import linear_to_srgb
     from ..vardct.frame import decode_vardct_frame
 
     r = BitReader(data)
@@ -380,8 +379,9 @@ def decode_tpu(data: bytes):
                                 want_qimg=True)
     if "u8" in out:
         return out["u8"], meta
-    srgb = linear_to_srgb(np.stack(chans, axis=-1))
-    return (np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8), meta)
+    from ..ops.xyb import linear_to_srgb_u8
+
+    return linear_to_srgb_u8(np.stack(chans, axis=-1)), meta
 
 
 _BATCH_PROGS = {}

@@ -19,7 +19,8 @@ _SRCS = (_ROOT / "native" / "modular_decode.c",
          _ROOT / "native" / "vardct_encode.c",
          _ROOT / "native" / "lz77_match.c",
          _ROOT / "native" / "jpegli_scan.c",
-         _ROOT / "native" / "jpeg_scan_decode.c")
+         _ROOT / "native" / "jpeg_scan_decode.c",
+         _ROOT / "native" / "render_filters.c")
 _SO = _ROOT / "native" / "_jxl_native.so"
 
 _lib = None
@@ -641,3 +642,53 @@ def jpeg_decode_scan_native(lib, data: bytes, start: int, comps,
     ezr = [(int(ezr_idx[i]), int(ezr_n[i]))
            for i in range(int(n_ezr.value))]
     return int(rc), per_comp, pads, fin, ezr
+
+
+def epf_pass_native(lib, xyb, inv_sigma_px, sad_mul, channel_scale,
+                    pairs, use_plus: bool, sigma_scale: float,
+                    min_sigma: float):
+    """One EPF pass in C (native/render_filters.c). xyb: (3, H, W)
+    float32 C-contiguous; pairs: [(dy, dx)] symmetric neighbor pairs.
+    Returns the filtered (3, H, W) float32 array, or None to fall back.
+    """
+    if lib is None or not hasattr(lib, "epf_pass_f32"):
+        return None
+    h, w = xyb.shape[-2:]
+    if h < 5 or w < 5:
+        return None
+    xyb = np.ascontiguousarray(xyb, dtype=np.float32)
+    out = np.empty_like(xyb)
+    inv_sigma_px = np.ascontiguousarray(inv_sigma_px, dtype=np.float32)
+    sad_mul = np.ascontiguousarray(sad_mul, dtype=np.float32)
+    cs = np.asarray(channel_scale, dtype=np.float32)
+    dys = np.array([p[0] for p in pairs], dtype=np.int32)
+    dxs = np.array([p[1] for p in pairs], dtype=np.int32)
+    rc = lib.epf_pass_f32(
+        _ptr(xyb, ctypes.c_float), _ptr(out, ctypes.c_float),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        _ptr(inv_sigma_px, ctypes.c_float), _ptr(sad_mul, ctypes.c_float),
+        _ptr(cs, ctypes.c_float), _ptr(dys, ctypes.c_int32),
+        _ptr(dxs, ctypes.c_int32), ctypes.c_int(len(pairs)),
+        ctypes.c_int(1 if use_plus else 0),
+        ctypes.c_float(sigma_scale * 1.65), ctypes.c_float(min_sigma))
+    if rc != 0:
+        return None
+    return out
+
+
+def conv3x3_sym_native(lib, img, kern):
+    """3x3 symmetric-padded convolution in C. img: (H, W) float32."""
+    if lib is None or not hasattr(lib, "conv3x3_sym_f32"):
+        return None
+    h, w = img.shape
+    if h < 1 or w < 2:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    out = np.empty_like(img)
+    k = np.ascontiguousarray(kern, dtype=np.float32).reshape(-1)
+    rc = lib.conv3x3_sym_f32(
+        _ptr(img, ctypes.c_float), _ptr(out, ctypes.c_float),
+        ctypes.c_int64(h), ctypes.c_int64(w), _ptr(k, ctypes.c_float))
+    if rc != 0:
+        return None
+    return out

@@ -106,3 +106,22 @@ def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
     linear = np.clip(linear, 0.0, 1.0)
     return np.where(linear <= 0.0031308, linear * 12.92,
                     1.055 * linear ** (1 / 2.4) - 0.055)
+
+
+_SRGB_ENC_THR = None
+
+
+def linear_to_srgb_u8(linear: np.ndarray) -> np.ndarray:
+    """round(linear_to_srgb(x) * 255) clamped to uint8, computed as one
+    searchsorted against the 255 linear-domain decision thresholds (the
+    transfer function is monotone, so quantization commutes with it) —
+    replaces a full-image pow with ~8 comparisons/pixel.  Matches the
+    float path except exactly AT a threshold (half-up vs numpy's
+    round-half-even), which no real pow output lands on."""
+    global _SRGB_ENC_THR
+    if _SRGB_ENC_THR is None:
+        v = (np.arange(1, 256) - 0.5) / 255.0
+        _SRGB_ENC_THR = srgb_to_linear(v).astype(np.float32)
+    lin32 = np.asarray(linear, dtype=np.float32)
+    out = np.searchsorted(_SRGB_ENC_THR, lin32.ravel(), side="left")
+    return out.reshape(lin32.shape).astype(np.uint8)

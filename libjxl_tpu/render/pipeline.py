@@ -41,14 +41,23 @@ def _conv2d_np(img: np.ndarray, kern: np.ndarray) -> np.ndarray:
 
 
 def apply_gaborish(xyb, lf):
-    """Per-channel 3x3 blur with signaled weights (host NumPy path; the
-    TPU path lives in parallel.sharding)."""
+    """Per-channel 3x3 blur with signaled weights (host path; the TPU
+    path lives in parallel.sharding). C stencil (render_filters.c) when
+    the native library is available, NumPy otherwise."""
+    from ..native_ext import conv3x3_sym_native, get_lib
+
+    lib = get_lib()
     outs = []
     for c, ch in enumerate("xyb"):
         w1 = getattr(lf, f"gab_{ch}_weight1")
         w2 = getattr(lf, f"gab_{ch}_weight2")
-        outs.append(_conv2d_np(np.asarray(xyb[c], dtype=np.float64),
-                               gaborish_kernel(w1, w2)))
+        kern = gaborish_kernel(w1, w2)
+        plane = np.asarray(xyb[c])
+        got = conv3x3_sym_native(lib, plane, kern) \
+            if plane.ndim == 2 else None
+        if got is None:
+            got = _conv2d_np(np.asarray(plane, dtype=np.float64), kern)
+        outs.append(got)
     return np.stack(outs)
 
 
@@ -128,6 +137,25 @@ def _epf_pass(xyb, inv_sigma_px, sad_mul, channel_scale, neighbors,
     return np.where(skip[None], xyb, out)
 
 
+# symmetric +/- pair representatives of the neighbor sets above
+_EPF0_PAIRS = ((2, 0), (1, 1), (1, 0), (1, -1), (0, 2), (0, 1))
+_EPF12_PAIRS = ((1, 0), (0, 1))
+
+
+def _epf_pass_any(xyb, inv_px, sad_mul, cs, neighbors, pairs, sad_pattern,
+                  sigma_scale):
+    """One EPF pass: C kernel (render_filters.c) when available, NumPy
+    fallback otherwise (identical neighbor/SAD semantics)."""
+    from ..native_ext import epf_pass_native, get_lib
+
+    got = epf_pass_native(get_lib(), xyb, inv_px, sad_mul, cs, pairs,
+                          sad_pattern is not None, sigma_scale, MIN_SIGMA)
+    if got is not None:
+        return got
+    return _epf_pass(xyb, inv_px, sad_mul, cs, neighbors, sad_pattern,
+                     sigma_scale)
+
+
 def apply_epf(xyb, lf, inv_sigma_blocks):
     """EPF iterations per loop_filter.epf_iters (stage_epf.cc).
 
@@ -141,13 +169,14 @@ def apply_epf(xyb, lf, inv_sigma_blocks):
     sad_mul = _sad_mul_map(h, w, lf.epf_border_sad_mul)
     cs = lf.epf_channel_scale
     if lf.epf_iters == 3:
-        xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF0_NEIGHBORS, _PLUS,
-                        lf.epf_pass0_sigma_scale)
+        xyb = _epf_pass_any(xyb, inv_px, sad_mul, cs, _EPF0_NEIGHBORS,
+                            _EPF0_PAIRS, _PLUS, lf.epf_pass0_sigma_scale)
     if lf.epf_iters >= 1:
-        xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF12_NEIGHBORS, _PLUS, 1.0)
+        xyb = _epf_pass_any(xyb, inv_px, sad_mul, cs, _EPF12_NEIGHBORS,
+                            _EPF12_PAIRS, _PLUS, 1.0)
     if lf.epf_iters >= 2:
-        xyb = _epf_pass(xyb, inv_px, sad_mul, cs, _EPF12_NEIGHBORS, None,
-                        lf.epf_pass2_sigma_scale)
+        xyb = _epf_pass_any(xyb, inv_px, sad_mul, cs, _EPF12_NEIGHBORS,
+                            _EPF12_PAIRS, None, lf.epf_pass2_sigma_scale)
     return xyb
 
 

@@ -1,0 +1,175 @@
+/* Host render-pipeline filters: EPF passes and 3x3 Gaborish.
+ *
+ * Covers the role of the reference's SIMD edge-preserving filter
+ * (lib/jxl/epf.cc + render_pipeline/stage_epf.cc) and Gaborish stage
+ * (stage_gaborish.cc) for the host decode path, with the same
+ * restructured-SAD algorithm the TPU device pipeline uses
+ * (libjxl_tpu/parallel/sharding.py): every EPF pass is expressed over
+ * symmetric neighbor PAIRS +/-(dy,dx).  For each pair one weighted
+ * absolute-difference plane D(y,x) = sum_c cs[c]*|X_c(y,x) -
+ * X_c(y+dy,x+dx)| is computed once on a symmetric-padded buffer; the
+ * plus-shaped SAD of the reference's pass 0/1 is then a 5-point
+ * convolution of D, and BOTH neighbors of the pair read the same plane
+ * (sad for -n at q == plusconv(D)(q-n)).  This does ~6x less arithmetic
+ * than the textbook per-neighbor SAD and vectorizes cleanly along rows,
+ * while staying numerically identical (in f32) to evaluating each
+ * neighbor independently on the padded image, i.e. to the Python host
+ * path's np.pad(mode="symmetric") semantics.
+ *
+ * Plain C interface for ctypes; built into _jxl_native.so.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define PAD 5 /* covers |neighbor| <= 2 + plus reach 1 + D extent 2 */
+
+/* symmetric mirror: ... 1 0 | 0 1 2 ... (valid for |i| < 2n) */
+static inline int64_t mirror_idx(int64_t i, int64_t n) {
+    if (i < 0) return -i - 1;
+    if (i >= n) return 2 * n - 1 - i;
+    return i;
+}
+
+/* (h, w) -> (h + 2*PAD, w + 2*PAD) symmetric-padded copy */
+static void pad_plane(const float *src, int64_t h, int64_t w, float *dst) {
+    int64_t wp = w + 2 * PAD;
+    for (int64_t y = -PAD; y < h + PAD; y++) {
+        const float *row = src + mirror_idx(y, h) * w;
+        float *o = dst + (y + PAD) * wp;
+        for (int64_t x = -PAD; x < 0; x++) o[x + PAD] = row[-x - 1];
+        memcpy(o + PAD, row, sizeof(float) * w);
+        for (int64_t x = w; x < w + PAD; x++) o[x + PAD] = row[2 * w - 1 - x];
+    }
+}
+
+/* One EPF pass over symmetric neighbor pairs.
+ *
+ * xyb:        (3, h, w) float32, C-contiguous input planes
+ * out:        (3, h, w) float32 output (may NOT alias xyb)
+ * inv_sigma:  (h, w) per-pixel 1/sigma (negative; < min_sigma -> copy)
+ * sad_mul:    (h, w) per-pixel border multiplier
+ * cs:         channel_scale[3]
+ * pairs_dy/dx[npairs]: one entry per +/- pair
+ * use_plus:   nonzero -> plus-shaped SAD (reference passes 0 and 1)
+ * scale:      sigma_scale * 1.65 premultiplier
+ * Returns 0, or -1 on allocation failure / bad size.
+ */
+int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
+                 const float *inv_sigma, const float *sad_mul,
+                 const float *cs, const int *pairs_dy, const int *pairs_dx,
+                 int npairs, int use_plus, float scale, float min_sigma) {
+    if (h < PAD || w < PAD) return -1; /* caller falls back to Python */
+    int64_t n = h * w;
+    int64_t hp = h + 2 * PAD, wp = w + 2 * PAD, np_ = hp * wp;
+    float *xp = malloc(sizeof(float) * 3 * np_);
+    float *dbuf = malloc(sizeof(float) * np_);
+    float *pbuf = malloc(sizeof(float) * np_);
+    float *num = malloc(sizeof(float) * 3 * n);
+    float *den = malloc(sizeof(float) * n);
+    float *inv = malloc(sizeof(float) * n);
+    if (!xp || !dbuf || !pbuf || !num || !den || !inv) {
+        free(xp); free(dbuf); free(pbuf); free(num); free(den); free(inv);
+        return -1;
+    }
+    for (int c = 0; c < 3; c++) pad_plane(xyb + c * n, h, w, xp + c * np_);
+    memcpy(num, xyb, sizeof(float) * 3 * n);
+    for (int64_t i = 0; i < n; i++) den[i] = 1.0f;
+    for (int64_t i = 0; i < n; i++) inv[i] = inv_sigma[i] * sad_mul[i] * scale;
+
+    /* padded-coordinate row ranges:
+     * weights read P at q and q-n, q in image  -> P rows [PAD-2, h+PAD+2)
+     * P = plusconv(D)                          -> D rows [PAD-3, h+PAD+3) */
+    int64_t d_lo = PAD - 3, d_hi = h + PAD + 3;
+    for (int p = 0; p < npairs; p++) {
+        int dy = pairs_dy[p], dx = pairs_dx[p];
+        /* D(y,x) = sum_c cs[c] * |Xp_c(y,x) - Xp_c(y+dy,x+dx)| */
+        for (int64_t y = d_lo; y < d_hi; y++) {
+            float *o = dbuf + y * wp;
+            for (int c = 0; c < 3; c++) {
+                const float *r = xp + c * np_ + y * wp;
+                const float *r2 = xp + c * np_ + (y + dy) * wp + dx;
+                float csc = cs[c];
+                if (c == 0)
+                    for (int64_t x = d_lo; x < wp - d_lo; x++) {
+                        float d = r[x] - r2[x];
+                        o[x] = csc * (d < 0 ? -d : d);
+                    }
+                else
+                    for (int64_t x = d_lo; x < wp - d_lo; x++) {
+                        float d = r[x] - r2[x];
+                        o[x] += csc * (d < 0 ? -d : d);
+                    }
+            }
+        }
+        const float *sad = dbuf;
+        if (use_plus) {
+            for (int64_t y = d_lo + 1; y < d_hi - 1; y++) {
+                const float *r0 = dbuf + (y - 1) * wp;
+                const float *r1 = dbuf + y * wp;
+                const float *r2 = dbuf + (y + 1) * wp;
+                float *o = pbuf + y * wp;
+                for (int64_t x = d_lo + 1; x < wp - d_lo - 1; x++)
+                    o[x] = r1[x] + r0[x] + r2[x] + r1[x - 1] + r1[x + 1];
+            }
+            sad = pbuf;
+        }
+        /* neighbor +(dy,dx): weight from sad(q), sample Xp(q+n);
+         * neighbor -(dy,dx): weight from sad(q-n), sample Xp(q-n). */
+        for (int64_t y = 0; y < h; y++) {
+            const float *sad_r = sad + (y + PAD) * wp + PAD;
+            const float *sad_m = sad + (y - dy + PAD) * wp + PAD - dx;
+            const float *inv_r = inv + y * w;
+            float *den_r = den + y * w;
+            for (int64_t x = 0; x < w; x++) {
+                float w1 = 1.0f + sad_r[x] * inv_r[x];
+                float w2 = 1.0f + sad_m[x] * inv_r[x];
+                if (w1 < 0.0f) w1 = 0.0f;
+                if (w2 < 0.0f) w2 = 0.0f;
+                den_r[x] += w1 + w2;
+                for (int c = 0; c < 3; c++) {
+                    const float *pc = xp + c * np_;
+                    num[c * n + y * w + x] +=
+                        w1 * pc[(y + dy + PAD) * wp + x + dx + PAD]
+                        + w2 * pc[(y - dy + PAD) * wp + x - dx + PAD];
+                }
+            }
+        }
+    }
+    for (int c = 0; c < 3; c++)
+        for (int64_t i = 0; i < n; i++)
+            out[c * n + i] = (inv_sigma[i] < min_sigma)
+                                 ? xyb[c * n + i]
+                                 : num[c * n + i] / den[i];
+    free(xp); free(dbuf); free(pbuf); free(num); free(den); free(inv);
+    return 0;
+}
+
+/* 3x3 convolution with symmetric border mirroring (Gaborish stage).
+ * img: (h, w) float32; kern: 9 floats row-major; out: (h, w). */
+int conv3x3_sym_f32(const float *img, float *out, int64_t h, int64_t w,
+                    const float *kern) {
+    if (h < 1 || w < 2) return -1;
+    for (int64_t y = 0; y < h; y++) {
+        const float *r0 = img + mirror_idx(y - 1, h) * w;
+        const float *r1 = img + y * w;
+        const float *r2 = img + mirror_idx(y + 1, h) * w;
+        float *o = out + y * w;
+        for (int64_t x = 1; x + 1 < w; x++) {
+            o[x] = kern[0] * r0[x - 1] + kern[1] * r0[x] + kern[2] * r0[x + 1]
+                 + kern[3] * r1[x - 1] + kern[4] * r1[x] + kern[5] * r1[x + 1]
+                 + kern[6] * r2[x - 1] + kern[7] * r2[x] + kern[8] * r2[x + 1];
+        }
+        /* border columns: symmetric mirror (x=-1 -> 0, x=w -> w-1) */
+        o[0] = kern[0] * r0[0] + kern[1] * r0[0] + kern[2] * r0[1]
+             + kern[3] * r1[0] + kern[4] * r1[0] + kern[5] * r1[1]
+             + kern[6] * r2[0] + kern[7] * r2[0] + kern[8] * r2[1];
+        o[w - 1] = kern[0] * r0[w - 2] + kern[1] * r0[w - 1]
+                 + kern[2] * r0[w - 1] + kern[3] * r1[w - 2]
+                 + kern[4] * r1[w - 1] + kern[5] * r1[w - 1]
+                 + kern[6] * r2[w - 2] + kern[7] * r2[w - 1]
+                 + kern[8] * r2[w - 1];
+    }
+    return 0;
+}
