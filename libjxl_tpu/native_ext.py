@@ -692,3 +692,33 @@ def conv3x3_sym_native(lib, img, kern):
     if rc != 0:
         return None
     return out
+
+
+_SRGB_U8_TABLES = None
+
+
+def srgb_u8_native(lib, lin32, thresholds):
+    """Fused sRGB transfer + u8 quantization (render_filters.c): lower
+    bound of each linear value in the 255 decision thresholds via a
+    4096-bucket hint table + one fixup compare."""
+    global _SRGB_U8_TABLES
+    if lib is None or not hasattr(lib, "srgb_u8_f32"):
+        return None
+    if _SRGB_U8_TABLES is None:
+        thr = np.empty(256, dtype=np.float32)
+        thr[:255] = thresholds
+        thr[255] = np.inf  # sentinel for the fixup read at hint == 255
+        edges = (np.arange(4096, dtype=np.float32)
+                 / np.float32(4096.0)).astype(np.float32)
+        hint = np.searchsorted(thresholds, edges,
+                               side="left").astype(np.uint8)
+        _SRGB_U8_TABLES = (thr, hint)
+    thr, hint = _SRGB_U8_TABLES
+    flat = lin32.ravel()
+    if not flat.flags.c_contiguous:
+        flat = np.ascontiguousarray(flat)
+    out = np.empty(flat.shape[0], dtype=np.uint8)
+    lib.srgb_u8_f32(_ptr(flat, ctypes.c_float), _ptr(out, ctypes.c_uint8),
+                    ctypes.c_int64(flat.shape[0]),
+                    _ptr(thr, ctypes.c_float), _ptr(hint, ctypes.c_uint8))
+    return out.reshape(lin32.shape)

@@ -43,13 +43,25 @@ def inv_matrix(n: int) -> np.ndarray:
     return dct_matrix(n).T.copy()
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd32(n: int) -> np.ndarray:
+    return fwd_matrix(n).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv32(n: int) -> np.ndarray:
+    return inv_matrix(n).astype(np.float32)
+
+
 def dct2d(pixels: np.ndarray) -> np.ndarray:
     """Forward 2D DCT of an (..., R, C) block -> wide-layout coefficients
-    (..., min, max)."""
+    (..., min, max). dtype-following: float32 input uses float32
+    matrices (sgemm), anything else float64."""
     r, c = pixels.shape[-2:]
+    f = _fwd32 if pixels.dtype == np.float32 else fwd_matrix
     # two broadcasting matmuls: BLAS-backed and free of einsum's
     # per-call contraction-path search
-    out = fwd_matrix(r) @ pixels @ fwd_matrix(c).T
+    out = f(r) @ pixels @ f(c).T
     if r < c:
         return out
     # tall AND square blocks are stored transposed ([hfreq][vfreq]) —
@@ -59,10 +71,12 @@ def dct2d(pixels: np.ndarray) -> np.ndarray:
 
 
 def idct2d(coeffs: np.ndarray, r: int, c: int) -> np.ndarray:
-    """Inverse of dct2d: wide-layout (..., min, max) -> (..., R, C) pixels."""
+    """Inverse of dct2d: wide-layout (..., min, max) -> (..., R, C) pixels.
+    dtype-following like dct2d."""
     if r >= c:
         coeffs = np.swapaxes(coeffs, -2, -1)
-    return inv_matrix(r) @ coeffs @ inv_matrix(c).T
+    m = _inv32 if coeffs.dtype == np.float32 else inv_matrix
+    return m(r) @ coeffs @ m(c).T
 
 
 @functools.lru_cache(maxsize=None)

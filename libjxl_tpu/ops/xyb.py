@@ -46,13 +46,16 @@ def linear_rgb_to_xyb(rgb: np.ndarray) -> np.ndarray:
 
 
 def xyb_to_linear_rgb(xyb: np.ndarray) -> np.ndarray:
-    """Inverse of linear_rgb_to_xyb."""
+    """Inverse of linear_rgb_to_xyb (dtype-following like the forward)."""
+    dt = np.float32 if xyb.dtype == np.float32 else np.float64
     x, y, b = xyb[0], xyb[1], xyb[2]
-    gr = y + x + _CBRT_BIAS
-    gg = y - x + _CBRT_BIAS
-    gb = b + _CBRT_BIAS
-    mixed = np.stack([gr ** 3 - _BIAS, gg ** 3 - _BIAS, gb ** 3 - _BIAS])
-    return np.einsum("ij,j...->i...", _MINV, mixed)
+    cb = dt(_CBRT_BIAS)
+    bias = dt(_BIAS)
+    gr = y + x + cb
+    gg = y - x + cb
+    gb = b + cb
+    mixed = np.stack([gr ** 3 - bias, gg ** 3 - bias, gb ** 3 - bias])
+    return np.einsum("ij,j...->i...", _MINV.astype(dt), mixed)
 
 
 def make_jax_xyb():
@@ -122,6 +125,11 @@ def linear_to_srgb_u8(linear: np.ndarray) -> np.ndarray:
     if _SRGB_ENC_THR is None:
         v = (np.arange(1, 256) - 0.5) / 255.0
         _SRGB_ENC_THR = srgb_to_linear(v).astype(np.float32)
-    lin32 = np.asarray(linear, dtype=np.float32)
+    lin32 = np.ascontiguousarray(linear, dtype=np.float32)
+    from ..native_ext import get_lib, srgb_u8_native
+
+    out = srgb_u8_native(get_lib(), lin32, _SRGB_ENC_THR)
+    if out is not None:
+        return out
     out = np.searchsorted(_SRGB_ENC_THR, lin32.ravel(), side="left")
     return out.reshape(lin32.shape).astype(np.uint8)

@@ -155,13 +155,15 @@ class Quantizer:
         p.write(w)
 
 
-def adjust_quant_bias(q: np.ndarray, c: int) -> np.ndarray:
+def adjust_quant_bias(q: np.ndarray, c: int, dtype=None) -> np.ndarray:
     """AdjustQuantBias (quantizer-inl.h:34-62), vectorized.
 
     dtype-following: float32 input (encode path) stays float32; integer
-    coefficients (decode path) compute in float64 as before."""
+    coefficients (decode path) compute in float64 unless `dtype` asks
+    for the reference's float32."""
     biases = DEFAULT_QUANT_BIAS
-    qf = q.astype(np.float32 if q.dtype == np.float32 else np.float64)
+    qf = q.astype(dtype if dtype is not None else
+                  (np.float32 if q.dtype == np.float32 else np.float64))
     with np.errstate(divide="ignore", invalid="ignore"):
         general = qf - biases[3] / np.where(qf == 0, 1, qf)
     return np.where(q == 0, 0.0,
@@ -207,9 +209,10 @@ class VarDCTState:
         self.quant_dc_img = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
                                      dtype=np.int32)
         # decoded XYB image (the low-memory strip decoder never
-        # materializes it; see vardct/low_memory.py)
+        # materializes it; see vardct/low_memory.py). float32 like the
+        # reference's render pipeline (dec_group.cc / Image3F)
         self.xyb = None if not alloc_xyb else np.zeros(
-            (3, fd.ysize_padded, fd.xsize_padded), dtype=np.float64)
+            (3, fd.ysize_padded, fd.xsize_padded), dtype=np.float32)
         self.x_dm_mult = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
         self.b_dm_mult = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
         # modular substream codec state (global tree)
@@ -675,19 +678,20 @@ def _render_dct_batch(state: VarDCTState, strategy: int, keys,
     ys = np.fromiter((k[0] for k in keys), np.int64, n)
     xs = np.fromiter((k[1] for k in keys), np.int64, n)
     q = np.stack([state.qblocks[k] for k in keys])  # (n, 3, size)
-    quant = state.raw_quant_field[ys, xs].astype(np.float64)
-    scaled = (inv_gs / quant)[:, None]
+    quant = state.raw_quant_field[ys, xs].astype(np.float32)
+    scaled = (np.float32(inv_gs) / quant)[:, None]
     ty = ys // COLOR_TILE_DIM_IN_BLOCKS
     tx = xs // COLOR_TILE_DIM_IN_BLOCKS
-    x_cc = state.ytox(state.ytox_map[ty, tx].astype(np.float64))[:, None]
-    b_cc = state.ytob(state.ytob_map[ty, tx].astype(np.float64))[:, None]
+    x_cc = state.ytox(state.ytox_map[ty, tx].astype(np.float32))[:, None]
+    b_cc = state.ytob(state.ytob_map[ty, tx].astype(np.float32))[:, None]
     dm = np.stack([state.matrices.dequant_matrix(kind, c).reshape(-1)
-                   for c in range(3)])
-    dq_y = adjust_quant_bias(q[:, 1], 1) * dm[1] * scaled
-    dq_x = adjust_quant_bias(q[:, 0], 0) * dm[0] * (
-        scaled * state.x_dm_mult) + x_cc * dq_y
-    dq_b = adjust_quant_bias(q[:, 2], 2) * dm[2] * (
-        scaled * state.b_dm_mult) + b_cc * dq_y
+                   for c in range(3)]).astype(np.float32)
+    f32 = np.float32
+    dq_y = adjust_quant_bias(q[:, 1], 1, f32) * dm[1] * scaled
+    dq_x = adjust_quant_bias(q[:, 0], 0, f32) * dm[0] * (
+        scaled * f32(state.x_dm_mult)) + x_cc.astype(f32) * dq_y
+    dq_b = adjust_quant_bias(q[:, 2], 2, f32) * dm[2] * (
+        scaled * f32(state.b_dm_mult)) + b_cc.astype(f32) * dq_y
     wr, wc = min(rows, cols), max(rows, cols)
     co = np.stack([dq_x, dq_y, dq_b], axis=1).reshape(n, 3, wr, wc)
     # batched LowestFrequenciesFromDC
@@ -696,7 +700,7 @@ def _render_dct_batch(state: VarDCTState, strategy: int, keys,
     if cy == 1 and cx == 1:
         co[:, :, 0, 0] = dc_batch[:, :, 0, 0]
     else:
-        llf = dct2d(dc_batch.astype(np.float64))
+        llf = dct2d(dc_batch.astype(np.float32))
         lh, lw = llf.shape[-2:]
         sy = resample_scales(lh, lh * 8)
         sx = resample_scales(lw, lw * 8)

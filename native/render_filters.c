@@ -146,6 +146,30 @@ int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
     return 0;
 }
 
+/* Fused sRGB transfer + uint8 quantization: out[i] = #{j: thr[j] <
+ * lin[i]} over the 255 linear-domain decision points of
+ * round(srgb(x)*255), matching np.searchsorted(side="left").
+ *
+ * The minimum spacing of the thresholds is 1/(255*12.92) = 3.03e-4
+ * (the sRGB transfer's steepest linear segment), so a 4096-bucket
+ * lookup (bucket width 2.44e-4 < min spacing) narrows the lower bound
+ * to {hint, hint+1}: one table read + one fixup compare per pixel.
+ * hint[k] = #{j: thr[j] < k/4096}; thr must carry a +inf sentinel at
+ * index 255 so the fixup read is safe when hint = 255. */
+void srgb_u8_f32(const float *lin, uint8_t *out, int64_t n,
+                 const float *thr, const uint8_t *hint) {
+    const float buckets = 4096.0f;
+    for (int64_t i = 0; i < n; i++) {
+        float v = lin[i];
+        int k = (int)(v * buckets);
+        if (k < 0) k = 0;
+        else if (k > 4095) k = 4095;
+        unsigned lo = hint[k];
+        lo += (thr[lo] < v);
+        out[i] = (uint8_t)lo;
+    }
+}
+
 /* 3x3 convolution with symmetric border mirroring (Gaborish stage).
  * img: (h, w) float32; kern: 9 floats row-major; out: (h, w). */
 int conv3x3_sym_f32(const float *img, float *out, int64_t h, int64_t w,
