@@ -614,17 +614,42 @@ def render_groups(state: VarDCTState) -> None:
     einsum IDCT; other strategies fall back to the per-block path."""
     fd = state.fd
     inv_gs = state.quantizer.inv_global_scale
-    by_strategy: dict = {}
-    for k in state.qblocks:
-        by_strategy.setdefault(int(state.strategy[k[0], k[1]]),
-                               []).append(k)
+    qimg = getattr(state, "qimg", None)
+    if state.qblocks or qimg is None:
+        qimg = None
+        ys_all = np.fromiter((k[0] for k in state.qblocks), np.int64,
+                             len(state.qblocks))
+        xs_all = np.fromiter((k[1] for k in state.qblocks), np.int64,
+                             len(state.qblocks))
+
+        def fetch(k):
+            return state.qblocks[k]
+    else:
+        # the bulk C decoder left the coefficients in dense image
+        # layout: each tile holds its wide-layout vector reshaped
+        # row-major to the covered rect (decode_ac_bulk_native)
+        orig = np.argwhere(state.is_origin)
+        ys_all, xs_all = orig[:, 0], orig[:, 1]
+
+        def fetch(k):
+            by, bx = k
+            s = int(state.strategy[by, bx])
+            cy, cx = acs.COVERED_Y[s], acs.COVERED_X[s]
+            return qimg[:, by * 8:(by + cy) * 8,
+                        bx * 8:(bx + cx) * 8].reshape(3, -1)
+    svals = state.strategy[ys_all, xs_all]
     batched = set()
-    for s, keys in by_strategy.items():
-        if s in _PLAIN_DCT_STRATEGIES and len(keys) > 8:
-            _render_dct_batch(state, s, keys, inv_gs)
+    for s in np.unique(svals):
+        s = int(s)
+        sel = svals == s
+        if s in _PLAIN_DCT_STRATEGIES and int(sel.sum()) > 8:
+            _render_dct_batch(state, s, (ys_all[sel], xs_all[sel]),
+                              inv_gs, qimg=qimg)
             batched.add(s)
-    remaining = ((k, v) for k, v in state.qblocks.items()
-                 if int(state.strategy[k[0], k[1]]) not in batched)
+    rem = ~np.isin(svals, list(batched)) if batched \
+        else np.ones(len(svals), dtype=bool)
+    remaining = (((by, bx), fetch((by, bx)))
+                 for by, bx in zip(ys_all[rem], xs_all[rem]))
     for (aby, abx), qblocks in remaining:
         strategy = int(state.strategy[aby, abx])
         cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
@@ -664,20 +689,38 @@ _PLAIN_DCT_STRATEGIES = frozenset({
 
 
 def _render_dct_batch(state: VarDCTState, strategy: int, keys,
-                      inv_gs) -> None:
+                      inv_gs, qimg=None) -> None:
     """Batched dequant + LLF + IDCT for all blocks of one plain-DCT
     strategy: one einsum instead of a per-block call (the per-call
-    numpy overhead dominates host decode otherwise)."""
+    numpy overhead dominates host decode otherwise). qimg: dense
+    image-layout coefficients from the bulk C decode — blocks are
+    gathered from it instead of state.qblocks."""
     from ..ops.dct import idct2d, dct2d
     from .transforms import resample_scales
 
     cx, cy = acs.COVERED_X[strategy], acs.COVERED_Y[strategy]
     rows, cols = cy * 8, cx * 8
     kind = acs.QUANT_TABLE[strategy]
-    n = len(keys)
-    ys = np.fromiter((k[0] for k in keys), np.int64, n)
-    xs = np.fromiter((k[1] for k in keys), np.int64, n)
-    q = np.stack([state.qblocks[k] for k in keys])  # (n, 3, size)
+    if isinstance(keys, tuple):  # (ys, xs) array pair from render_groups
+        ys, xs = keys
+        n = len(ys)
+        keys = None
+    else:
+        n = len(keys)
+        ys = np.fromiter((k[0] for k in keys), np.int64, n)
+        xs = np.fromiter((k[1] for k in keys), np.int64, n)
+    if qimg is not None and cy == 1 and cx == 1:
+        blk = qimg.reshape(3, state.fd.ysize_blocks, 8,
+                           state.fd.xsize_blocks, 8)
+        # separated advanced indices put the block axis first: (n,3,8,8)
+        q = blk[:, ys, :, xs, :].reshape(n, 3, 64)
+    elif qimg is not None:
+        q = np.stack([qimg[:, y * 8:(y + cy) * 8,
+                           x * 8:(x + cx) * 8].reshape(3, -1)
+                      for y, x in zip(ys, xs)])
+    else:
+        q = np.stack([state.qblocks[(int(y), int(x))]
+                      for y, x in zip(ys, xs)])  # (n, 3, size)
     quant = state.raw_quant_field[ys, xs].astype(np.float32)
     scaled = (np.float32(inv_gs) / quant)[:, None]
     ty = ys // COLOR_TILE_DIM_IN_BLOCKS
@@ -695,11 +738,11 @@ def _render_dct_batch(state: VarDCTState, strategy: int, keys,
     wr, wc = min(rows, cols), max(rows, cols)
     co = np.stack([dq_x, dq_y, dq_b], axis=1).reshape(n, 3, wr, wc)
     # batched LowestFrequenciesFromDC
-    dc_batch = np.stack([
-        state.dc[:, y:y + cy, x:x + cx] for y, x in keys])  # (n, 3, cy, cx)
     if cy == 1 and cx == 1:
-        co[:, :, 0, 0] = dc_batch[:, :, 0, 0]
+        co[:, :, 0, 0] = state.dc[:, ys, xs].T  # (n, 3) gather
     else:
+        dc_batch = np.stack([state.dc[:, y:y + cy, x:x + cx]
+                             for y, x in zip(ys, xs)])  # (n, 3, cy, cx)
         llf = dct2d(dc_batch.astype(np.float32))
         lh, lw = llf.shape[-2:]
         sy = resample_scales(lh, lh * 8)
@@ -713,7 +756,7 @@ def _render_dct_batch(state: VarDCTState, strategy: int, keys,
         # the indexing result is (n, 3, 8, 8), matching pix directly
         xyb5[:, ys, :, xs, :] = pix
     else:
-        for i, (aby, abx) in enumerate(keys):
+        for i, (aby, abx) in enumerate(zip(ys, xs)):
             state.xyb[:, aby * 8:aby * 8 + rows,
                       abx * 8:abx * 8 + cols] = pix[i]
 
@@ -1156,8 +1199,9 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                              modular_ac_stream_id(fd, g, p))
 
     ac_bulk = None
-    if (getattr(state, "want_qimg", False) and not subsampled
-            and fh.nonserialized_metadata.m.num_extra_channels == 0):
+    if (not subsampled
+            and fh.nonserialized_metadata.m.num_extra_channels == 0
+            and (getattr(state, "want_qimg", False) or render_fn is None)):
         def ac_bulk(data, per_pass):
             return decode_ac_bulk_native(state, data, per_pass)
 
