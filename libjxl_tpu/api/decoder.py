@@ -63,9 +63,12 @@ class _FrameState:
 class Decoder:
     """Pull-based suspendable decoder for bare codestreams and containers.
 
-    Limitations vs the full C API surface: VarDCT still frames (the
-    progressive-preview payload case); modular frames and animation
-    decode whole-stream via api.codestream once all bytes arrived.
+    Incremental granularity: VarDCT still frames and modular frames
+    advance per TOC section as bytes arrive; animations advance per
+    frame (each kReplace frame decodes and emits FULL_IMAGE as soon as
+    its bytes are in, `frame_duration` holds its tick count). Frames
+    that blend with or reference earlier frames fall back to
+    whole-stream decode via api.codestream.
     """
 
     def __init__(self, events=_ALL_EVENTS):
@@ -89,6 +92,7 @@ class Decoder:
         self.box_data = None
         self._preview = None
         self._jbrd_seen = False
+        self.frame_duration = None
 
     def set_input(self, data: bytes):
         """Append bytes (zero-copy semantics of SetInput/ReleaseInput are
@@ -311,6 +315,8 @@ class Decoder:
             self._advance_sections(fs, data)
         elif self._modular_incremental(fs):
             self._advance_sections_modular(fs, data)
+        elif self._animation_incremental(fs):
+            return self._advance_animation(fs, data)
         else:
             return self._decode_whole(data)
         if FRAME_PROGRESSION in self._events \
@@ -342,6 +348,68 @@ class Decoder:
                                      | FLAG_SPLINES))
                 and fh.upsampling == 1 and fs.n_sections > 1
                 and list(fh.chroma_subsampling.channel_mode) == [0, 0, 0])
+
+    def _animation_incremental(self, fs) -> bool:
+        """Per-frame incremental decode of animations: each frame decodes
+        and emits FULL_IMAGE as soon as its TOC-declared bytes have
+        arrived, instead of waiting for the whole stream (decode.h:
+        JXL_DEC_FULL_IMAGE fires once per animation frame). Covers
+        independent kReplace frames (encode_animation's output); frames
+        that blend or reference earlier frames use the whole-stream
+        path."""
+        from ..io.frame_header import FLAG_PATCHES, FT_REGULAR
+
+        fh = fs.fh
+        return (self._meta.m.have_animation
+                and fh.frame_type == FT_REGULAR
+                and not self._meta.m.extra_channel_info
+                and fh.save_as_reference == 0
+                and fh.blending_info.mode == 0
+                and not (fh.flags & FLAG_PATCHES))
+
+    def _advance_animation(self, fs, data):
+        end = fs.header_end + fs.total
+        if len(data) < end:
+            return self._need_more()
+        from ..io.frame_header import ENC_MODULAR, FrameHeader
+
+        r = BitReader(data)
+        r.skip_bits(self._hdr_bits)
+        fh = FrameHeader(self._meta)
+        fh.read(r)
+        skip_this = self._skip > 0
+        if skip_this:
+            self._skip -= 1
+        elif fh.encoding == ENC_MODULAR:
+            from .frame import decode_modular_frame
+
+            img = decode_modular_frame(r, fh)
+            stacked = np.stack([c.data for c in img.channel], axis=-1)
+            bits = self._meta.m.bit_depth.bits_per_sample
+            if bits <= 8:
+                stacked = stacked.astype(np.uint8)
+            elif bits <= 16:
+                stacked = stacked.astype(np.uint16)
+            self._image = stacked
+        else:
+            from ..vardct.frame import decode_vardct_frame
+            from ..ops.xyb import linear_to_srgb_u8
+
+            # returns linear RGB channels (XYB already undone)
+            chans = decode_vardct_frame(r, fh)
+            self._image = linear_to_srgb_u8(np.stack(chans, axis=-1))
+        self.frame_duration = fh.animation_frame.duration
+        # advance the cursor past this frame (sections are byte-aligned)
+        self._hdr_bits = end * 8
+        self._frame = None
+        if fh.is_last:
+            self._finished = True
+            if not skip_this and FULL_IMAGE in self._events:
+                return FULL_IMAGE
+            return SUCCESS
+        if not skip_this and FULL_IMAGE in self._events:
+            return FULL_IMAGE
+        return self._process()
 
     def _modular_incremental(self, fs) -> bool:
         """Per-group incremental decode of modular frames: the section

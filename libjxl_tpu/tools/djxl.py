@@ -56,8 +56,9 @@ def _main(argv=None):
     from ..extras.io import save_image
     from ..io.container import extract_codestream, is_container, parse_boxes
 
-    with open(args.input, "rb") as f:
-        data = f.read()
+    from ..extras.mmapio import read_mapped
+
+    data = read_mapped(args.input)
     # JPEG reconstruction path: container with a jbrd box
     if is_container(data):
         boxes = {t: p for t, p, _ in parse_boxes(data[12:])}

@@ -58,8 +58,9 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
-    with open(args.input, "rb") as f:
-        data = f.read()
+    from ..extras.mmapio import read_mapped
+
+    data = read_mapped(args.input)
     print(describe(data, args.verbose))
     return 0
 

@@ -149,3 +149,58 @@ def test_whole_stream_fallback_lossless():
         if ev in (decoder.FULL_IMAGE, decoder.SUCCESS):
             break
     assert np.array_equal(dec.image[:, :, :3], img)
+
+
+def test_animation_frames_decode_incrementally():
+    """Each animation frame's FULL_IMAGE fires as soon as that frame's
+    TOC-declared bytes arrive — before the rest of the stream exists
+    (decode.h: JXL_DEC_FULL_IMAGE once per frame)."""
+    frames = [_image(seed=s) for s in (1, 2, 3)]
+    data = codestream.encode_animation(frames, lossless=True,
+                                       durations=[2, 3, 4])
+    want = [f for f, _d in codestream.decode_frames(data)]
+
+    dec = decoder.Decoder(events=(decoder.FULL_IMAGE,))
+    got, durs, cut_positions = [], [], []
+    fed = 0
+    step = max(1, len(data) // 97)
+    while True:
+        ev = dec.process()
+        if ev == decoder.NEED_MORE_INPUT:
+            assert fed < len(data), "decoder starved at EOF"
+            dec.set_input(data[fed:fed + step])
+            fed += step
+            if fed >= len(data):
+                dec.close_input()
+            continue
+        if ev == decoder.FULL_IMAGE:
+            got.append(dec.image.copy())
+            durs.append(dec.frame_duration)
+            cut_positions.append(fed)
+            continue
+        if ev == decoder.SUCCESS:
+            break
+    assert len(got) == len(frames)
+    for g, w in zip(got, want):
+        assert np.array_equal(g[:, :, :3], w[:, :, :3])
+    assert durs == [2, 3, 4]
+    # the first frame must have been emitted before the whole stream fed
+    assert cut_positions[0] < len(data)
+
+
+def test_animation_skip_frames_incremental():
+    frames = [_image(seed=s) for s in (5, 6, 7)]
+    data = codestream.encode_animation(frames, lossless=True)
+    want = [f for f, _d in codestream.decode_frames(data)]
+    dec = decoder.Decoder(events=(decoder.FULL_IMAGE,))
+    dec.set_input(data)
+    dec.close_input()
+    dec.skip_frames(2)
+    evs = []
+    while True:
+        ev = dec.process()
+        evs.append(ev)
+        if ev in (decoder.SUCCESS,):
+            break
+    assert evs.count(decoder.FULL_IMAGE) == 1
+    assert np.array_equal(dec.image[:, :, :3], want[2][:, :, :3])
