@@ -51,6 +51,13 @@ def load_image(path, return_icc: bool = False):
         from PIL import Image
 
         img = Image.open(path)
+        if suffix == ".png" and img.mode in ("RGB", "RGBA", "LA") \
+                and _png_bit_depth(path) == 16:
+            # PIL silently truncates multi-channel 16-bit PNGs to 8
+            arr = _load_png16(path.read_bytes())
+            if return_icc:
+                return arr, img.info.get("icc_profile")
+            return arr
         arr = np.asarray(img)
         if arr.ndim == 2:
             arr = arr[:, :, None]
@@ -59,6 +66,75 @@ def load_image(path, return_icc: bool = False):
         return arr
     except ImportError as e:  # pragma: no cover
         raise JXLError(f"cannot load {path}: PIL unavailable") from e
+
+
+def _png_bit_depth(path) -> int:
+    with open(path, "rb") as f:
+        head = f.read(25)
+    if head[:8] != b"\x89PNG\r\n\x1a\n" or len(head) < 25:
+        return 0
+    return head[24]
+
+
+def _load_png16(data: bytes) -> np.ndarray:
+    """Pure-Python 16-bit PNG reader (all scanline filters, no
+    interlace): PIL has no 16-bit multi-channel mode."""
+    import struct
+    import zlib
+
+    pos = 8
+    w = h = None
+    nc = 0
+    idat = []
+    while pos + 8 <= len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if depth != 16 or interlace:
+                raise JXLError("unsupported 16-bit PNG layout")
+            nc = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    bpp = nc * 2
+    stride = w * bpp
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                        else c)
+                row[x] = (row[x] + pred) & 0xFF
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, nc, 2).astype(np.uint16) \
+        .__mul__(np.array([256, 1], dtype=np.uint16)).sum(
+            axis=-1, dtype=np.uint16)
 
 
 def load_animation(path):
@@ -103,12 +179,51 @@ def save_image(path, image: np.ndarray, icc: bytes = None) -> None:
             img = img.astype(np.float32) / 65535.0
         path.write_bytes(save_exr(img))
         return
+    if image.dtype == np.uint16 and suffix == ".png" \
+            and not (image.ndim == 2
+                     or (image.ndim == 3 and image.shape[2] == 1)):
+        # PIL writes 16-bit PNG only for grayscale ('I;16'); multi-
+        # channel 16-bit goes through our own writer
+        path.write_bytes(_save_png16(image, icc))
+        return
     from PIL import Image
 
     if image.ndim == 3 and image.shape[2] == 1:
         image = image[:, :, 0]
     kw = {"icc_profile": icc} if icc else {}
     Image.fromarray(image).save(path, **kw)
+
+
+def _save_png16(image: np.ndarray, icc: bytes = None) -> bytes:
+    """Minimal 16-bit PNG writer (color types 0/2/4/6, filter 0).
+
+    PIL cannot produce multi-channel 16-bit PNGs; djxl/djpegli 16-bit
+    output needs them (PNG spec: big-endian samples)."""
+    import struct
+    import zlib
+
+    if image.ndim == 2:
+        image = image[:, :, None]
+    h, w, nc = image.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nc]
+
+    def chunk(tag, payload):
+        raw = tag + payload
+        return (struct.pack(">I", len(payload)) + raw
+                + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+    out = [b"\x89PNG\r\n\x1a\n",
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, color_type,
+                                      0, 0, 0))]
+    if icc:
+        out.append(chunk(b"iCCP", b"icc\x00\x00" + zlib.compress(icc)))
+    be = np.ascontiguousarray(image.astype(">u2"))
+    rows = be.reshape(h, w * nc * 2 // 2).view(np.uint8).reshape(h, -1)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1)
+    out.append(chunk(b"IDAT", zlib.compress(scan.tobytes(), 6)))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
 
 
 def _load_pnm(data: bytes) -> np.ndarray:

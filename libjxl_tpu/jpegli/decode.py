@@ -36,14 +36,18 @@ def _upsample_tri(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
     return plane
 
 
-def decode_jpegli(data: bytes) -> np.ndarray:
-    """JPEG bytes -> (H, W, C) uint8, C = 1 or 3.  Raises JXLError on
-    malformed input."""
+def decode_jpegli(data: bytes, bitdepth: int = 8) -> np.ndarray:
+    """JPEG bytes -> (H, W, C) uint8 (bitdepth=8) or uint16 (bitdepth=16),
+    C = 1 or 3.  The float pipeline quantizes only at the very end, so
+    16-bit output carries the extra precision (djpegli --bitdepth).
+    Raises JXLError on malformed input."""
     from ..base.status import JXLError
 
+    if bitdepth not in (8, 16):
+        raise JXLError("bitdepth must be 8 or 16")
     jd = parse_jpeg(data)
     try:
-        return _render(jd)
+        return _render(jd, bitdepth)
     except JXLError:
         raise
     except (IndexError, KeyError, ValueError, OverflowError,
@@ -51,7 +55,15 @@ def decode_jpegli(data: bytes) -> np.ndarray:
         raise JXLError(f"malformed JPEG: {type(e).__name__}: {e}") from e
 
 
-def _render(jd) -> np.ndarray:
+def _quantize(vals: np.ndarray, bitdepth: int) -> np.ndarray:
+    if bitdepth == 16:
+        # 0..255 float -> 0..65535 (jpegli's 16-bit output scale)
+        return np.clip(np.round(vals * np.float32(65535.0 / 255.0)),
+                       0, 65535).astype(np.uint16)
+    return np.clip(np.round(vals), 0, 255).astype(np.uint8)
+
+
+def _render(jd, bitdepth: int = 8) -> np.ndarray:
     hmax = max(c.h_samp for c in jd.components)
     vmax = max(c.v_samp for c in jd.components)
     planes = []
@@ -70,8 +82,7 @@ def _render(jd) -> np.ndarray:
             plane = _upsample_tri(plane, fy, fx)
         planes.append(plane[:jd.height, :jd.width])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255) \
-            .astype(np.uint8)[..., None]
+        return _quantize(planes[0], bitdepth)[..., None]
     y = planes[0].astype(np.float32)
     cb = planes[1].astype(np.float32) - np.float32(128.0)
     cr = planes[2].astype(np.float32) - np.float32(128.0)
@@ -79,4 +90,4 @@ def _render(jd) -> np.ndarray:
     g = (y - np.float32(0.344136) * cb - np.float32(0.714136) * cr)
     b = y + np.float32(1.772) * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _quantize(rgb, bitdepth)

@@ -646,16 +646,21 @@ def jpeg_decode_scan_native(lib, data: bytes, start: int, comps,
 
 def epf_pass_native(lib, xyb, inv_sigma_px, sad_mul, channel_scale,
                     pairs, use_plus: bool, sigma_scale: float,
-                    min_sigma: float):
+                    min_sigma: float, n_threads: int = 0):
     """One EPF pass in C (native/render_filters.c). xyb: (3, H, W)
     float32 C-contiguous; pairs: [(dy, dx)] symmetric neighbor pairs.
-    Returns the filtered (3, H, W) float32 array, or None to fall back.
-    """
+    Row bands run on a thread pool (n_threads=0 -> cpu count; bands are
+    independent, results identical at any thread count). Returns the
+    filtered (3, H, W) float32 array, or None to fall back."""
     if lib is None or not hasattr(lib, "epf_pass_f32"):
         return None
     h, w = xyb.shape[-2:]
     if h < 5 or w < 5:
         return None
+    if n_threads <= 0:
+        import os
+
+        n_threads = os.cpu_count() or 1
     xyb = np.ascontiguousarray(xyb, dtype=np.float32)
     out = np.empty_like(xyb)
     inv_sigma_px = np.ascontiguousarray(inv_sigma_px, dtype=np.float32)
@@ -670,7 +675,8 @@ def epf_pass_native(lib, xyb, inv_sigma_px, sad_mul, channel_scale,
         _ptr(cs, ctypes.c_float), _ptr(dys, ctypes.c_int32),
         _ptr(dxs, ctypes.c_int32), ctypes.c_int(len(pairs)),
         ctypes.c_int(1 if use_plus else 0),
-        ctypes.c_float(sigma_scale * 1.65), ctypes.c_float(min_sigma))
+        ctypes.c_float(sigma_scale * 1.65), ctypes.c_float(min_sigma),
+        ctypes.c_int(n_threads))
     if rc != 0:
         return None
     return out

@@ -12,6 +12,11 @@ def build_parser():
         prog="djpegli", description="jpegli JPEG decoder")
     p.add_argument("input", help="input .jpg file")
     p.add_argument("output", help="output image (png/pnm/npy)")
+    p.add_argument("--bitdepth", type=int, default=8, choices=(8, 16),
+                   help="output bit depth (float pipeline quantizes "
+                        "only at the end; 16 keeps the extra precision)")
+    p.add_argument("--num_reps", type=int, default=1,
+                   help="decode N times (benchmarking)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -33,11 +38,13 @@ def _main(argv):
     from ..extras.io import save_image
     from ..jpegli import decode_jpegli
 
-    with open(args.input, "rb") as f:
-        data = f.read()
+    from ..extras.mmapio import read_mapped
+
+    data = read_mapped(args.input)
     t0 = time.time()
-    img = decode_jpegli(data)
-    dt = time.time() - t0
+    for _ in range(max(1, args.num_reps)):
+        img = decode_jpegli(data, bitdepth=args.bitdepth)
+    dt = (time.time() - t0) / max(1, args.num_reps)
     if img.shape[2] == 1:
         img = img[:, :, 0]
     save_image(args.output, img)

@@ -56,41 +56,51 @@ static void pad_plane(const float *src, int64_t h, int64_t w, float *dst) {
  * scale:      sigma_scale * 1.65 premultiplier
  * Returns 0, or -1 on allocation failure / bad size.
  */
-int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
-                 const float *inv_sigma, const float *sad_mul,
-                 const float *cs, const int *pairs_dy, const int *pairs_dx,
-                 int npairs, int use_plus, float scale, float min_sigma) {
-    if (h < PAD || w < PAD) return -1; /* caller falls back to Python */
-    int64_t n = h * w;
-    int64_t hp = h + 2 * PAD, wp = w + 2 * PAD, np_ = hp * wp;
-    float *xp = malloc(sizeof(float) * 3 * np_);
-    float *dbuf = malloc(sizeof(float) * np_);
-    float *pbuf = malloc(sizeof(float) * np_);
-    float *num = malloc(sizeof(float) * 3 * n);
-    float *den = malloc(sizeof(float) * n);
-    float *inv = malloc(sizeof(float) * n);
-    if (!xp || !dbuf || !pbuf || !num || !den || !inv) {
-        free(xp); free(dbuf); free(pbuf); free(num); free(den); free(inv);
-        return -1;
-    }
-    for (int c = 0; c < 3; c++) pad_plane(xyb + c * n, h, w, xp + c * np_);
-    memcpy(num, xyb, sizeof(float) * 3 * n);
-    for (int64_t i = 0; i < n; i++) den[i] = 1.0f;
-    for (int64_t i = 0; i < n; i++) inv[i] = inv_sigma[i] * sad_mul[i] * scale;
+typedef struct {
+    const float *xyb, *xp, *inv_sigma, *inv, *cs;
+    float *out;
+    int64_t h, w, y0, y1;
+    const int *pairs_dy, *pairs_dx;
+    int npairs, use_plus;
+    float min_sigma;
+    int rc;
+} EpfJob;
 
-    /* padded-coordinate row ranges:
-     * weights read P at q and q-n, q in image  -> P rows [PAD-2, h+PAD+2)
-     * P = plusconv(D)                          -> D rows [PAD-3, h+PAD+3) */
-    int64_t d_lo = PAD - 3, d_hi = h + PAD + 3;
-    for (int p = 0; p < npairs; p++) {
-        int dy = pairs_dy[p], dx = pairs_dx[p];
+/* One output row band [y0, y1). D and P are computed thread-locally
+ * with a 3-row halo, so bands are fully independent — no barriers, no
+ * shared scratch. Each band runs all pair passes then normalizes. */
+static void epf_band(EpfJob *j) {
+    int64_t h = j->h, w = j->w, n = h * w;
+    int64_t wp = w + 2 * PAD, np_ = (h + 2 * PAD) * wp;
+    int64_t bh = j->y1 - j->y0;
+    /* band D/P rows: padded coords [y0+PAD-3, y1+PAD+3) */
+    int64_t db0 = j->y0 + PAD - 3, dbh = bh + 6;
+    float *dbuf = malloc(sizeof(float) * dbh * wp);
+    float *pbuf = malloc(sizeof(float) * dbh * wp);
+    float *num = malloc(sizeof(float) * 3 * bh * w);
+    float *den = malloc(sizeof(float) * bh * w);
+    if (!dbuf || !pbuf || !num || !den) {
+        free(dbuf); free(pbuf); free(num); free(den);
+        j->rc = -1;
+        return;
+    }
+    for (int c = 0; c < 3; c++)
+        memcpy(num + c * bh * w, j->xyb + c * n + j->y0 * w,
+               sizeof(float) * bh * w);
+    for (int64_t i = 0; i < bh * w; i++) den[i] = 1.0f;
+    const float *xp = j->xp;
+    int64_t d_lo = PAD - 3; /* valid x range of D, as in global coords */
+
+    for (int p = 0; p < j->npairs; p++) {
+        int dy = j->pairs_dy[p], dx = j->pairs_dx[p];
         /* D(y,x) = sum_c cs[c] * |Xp_c(y,x) - Xp_c(y+dy,x+dx)| */
-        for (int64_t y = d_lo; y < d_hi; y++) {
-            float *o = dbuf + y * wp;
+        for (int64_t yy = 0; yy < dbh; yy++) {
+            int64_t y = db0 + yy; /* padded coords */
+            float *o = dbuf + yy * wp;
             for (int c = 0; c < 3; c++) {
                 const float *r = xp + c * np_ + y * wp;
                 const float *r2 = xp + c * np_ + (y + dy) * wp + dx;
-                float csc = cs[c];
+                float csc = j->cs[c];
                 if (c == 0)
                     for (int64_t x = d_lo; x < wp - d_lo; x++) {
                         float d = r[x] - r2[x];
@@ -104,12 +114,13 @@ int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
             }
         }
         const float *sad = dbuf;
-        if (use_plus) {
-            for (int64_t y = d_lo + 1; y < d_hi - 1; y++) {
-                const float *r0 = dbuf + (y - 1) * wp;
-                const float *r1 = dbuf + y * wp;
-                const float *r2 = dbuf + (y + 1) * wp;
-                float *o = pbuf + y * wp;
+        int64_t sad_base = db0;
+        if (j->use_plus) {
+            for (int64_t yy = 1; yy + 1 < dbh; yy++) {
+                const float *r0 = dbuf + (yy - 1) * wp;
+                const float *r1 = dbuf + yy * wp;
+                const float *r2 = dbuf + (yy + 1) * wp;
+                float *o = pbuf + yy * wp;
                 for (int64_t x = d_lo + 1; x < wp - d_lo - 1; x++)
                     o[x] = r1[x] + r0[x] + r2[x] + r1[x - 1] + r1[x + 1];
             }
@@ -117,11 +128,13 @@ int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
         }
         /* neighbor +(dy,dx): weight from sad(q), sample Xp(q+n);
          * neighbor -(dy,dx): weight from sad(q-n), sample Xp(q-n). */
-        for (int64_t y = 0; y < h; y++) {
-            const float *sad_r = sad + (y + PAD) * wp + PAD;
-            const float *sad_m = sad + (y - dy + PAD) * wp + PAD - dx;
-            const float *inv_r = inv + y * w;
-            float *den_r = den + y * w;
+        for (int64_t y = j->y0; y < j->y1; y++) {
+            const float *sad_r = sad + (y + PAD - sad_base) * wp + PAD;
+            const float *sad_m =
+                sad + (y - dy + PAD - sad_base) * wp + PAD - dx;
+            const float *inv_r = j->inv + y * w;
+            float *den_r = den + (y - j->y0) * w;
+            float *num_b = num + (y - j->y0) * w;
             for (int64_t x = 0; x < w; x++) {
                 float w1 = 1.0f + sad_r[x] * inv_r[x];
                 float w2 = 1.0f + sad_m[x] * inv_r[x];
@@ -130,7 +143,7 @@ int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
                 den_r[x] += w1 + w2;
                 for (int c = 0; c < 3; c++) {
                     const float *pc = xp + c * np_;
-                    num[c * n + y * w + x] +=
+                    num_b[c * bh * w + x] +=
                         w1 * pc[(y + dy + PAD) * wp + x + dx + PAD]
                         + w2 * pc[(y - dy + PAD) * wp + x - dx + PAD];
                 }
@@ -138,12 +151,75 @@ int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
         }
     }
     for (int c = 0; c < 3; c++)
-        for (int64_t i = 0; i < n; i++)
-            out[c * n + i] = (inv_sigma[i] < min_sigma)
-                                 ? xyb[c * n + i]
-                                 : num[c * n + i] / den[i];
-    free(xp); free(dbuf); free(pbuf); free(num); free(den); free(inv);
-    return 0;
+        for (int64_t y = j->y0; y < j->y1; y++)
+            for (int64_t x = 0; x < w; x++) {
+                int64_t i = y * w + x;
+                int64_t b = (y - j->y0) * w + x;
+                j->out[c * n + i] = (j->inv_sigma[i] < j->min_sigma)
+                                        ? j->xyb[c * n + i]
+                                        : num[c * bh * w + b] / den[b];
+            }
+    free(dbuf); free(pbuf); free(num); free(den);
+    j->rc = 0;
+}
+
+static void *epf_worker(void *arg) {
+    epf_band((EpfJob *)arg);
+    return NULL;
+}
+
+#include <pthread.h>
+#define EPF_MAX_THREADS 16
+
+int epf_pass_f32(const float *xyb, float *out, int64_t h, int64_t w,
+                 const float *inv_sigma, const float *sad_mul,
+                 const float *cs, const int *pairs_dy, const int *pairs_dx,
+                 int npairs, int use_plus, float scale, float min_sigma,
+                 int n_threads) {
+    if (h < PAD || w < PAD) return -1; /* caller falls back to Python */
+    int64_t n = h * w;
+    int64_t wp = w + 2 * PAD, np_ = (h + 2 * PAD) * wp;
+    float *xp = malloc(sizeof(float) * 3 * np_);
+    float *inv = malloc(sizeof(float) * n);
+    if (!xp || !inv) {
+        free(xp); free(inv);
+        return -1;
+    }
+    for (int c = 0; c < 3; c++) pad_plane(xyb + c * n, h, w, xp + c * np_);
+    for (int64_t i = 0; i < n; i++) inv[i] = inv_sigma[i] * sad_mul[i] * scale;
+
+    int nb = n_threads;
+    if (nb < 1) nb = 1;
+    if (nb > EPF_MAX_THREADS) nb = EPF_MAX_THREADS;
+    if (nb > (int)(h / 8)) nb = (int)(h / 8) > 0 ? (int)(h / 8) : 1;
+    EpfJob jobs[EPF_MAX_THREADS];
+    pthread_t tids[EPF_MAX_THREADS];
+    for (int t = 0; t < nb; t++) {
+        jobs[t] = (EpfJob){xyb, xp, inv_sigma, inv, cs, out, h, w,
+                           h * t / nb, h * (t + 1) / nb,
+                           pairs_dy, pairs_dx, npairs, use_plus,
+                           min_sigma, 0};
+    }
+    int spawned = 0;
+    for (int t = 1; t < nb; t++) {
+        if (pthread_create(&tids[t], NULL, epf_worker, &jobs[t])) break;
+        spawned = t;
+    }
+    epf_band(&jobs[0]);
+    for (int t = 1; t <= spawned; t++) pthread_join(tids[t], NULL);
+    int rc = 0;
+    for (int t = 0; t < nb; t++)
+        if (t <= spawned || t == 0)
+            if (jobs[t].rc != 0) rc = -1;
+    /* bands beyond `spawned` never ran if creates failed */
+    if (spawned + 1 < nb) {
+        for (int t = spawned + 1; t < nb; t++) {
+            epf_band(&jobs[t]);
+            if (jobs[t].rc != 0) rc = -1;
+        }
+    }
+    free(xp); free(inv);
+    return rc;
 }
 
 /* Fused sRGB transfer + uint8 quantization: out[i] = #{j: thr[j] <

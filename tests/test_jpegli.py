@@ -204,3 +204,26 @@ def test_benchmark_jpegli_row():
     rgb = _test_image(n=96)
     res = run_config(rgb, "jpegli:d1.0:p2:420")
     assert res["bpp"] > 0 and res["butteraugli"] > 0
+
+
+def test_djpegli_16bit_output(tmp_path):
+    """--bitdepth 16: the float pipeline quantizes only at the end, and
+    the 16-bit PNG writer/reader roundtrip is exact (PIL handles neither
+    direction for multi-channel 16-bit)."""
+    import numpy as np
+
+    from libjxl_tpu.extras.io import load_image, save_image
+    from libjxl_tpu.jpegli import decode_jpegli, encode_jpegli
+
+    rng = np.random.default_rng(11)
+    img = np.clip(rng.normal(128, 40, (64, 80, 3)), 0, 255).astype(np.uint8)
+    jb = encode_jpegli(img, distance=1.0)
+    out16 = decode_jpegli(jb, bitdepth=16)
+    assert out16.dtype == np.uint16
+    out8 = decode_jpegli(jb)
+    # the hi byte tracks the 8-bit output within one step
+    assert np.abs((out16 // 257).astype(int) - out8.astype(int)).max() <= 1
+    p = tmp_path / "x.png"
+    save_image(p, out16)
+    back = load_image(p)
+    assert back.dtype == np.uint16 and np.array_equal(back, out16)
