@@ -30,7 +30,11 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["cc", "-O3", "-march=native", "-fno-math-errno", "-shared",
+            ["cc", "-O3", "-march=native", "-fno-math-errno",
+             # no FMA contraction: float kernels must round exactly like
+             # the NumPy mul-then-add they mirror (strip-vs-whole decode
+             # paths assert bit-equality)
+             "-ffp-contract=off", "-shared",
              "-fPIC", "-pthread", *map(str, _SRCS), "-o", str(_SO)],
             check=True, capture_output=True)
         return True
@@ -728,3 +732,36 @@ def srgb_u8_native(lib, lin32, thresholds):
                     ctypes.c_int64(flat.shape[0]),
                     _ptr(thr, ctypes.c_float), _ptr(hint, ctypes.c_uint8))
     return out.reshape(lin32.shape)
+
+
+def dequant_dct8_native(lib, qimg, ys, xs, qf, dm, inv_gs, x_dm_mult,
+                        b_dm_mult, x_cc, b_cc, dc, biases):
+    """Fused DCT8 dequant (render_filters.c): gather + AdjustQuantBias
+    + dequant matrices + CfL + DC overwrite in one C sweep. Returns
+    float32 (n, 3, 64) wide-layout coefficients or None to fall back."""
+    if lib is None or not hasattr(lib, "dequant_dct8_f32"):
+        return None
+    n = len(ys)
+    _, H, W = qimg.shape
+    nby, nbx = qf.shape
+    qimg = np.ascontiguousarray(qimg, dtype=np.int32)
+    ys = np.ascontiguousarray(ys, dtype=np.int64)
+    xs = np.ascontiguousarray(xs, dtype=np.int64)
+    qf = np.ascontiguousarray(qf, dtype=np.int32)
+    dm = np.ascontiguousarray(dm, dtype=np.float32).reshape(3, 64)
+    x_cc = np.ascontiguousarray(x_cc, dtype=np.float32)
+    b_cc = np.ascontiguousarray(b_cc, dtype=np.float32)
+    dc = np.ascontiguousarray(dc, dtype=np.float32)
+    bias = np.ascontiguousarray(biases, dtype=np.float32)
+    out = np.empty((n, 3, 64), dtype=np.float32)
+    lib.dequant_dct8_f32(
+        _ptr(qimg, ctypes.c_int32), ctypes.c_int64(H), ctypes.c_int64(W),
+        _ptr(ys, ctypes.c_int64), _ptr(xs, ctypes.c_int64),
+        ctypes.c_int64(n), _ptr(qf, ctypes.c_int32),
+        ctypes.c_int64(nby), ctypes.c_int64(nbx),
+        _ptr(dm, ctypes.c_float), ctypes.c_float(inv_gs),
+        ctypes.c_float(x_dm_mult), ctypes.c_float(b_dm_mult),
+        _ptr(x_cc, ctypes.c_float), _ptr(b_cc, ctypes.c_float),
+        _ptr(dc, ctypes.c_float), _ptr(bias, ctypes.c_float),
+        _ptr(out, ctypes.c_float))
+    return out

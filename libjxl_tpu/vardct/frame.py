@@ -710,6 +710,26 @@ def _render_dct_batch(state: VarDCTState, strategy: int, keys,
         ys = np.fromiter((k[0] for k in keys), np.int64, n)
         xs = np.fromiter((k[1] for k in keys), np.int64, n)
     if qimg is not None and cy == 1 and cx == 1:
+        from ..native_ext import dequant_dct8_native, get_lib
+
+        ty = ys // COLOR_TILE_DIM_IN_BLOCKS
+        tx = xs // COLOR_TILE_DIM_IN_BLOCKS
+        x_cc_n = state.ytox(state.ytox_map[ty, tx].astype(np.float32))
+        b_cc_n = state.ytob(state.ytob_map[ty, tx].astype(np.float32))
+        co_c = dequant_dct8_native(
+            get_lib(), qimg, ys, xs, state.raw_quant_field,
+            np.stack([state.matrices.dequant_matrix(kind, c).reshape(-1)
+                      for c in range(3)]), float(inv_gs),
+            float(state.x_dm_mult), float(state.b_dm_mult),
+            x_cc_n, b_cc_n, state.dc, DEFAULT_QUANT_BIAS)
+        if co_c is not None:
+            from ..ops.dct import idct2d
+
+            pix = idct2d(co_c.reshape(n, 3, 8, 8), 8, 8)
+            h8, w8 = state.xyb.shape[1] // 8, state.xyb.shape[2] // 8
+            xyb5 = state.xyb.reshape(3, h8, 8, w8, 8)
+            xyb5[:, ys, :, xs, :] = pix
+            return
         blk = qimg.reshape(3, state.fd.ysize_blocks, 8,
                            state.fd.xsize_blocks, 8)
         # separated advanced indices put the block axis first: (n,3,8,8)

@@ -273,3 +273,64 @@ int conv3x3_sym_f32(const float *img, float *out, int64_t h, int64_t w,
     }
     return 0;
 }
+
+/* Fused DCT8 dequantization for the host render path: for each listed
+ * 8x8 block, gather its wide-layout coefficients from the dense
+ * image-layout planes, apply AdjustQuantBias (quantizer-inl.h:34-62),
+ * the dequant matrices, the global/per-block scale, chroma-from-luma,
+ * and the DC (LLF) overwrite — emitting float32 (n, 3, 64) ready for
+ * the batched IDCT. Fuses five vectorized numpy passes into one sweep.
+ *
+ * qimg: (3, H, W) int32 image-layout coefficients (W = row stride)
+ * ys/xs: block coordinates (in blocks); qf: (nby, nbx) raw quant field
+ * dm: (3, 64) dequant matrices (wide layout)
+ * x_cc/b_cc: per-block CfL factors (n)
+ * dc: (3, nby, nbx) float32 DC image
+ * biases: {bias_x, bias_y, bias_b, bias_general}
+ */
+void dequant_dct8_f32(const int32_t *qimg, int64_t H, int64_t W,
+                      const int64_t *ys, const int64_t *xs, int64_t n,
+                      const int32_t *qf, int64_t nby, int64_t nbx,
+                      const float *dm, float inv_gs, float x_dm_mult,
+                      float b_dm_mult, const float *x_cc,
+                      const float *b_cc, const float *dc,
+                      const float *biases, float *out) {
+    const int64_t plane = H * W;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t by = ys[i], bx = xs[i];
+        const int64_t base = by * 8 * W + bx * 8;
+        const float scaled = inv_gs / (float)qf[by * nbx + bx];
+        const float sx = scaled * x_dm_mult, sb = scaled * b_dm_mult;
+        const float xcc = x_cc[i], bcc = b_cc[i];
+        float *o = out + i * 3 * 64;
+        for (int r = 0; r < 8; r++) {
+            const int32_t *q0 = qimg + base + r * W;           /* X  */
+            const int32_t *q1 = qimg + plane + base + r * W;   /* Y  */
+            const int32_t *q2 = qimg + 2 * plane + base + r * W;
+            for (int k8 = 0; k8 < 8; k8++) {
+                int k = r * 8 + k8;
+                int32_t vy = q1[k8], vx = q0[k8], vb = q2[k8];
+                float fy = (vy == 0) ? 0.0f
+                           : (vy == 1) ? biases[1]
+                           : (vy == -1) ? -biases[1]
+                           : (float)vy - biases[3] / (float)vy;
+                float fx = (vx == 0) ? 0.0f
+                           : (vx == 1) ? biases[0]
+                           : (vx == -1) ? -biases[0]
+                           : (float)vx - biases[3] / (float)vx;
+                float fb = (vb == 0) ? 0.0f
+                           : (vb == 1) ? biases[2]
+                           : (vb == -1) ? -biases[2]
+                           : (float)vb - biases[3] / (float)vb;
+                float dqy = fy * dm[64 + k] * scaled;
+                o[64 + k] = dqy;
+                o[k] = fx * dm[k] * sx + xcc * dqy;
+                o[128 + k] = fb * dm[128 + k] * sb + bcc * dqy;
+            }
+        }
+        /* LLF: DC overwrites coefficient 0 */
+        o[0] = dc[by * nbx + bx];
+        o[64] = dc[nby * nbx + by * nbx + bx];
+        o[128] = dc[2 * nby * nbx + by * nbx + bx];
+    }
+}
