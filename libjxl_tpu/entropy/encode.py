@@ -162,12 +162,14 @@ def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None,
                          collect=None):
     """collect: optional list; receives (ctx, tok, nbits, bits) per stream
     so the write pass can skip re-tokenizing."""
-    from ..native_ext import get_lib, hybrid_tokenize_native
+    from ..native_ext import (get_lib, hybrid_tokenize_mixed_native,
+                              hybrid_tokenize_native)
 
     n_bins = num_contexts * _MAX_TOK
     lib = get_lib()
-    use_native = (lz77 is None and lib is not None
-                  and hasattr(lib, "hybrid_tokenize"))
+    use_native = (lib is not None and hasattr(lib, "hybrid_tokenize")
+                  and (lz77 is None
+                       or hasattr(lib, "hybrid_tokenize_mixed")))
     counts_c = np.zeros(n_bins, dtype=np.uint32) if use_native else None
     flats = []
     for tokens in tokens_list:
@@ -181,6 +183,17 @@ def _estimate_token_cost(tokens_list, num_contexts, uint_config, lz77=None,
             res = hybrid_tokenize_native(
                 lib, ctx, val, uint_config.split_exponent,
                 uint_config.msb_in_token, uint_config.lsb_in_token,
+                counts_c, _MAX_TOK)
+            if res is not None:
+                if collect is not None:
+                    collect.append((ctx,) + res)
+                continue
+        if use_native and lz is not None and lz77 is not None \
+                and len(val) >= 32 and (val >= 0).all():
+            # mixed literal/length stream in one C pass
+            res = hybrid_tokenize_mixed_native(
+                lib, ctx, val, lz, uint_config,
+                lz77.length_uint_config, lz77.min_symbol,
                 counts_c, _MAX_TOK)
             if res is not None:
                 if collect is not None:

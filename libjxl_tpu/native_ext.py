@@ -765,3 +765,31 @@ def dequant_dct8_native(lib, qimg, ys, xs, qf, dm, inv_gs, x_dm_mult,
         _ptr(dc, ctypes.c_float), _ptr(bias, ctypes.c_float),
         _ptr(out, ctypes.c_float))
     return out
+
+
+def hybrid_tokenize_mixed_native(lib, ctx, val, lz, cfg, lcfg,
+                                 min_symbol, counts, max_tok):
+    """Mixed literal/LZ77-length tokenization + histogram in one C pass
+    (ans_write.c hybrid_tokenize_mixed). Returns (tok, nbits, bits) or
+    None to fall back (token overflow / bad context)."""
+    if lib is None or not hasattr(lib, "hybrid_tokenize_mixed"):
+        return None
+    n = len(val)
+    val = np.ascontiguousarray(val, dtype=np.int64)
+    lzm = np.ascontiguousarray(lz, dtype=np.uint8)
+    tok = np.empty(n, dtype=np.uint16)
+    nbits = np.empty(n, dtype=np.uint8)
+    bits = np.empty(n, dtype=np.uint32)
+    rc = lib.hybrid_tokenize_mixed(
+        _ptr(ctx, ctypes.c_int32), _ptr(val, ctypes.c_int64),
+        _ptr(lzm, ctypes.c_uint8), ctypes.c_size_t(n),
+        ctypes.c_int(cfg.split_exponent), ctypes.c_int(cfg.msb_in_token),
+        ctypes.c_int(cfg.lsb_in_token),
+        ctypes.c_int(lcfg.split_exponent), ctypes.c_int(lcfg.msb_in_token),
+        ctypes.c_int(lcfg.lsb_in_token), ctypes.c_int(min_symbol),
+        _ptr(tok, ctypes.c_uint16), _ptr(nbits, ctypes.c_uint8),
+        _ptr(bits, ctypes.c_uint32), _ptr(counts, ctypes.c_uint32),
+        ctypes.c_int(max_tok), ctypes.c_int(len(counts) // max_tok))
+    if rc != 0:
+        return None
+    return tok, nbits, bits

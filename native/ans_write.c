@@ -143,3 +143,50 @@ int ans_write_tokens(const uint16_t* histo, const uint16_t* tok,
   free(s_bits);
   return 0;
 }
+
+/* hybrid_tokenize over a mixed literal/LZ77-length stream: positions
+ * flagged in `lz` split with the LENGTH config (l*) and get min_symbol
+ * added to the token (enc_ans.cc TokenCost lz77 lane). Two-pass like
+ * hybrid_tokenize so a failure leaves `counts` untouched. */
+int hybrid_tokenize_mixed(const int32_t* ctx, const int64_t* val,
+                          const uint8_t* lz, size_t n, int split_exponent,
+                          int msb, int lsb, int lsplit, int lmsb, int llsb,
+                          int min_symbol, uint16_t* tok_out,
+                          uint8_t* nbits_out, uint32_t* bits_out,
+                          uint32_t* counts, int max_tok, int n_ctx) {
+  for (size_t i = 0; i < n; i++) {
+    uint64_t v = (uint64_t)val[i];
+    int is_lz = lz[i] != 0;
+    int se = is_lz ? lsplit : split_exponent;
+    int mb = is_lz ? lmsb : msb;
+    int lb = is_lz ? llsb : lsb;
+    uint64_t split_token = (uint64_t)1 << se;
+    uint32_t t;
+    unsigned nb;
+    uint32_t b;
+    if (v < split_token) {
+      t = (uint32_t)v;
+      nb = 0;
+      b = 0;
+    } else {
+      unsigned lg = 63 - (unsigned)__builtin_clzll(v);
+      uint64_t m = v - ((uint64_t)1 << lg);
+      nb = lg - mb - lb;
+      if (nb > 31) return -1;
+      t = (uint32_t)(split_token + (((uint64_t)(lg - se)) << (mb + lb)) +
+                     ((m >> (lg - mb)) << lb) +
+                     (m & (((uint64_t)1 << lb) - 1)));
+      b = (uint32_t)((v >> lb) & ((((uint64_t)1 << nb) - 1)));
+    }
+    if (is_lz) t += (uint32_t)min_symbol;
+    if (t >= (uint32_t)max_tok) return -1;
+    if ((uint32_t)ctx[i] >= (uint32_t)n_ctx) return -1;
+    tok_out[i] = (uint16_t)t;
+    nbits_out[i] = (uint8_t)nb;
+    bits_out[i] = b;
+  }
+  for (size_t i = 0; i < n; i++) {
+    counts[(size_t)ctx[i] * max_tok + tok_out[i]]++;
+  }
+  return 0;
+}
