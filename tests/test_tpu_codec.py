@@ -47,7 +47,7 @@ def host_encode_dct8(img):
     fh.frame_type = FT_REGULAR
     fh.encoding = ENC_VARDCT
     fh.color_transform = CT_XYB
-    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.flags = 0  # adaptive DC smoothing on, like encode_lossy
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = True
     fh.loop_filter.epf_iters = 2
