@@ -1093,7 +1093,7 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                         extra_out: list = None, reference_extra=None,
                         render_fn=None, dc_frames=None,
                         runner=None, want_qimg: bool = False,
-                        num_threads: int = 0):
+                        num_threads: int = 0, ac_raw: bool = False):
     """Decode a VarDCT frame (header already read) -> (3, H, W) XYB-decoded
     linear RGB channels list (or the final XYB image if return_xyb).
 
@@ -1219,7 +1219,16 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
                              modular_ac_stream_id(fd, g, p))
 
     ac_bulk = None
-    if (not subsampled
+    if (ac_raw and not subsampled
+            and fh.nonserialized_metadata.m.num_extra_channels == 0):
+        # TPU entropy-decode path (ops/ans_tpu.py): capture the raw AC
+        # section byte ranges; the caller runs the device kernel. The
+        # caller MUST fall back to a full host decode if the kernel
+        # rejects the stream shape.
+        def ac_bulk(data, per_pass):
+            state.ac_raw = (data, per_pass)
+            return True
+    elif (not subsampled
             and fh.nonserialized_metadata.m.num_extra_channels == 0
             and (getattr(state, "want_qimg", False) or render_fn is None)):
         def ac_bulk(data, per_pass):
