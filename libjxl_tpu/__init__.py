@@ -28,3 +28,14 @@ Layer map mirrors SURVEY.md section 1:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA/Mosaic compilation cache: the Pallas entropy kernel and
+# the fused batch-decode programs take minutes to compile; caching makes
+# that a one-time cost across processes. Env-var defaults so this works
+# whether or not jax is imported yet (jax reads them at init).
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/libjxl_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+del _os

@@ -578,6 +578,212 @@ def prepare_tpu_batch(streams, num_threads: int = 0):
     return prog, (qimg, qf, dc, ytox, ytob, igs, isp, dm0, gabk, sad)
 
 
+_ENTROPY_PROGS = {}
+
+
+def prepare_tpu_batch_entropy(streams):
+    """Like prepare_tpu_batch, but AC entropy decode runs ON DEVICE
+    (ops/ans_kernel Pallas rANS kernel) fused with placement and render
+    in one XLA program. The host only parses headers + DC/AC-metadata
+    sections. Scope: the DCT8 serving path (build_serve_plan); raises
+    JXLError outside it so callers fall back to the host-entropy batch.
+
+    Returns (prog, args, sp): `prog(*args)` -> (u8 pixels (B,H,W,3),
+    ok flags (8,128)). Callers MUST check ok before trusting pixels.
+
+    Reference: replaces dec_frame.cc:568/716 ProcessSections' pooled
+    AC-group loop; here the pool is 1024 lockstep TPU lanes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..base.status import JXLError
+    from ..io.frame_header import FrameHeader
+    from ..ops import ans_kernel, ans_tpu
+    from ..ops import pipeline as pl
+    from ..render.pipeline import (_sad_mul_map, compute_sigma,
+                                   gaborish_kernel)
+    from ..vardct.frame import decode_vardct_frame
+
+    if not streams:
+        raise JXLError("batch decode: empty stream list")
+    states, fhs, datas, raws = [], [], [], []
+    for data in streams:
+        r = BitReader(data)
+        meta = parse_codestream_header(r)
+        if not meta.m.xyb_encoded or meta.m.orientation != 1 \
+                or meta.m.bit_depth.bits_per_sample > 8:
+            raise JXLError("batch decode: stream needs host stages")
+        if meta.m.num_extra_channels:
+            raise JXLError("batch decode: extra channels")
+        if meta.m.color_encoding.want_icc:
+            raise JXLError("batch decode: CMS output stage")
+        if meta.m.have_preview:
+            from .codestream import _skip_or_decode_preview
+
+            _skip_or_decode_preview(r, meta)
+        fh = FrameHeader(meta)
+        fh.read(r)
+        cap = {}
+
+        def capture(state, cap=cap):
+            cap["state"] = state
+            state.restoration_done = True
+            state.device_output_done = True
+
+        decode_vardct_frame(r, fh, render_fn=capture, want_qimg=True,
+                            ac_raw=True)
+        st = cap["state"]
+        raw = getattr(st, "ac_raw", None)
+        if raw is None:
+            raise JXLError("batch decode: no raw AC capture")
+        frame_data, per_pass = raw
+        states.append(st)
+        fhs.append(fh)
+        datas.append(frame_data)
+        raws.append(per_pass[0])
+    try:
+        plan = ans_tpu.build_plan(states, datas, raws,
+                                  shared_tables=False)
+        sp = ans_kernel.build_serve_plan(plan)
+    except ans_tpu.AnsTpuUnsupported as e:
+        raise JXLError(f"batch decode: device entropy unsupported: {e}")
+
+    # render-config homogeneity (same rules as prepare_tpu_batch)
+    fd0 = states[0].fd
+    lf0 = fhs[0].loop_filter
+    dm0 = np.stack([states[0].matrices.dequant_matrix(0, c)
+                    for c in range(3)]).astype(np.float32)
+    for st, fh in zip(states, fhs):
+        if st.patches is not None or st.splines is not None \
+                or st.noise_lut is not None or fh.upsampling != 1:
+            raise JXLError("batch decode: post-render features")
+        if getattr(st, "color_factor", 84) != 84 \
+                or getattr(st, "base_x", 0.0) != 0.0 \
+                or getattr(st, "base_b", 1.0) != 1.0:
+            raise JXLError("batch decode: custom color correlation")
+        lf = fh.loop_filter
+        if (lf.epf_iters, lf.gab) != (lf0.epf_iters, lf0.gab) or any(
+                getattr(lf, f) != getattr(lf0, f) for f in (
+                    "epf_pass0_sigma_scale", "epf_pass2_sigma_scale",
+                    "epf_border_sad_mul") if lf.epf_iters):
+            raise JXLError("batch decode: mixed filter config")
+        dm = np.stack([st.matrices.dequant_matrix(0, c)
+                       for c in range(3)]).astype(np.float32)
+        if not np.array_equal(dm, dm0):
+            raise JXLError("batch decode: mixed dequant tables")
+        if (st.x_dm_mult, st.b_dm_mult) != (states[0].x_dm_mult,
+                                            states[0].b_dm_mult):
+            raise JXLError("batch decode: mixed qm scales")
+
+    nby, nbx = fd0.ysize_blocks, fd0.xsize_blocks
+    h, w = nby * 8, nbx * 8
+    B = len(states)
+    qf = np.stack([st.raw_quant_field for st in states]).astype(np.int32)
+    dc = np.stack([st.dc for st in states]).astype(np.float32)
+    ytox = np.stack([st.ytox_map for st in states]).astype(np.int32)
+    ytob = np.stack([st.ytob_map for st in states]).astype(np.int32)
+    igs = np.array([st.quantizer.inv_global_scale for st in states],
+                   dtype=np.float32)
+    xdm = np.float32(states[0].x_dm_mult)
+    bdm = np.float32(states[0].b_dm_mult)
+    if lf0.epf_iters > 0:
+        isp_blk = np.stack([
+            compute_sigma(fh.loop_filter, st.quantizer.global_scale_float,
+                          st.raw_quant_field, st.epf_sharpness)
+            .astype(np.float32)
+            for st, fh in zip(states, fhs)])
+        sad = _sad_mul_map(h, w, lf0.epf_border_sad_mul).astype(
+            np.float32)
+    else:
+        isp_blk = np.zeros((B, nby, nbx), dtype=np.float32)
+        sad = np.ones((h, w), dtype=np.float32)
+    gabk = np.stack([gaborish_kernel(getattr(lf0, f"gab_{ch}_weight1"),
+                                     getattr(lf0, f"gab_{ch}_weight2"))
+                     for ch in "xyb"]).astype(np.float32) \
+        if lf0.gab else np.zeros((3, 3, 3), dtype=np.float32)
+    cs = tuple(np.float32(v) for v in lf0.epf_channel_scale)
+    ts = (fd0.ysize, fd0.xsize) if (fd0.ysize, fd0.xsize) != (h, w) \
+        else None
+
+    interpret = jax.default_backend() != "tpu"
+    key = (B, h, w, int(lf0.epf_iters), bool(lf0.gab), ts,
+           float(xdm), float(bdm),
+           float(lf0.epf_pass0_sigma_scale),
+           float(lf0.epf_pass2_sigma_scale),
+           tuple(float(v) for v in cs),
+           sp.alias_rows, sp.zd_rows, sp.las, sp.n_per_sub,
+           sp.max_iters, sp.t_alloc, interpret)
+    prog = _ENTROPY_PROGS.get(key)
+    if prog is None:
+        p0 = np.float32(lf0.epf_pass0_sigma_scale)
+        p2 = np.float32(lf0.epf_pass2_sigma_scale)
+        drive = ans_kernel._driver_fn(
+            sp.alias_rows, sp.zd_rows, sp.las, sp.n_per_sub,
+            sp.max_iters, sp.t_alloc, interpret)
+        place = ans_kernel._placer_fn(sp.B, sp.gy, sp.gx, sp.H, sp.W,
+                                      sp.t_alloc, sp.n_lanes)
+        sad_const = sad
+        ei = int(lf0.epf_iters)
+        use_gab = bool(lf0.gab)
+
+        def one(qi, qfi, dci, xi, bi, gi, ispi, dmi, gki, sadi):
+            return pl.decode_render_image(
+                qi, qfi, dci, xi, bi, dmi, gi, xdm, bdm,
+                gki if use_gab else None, ispi, sadi, cs,
+                ei, to_rgb="u8srgb",
+                pass0_sigma_scale=p0, pass2_sigma_scale=p2,
+                extra_tiles=(), dct8_mask=None, tile_shapes=(),
+                size_passes=(), size_shapes=(), class_map=None,
+                true_size=ts, use_pallas=False)
+
+        def fused(flat_hw, lane_off, regs0, rows0, cfg, kz, nzclu,
+                  zdclu, a1, a2, inv_order, qfx, dcx, xix, bix, gix,
+                  ispx, dmx, gkx):
+            tape, regs, ok, _ = drive(flat_hw, lane_off, regs0, rows0,
+                                      cfg, kz, nzclu, zdclu, a1, a2)
+            qimg = place(tape, inv_order)
+            ispr = jnp.broadcast_to(
+                ispx[:, :, None, :, None],
+                (B, nby, 8, nbx, 8)).reshape(B, h, w)
+            px = jax.vmap(
+                one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None))(
+                qimg, qfx, dcx, xix, bix, gix, ispr, dmx, gkx,
+                jnp.asarray(sad_const))
+            return px, ok
+
+        prog = jax.jit(fused)
+        _ENTROPY_PROGS[key] = prog
+    args = (sp.flat_hw, sp.lane_off, sp.regs0, sp.rows0, sp.lane_cfg,
+            sp.kz, sp.nzclu, sp.zdclu, sp.a1, sp.a2,
+            sp.inv_order.astype(np.int32), qf, dc, ytox, ytob, igs,
+            isp_blk, dm0, gabk)
+    return prog, args, sp
+
+
+def decode_tpu_batch_entropy(streams):
+    """Full device-path batch decode: device rANS entropy + placement +
+    render in one dispatch. Returns (images list, info dict). Falls
+    back to decode_tpu_batch (host entropy) when out of kernel scope,
+    recording the reason in info['fallback']."""
+    from ..base.status import JXLError
+
+    try:
+        prog, args, sp = prepare_tpu_batch_entropy(streams)
+    except JXLError as e:
+        return decode_tpu_batch(streams), {"path": "host_entropy",
+                                           "fallback": str(e)}
+    px, ok = prog(*args)
+    okh = np.asarray(ok).reshape(-1)[:sp.n_lanes]
+    if not okh.all():
+        return decode_tpu_batch(streams), {
+            "path": "host_entropy",
+            "fallback": f"device kernel flagged {int((~okh).sum())} "
+                        "lanes not-ok"}
+    out = np.asarray(px)
+    return [out[i] for i in range(len(streams))], {
+        "path": "device_entropy"}
+
+
 def _qblocks_from_qimg(state):
     """Rebuild the per-block dict from the dense coefficient image so the
     host render path can take over (rare fallback)."""

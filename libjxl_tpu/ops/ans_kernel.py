@@ -1,0 +1,706 @@
+"""Pallas TPU kernel for lockstep rANS AC decode (serving path).
+
+Executes the exact lockstep algorithm of ops/ans_tpu.simulate() on the
+TPU: every AC group is a lane at a fixed (sublane, lane) position of an
+(8, 128) grid, and each kernel step decodes one rANS symbol per live
+lane. The NumPy simulator is the exactness oracle (it in turn matches
+native/vardct_decode.c bit-exactly on real streams); the kernel must
+produce the identical step tape.
+
+Scope (DCT8 serving path — build_serve_plan raises otherwise):
+single pass, rANS only, one histogram set, nqf == 0, all blocks DCT8,
+image dims multiple of 256, shared entropy tables across the batch,
+max 32 bits consumed per symbol. Everything else falls back to the
+host decoder (the caller reports the fallback loudly).
+
+TPU mapping (all shapes fixed by microbenchmarks on this v5e):
+- Lanes can't index private memory along the lane axis, so the bit
+  stream is pulled through a 3-level funnel: XLA gathers a 256-halfword
+  window per lane between kernel calls; inside the kernel a log-barrel
+  extracts a 32-halfword queue (16 packed i32 planes) from the window
+  every 15 steps; each step pulls at most 2 halfwords from the queue
+  via a 15-select ladder into a 48-bit (32+16) bit buffer.
+- Shared tables use the two Mosaic-supported vector gathers:
+  jnp.take_along_axis(tbl, idx, axis=1) on (8, 128) planes, composed
+  over rows with masked selects.
+- The per-group nzeros predictor row is a byte-packed register file:
+  3 channels x 8 planes x 4 bytes = 32 block columns.
+- One i32 tape word per lane per step: bit 30 marks a chain start.
+  Phase 2 (plain XLA) converts the dense tape into qimg coefficient
+  planes with cumsum + batched binary search + one big gather — no
+  scatter (XLA:TPU scatter serializes).
+
+Reference coverage: this replaces dec_group.cc:453-530 DecodeACVarBlock
++ entropy_coder rANS reads for the serving path; the reference has no
+accelerator entropy path (its ~400 MP/s target assumes a many-core
+CPU; this rig has one core, so entropy decode must live on-device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .ans_tpu import (ANS_LOG, ANS_SIGNATURE, MARKER, TAPE_VAL,
+                      AnsTpuUnsupported, K_FREQ_CTX, K_NONZ_CTX,
+                      NONZERO_BUCKETS, ZD_COUNT)
+
+# kernel schedule: one pallas call = N_REBUILD queue rebuilds x F_Q steps
+F_Q = 15           # steps per queue (32 hw; worst case 2 hw/step)
+N_REBUILD = 8
+F_TOT = F_Q * N_REBUILD   # 120 steps per kernel call
+WIN_HW = 256       # window halfwords gathered per lane per call
+WIN_W = WIN_HW // 2       # packed i32 words
+
+# register planes (i32 (8,128) each)
+R_ST, R_BLO, R_BHI, R_CNT, R_WPOS, R_WBASE, R_CHAIN, R_MODE, R_K, \
+    R_REM, R_PREV, R_J, R_BX, R_BY, R_CORRUPT, R_DONE = range(16)
+NREG = 16
+C_NCH, C_BW, C_TSLOT = 0, 1, 2    # lane_cfg planes
+
+_MASK32 = np.uint32(0xFFFFFFFF)
+
+
+class ServePlan:
+    """Device-ready arrays for the DCT8 serving kernel."""
+    __slots__ = (
+        "plan", "flat_hw", "lane_off", "regs0", "rows0", "lane_cfg",
+        "kz", "nzclu", "zdclu", "a1", "a2", "las", "alias_rows",
+        "zd_rows", "n_per_sub", "max_iters", "t_alloc", "inv_order",
+        "B", "gy", "gx", "H", "W", "n_lanes",
+    )
+
+
+def _tile8(row128):
+    """(128,) -> (8, 128) broadcast plane."""
+    return np.broadcast_to(np.asarray(row128, np.int32)[None, :],
+                           (8, 128)).copy()
+
+
+def build_serve_plan(plan):
+    """Pack a DecodePlan (ops/ans_tpu.build_plan) into device arrays for
+    the Pallas kernel. Raises AnsTpuUnsupported outside kernel scope."""
+    from ..vardct import ac_strategy as acs
+
+    states = plan.states
+    if plan.max_bits_per_sym > 32:
+        raise AnsTpuUnsupported("symbol needs > 32 bits")
+    for st in states:
+        if not (st.strategy == 0).all():
+            raise AnsTpuUnsupported("non-DCT8 strategy in frame")
+        if len(st.block_ctx_map.qf_thresholds) != 0:
+            raise AnsTpuUnsupported("quant-field block contexts")
+        fd = st.fd
+        if fd.xsize_blocks % (fd.group_dim // 8) or \
+                fd.ysize_blocks % (fd.group_dim // 8):
+            raise AnsTpuUnsupported("image dims not multiple of group")
+        if fd.group_dim != 256:
+            raise AnsTpuUnsupported("non-256 group dim")
+    g0 = states[0]
+    if any(s.fd.xsize_blocks != g0.fd.xsize_blocks
+           or s.fd.ysize_blocks != g0.fd.ysize_blocks for s in states):
+        raise AnsTpuUnsupported("mixed geometry batch")
+
+    sp = ServePlan()
+    sp.plan = plan
+    L = plan.n_lanes
+    sp.n_lanes = L
+    sp.B = len(states)
+    fd = g0.fd
+    gdim_bl = fd.group_dim // 8
+    sp.gy, sp.gx = fd.ysize_groups, fd.xsize_groups
+    sp.H, sp.W = fd.ysize_blocks * 8, fd.xsize_blocks * 8
+
+    # ---- flat stream buffer (u16 halfwords), 256-hw zero slack per lane
+    nhw = plan.stream_nhw[:L]
+    offs = np.zeros(L + 1, np.int64)
+    offs[1:] = np.cumsum(nhw + WIN_HW)
+    total = int(offs[-1])
+    flat = np.zeros(total, np.uint16)
+    for i in range(L):
+        flat[offs[i]:offs[i] + nhw[i]] = \
+            plan.streams_hw[i, :nhw[i]].astype(np.uint16)
+    sp.flat_hw = flat
+    lane_off = np.zeros(1024, np.int32)
+    lane_off[:L] = offs[:L]
+
+    # ---- initial registers
+    regs0 = np.zeros((NREG, 1024), np.int32)
+    hw0 = flat[np.minimum(offs[:L], total - 1)].astype(np.uint32)
+    hw1 = flat[np.minimum(offs[:L] + 1, total - 1)].astype(np.uint32)
+    regs0[R_ST, :L] = (hw0 | (hw1 << 16)).astype(np.int32)
+    nch = plan.n_chains[:L]
+    regs0[R_DONE, :L] = (nch == 0).astype(np.int32)
+    regs0[R_DONE, L:] = 1
+    sp.regs0 = regs0.reshape(NREG, 8, 128)
+    sp.rows0 = np.zeros((24, 8, 128), np.int32)
+
+    # awp starts past the 32-bit state init
+    sp.lane_off = lane_off + np.where(
+        np.arange(1024) < L, 2, 0).astype(np.int32)
+
+    # ---- per-sublane table sets: each sublane (row of the 8x128 lane
+    # grid) holds lanes of few distinct images; every gather plane's
+    # sublane s carries the tables of sublane s's own images, addressed
+    # by a per-lane table slot. This is what lets a batch of DISTINCT
+    # streams (distinct histograms) decode in one lockstep kernel.
+    lane_img_pad = np.full(1024, -1, np.int64)
+    lane_img_pad[:L] = plan.lane_img[:L]
+    subsets = []
+    tblslot = np.zeros(1024, np.int32)
+    for s in range(8):
+        seg = lane_img_pad[s * 128:(s + 1) * 128]
+        imgs = []
+        for i, v in enumerate(seg):
+            if v < 0:
+                continue
+            if not imgs or imgs[-1] != v:
+                if v in imgs:
+                    raise AnsTpuUnsupported(
+                        "non-contiguous lane/image layout")
+                imgs.append(int(v))
+            tblslot[s * 128 + i] = len(imgs) - 1
+        subsets.append(imgs)
+    n_per_sub = max(1, max(len(x) for x in subsets))
+    sp.n_per_sub = n_per_sub
+
+    cfg = np.zeros((3, 1024), np.int32)
+    cfg[C_NCH, :L] = nch
+    for i in range(L):
+        st = states[plan.lane_img[i]]
+        bw = min(st.fd.xsize_blocks - plan.lane_gx[i] * gdim_bl, gdim_bl)
+        cfg[C_BW, i] = bw
+    cfg[C_TSLOT] = tblslot
+    sp.lane_cfg = cfg.reshape(3, 8, 128)
+
+    # ---- shared format-constant table
+    kz = np.zeros(128, np.int32)
+    kz[:64] = K_NONZ_CTX.copy()
+    kz[0] = 0                       # sentinel index, never a live ctx
+    kz[64:128] = K_FREQ_CTX
+    kz[64] = 0
+    sp.kz = _tile8(kz)
+
+    # ---- per-image cluster LUTs (bc and num_ctxs folded in per j)
+    from .ans_tpu import _bctx_lut_np
+    B = len(states)
+    nzclu_img = np.zeros((B, 128), np.int32)
+    zrows_per = -(-((3 * ZD_COUNT + 3) // 4) // 128)  # bytes->words->rows
+    zdclu_img = np.zeros((B, zrows_per, 128), np.int32)
+    for si, st in enumerate(states):
+        cm = np.asarray(st.ac_context_map[0], np.int64)
+        num_ctxs = st.block_ctx_map.num_ctxs
+        zd_base = num_ctxs * NONZERO_BUCKETS
+        lut, _ = _bctx_lut_np(st)
+        bc_j = [int(lut[0, 0, 0]), int(lut[1, 0, 0]), int(lut[2, 0, 0])]
+        row = np.zeros(128, np.int64)
+        for j in range(3):
+            for nzb in range(NONZERO_BUCKETS):
+                row[j * NONZERO_BUCKETS + nzb] = \
+                    cm[nzb * num_ctxs + bc_j[j]]
+        nzclu_img[si] = row.astype(np.int32)
+        zd = np.zeros(3 * ZD_COUNT, np.uint8)
+        for j in range(3):
+            for z in range(ZD_COUNT):
+                zd[j * ZD_COUNT + z] = \
+                    cm[zd_base + ZD_COUNT * bc_j[j] + z]
+        buf = np.zeros(zrows_per * 128 * 4, np.uint8)
+        buf[:len(zd)] = zd
+        zdclu_img[si] = buf.view("<u4").view(np.int32).reshape(
+            zrows_per, 128)
+
+    def pack_by_sublane(per_img, rows_per):
+        """per_img: (B, rows_per, 128) -> (n_per_sub*rows_per, 8, 128)
+        with sublane s's slot t holding image subsets[s][t]'s rows."""
+        out = np.zeros((n_per_sub * rows_per, 8, 128), np.int32)
+        for s in range(8):
+            for t, img in enumerate(subsets[s]):
+                out[t * rows_per:(t + 1) * rows_per, s, :] = \
+                    per_img[img]
+        return out
+
+    sp.nzclu = pack_by_sublane(nzclu_img[:, None, :], 1)
+    sp.zdclu = pack_by_sublane(zdclu_img, zrows_per)
+    sp.zd_rows = zrows_per
+    rpi = plan.alias_rows
+    a1_img = np.stack(plan.alias_w1_list)        # (B, rpi, 128)
+    a2_img = np.stack(plan.alias_w2_list)
+    sp.a1 = pack_by_sublane(a1_img, rpi)
+    sp.a2 = pack_by_sublane(a2_img, rpi)
+    sp.alias_rows = rpi
+    sp.las = plan.las
+
+    sp.max_iters = -(-plan.max_steps // F_TOT)
+    sp.t_alloc = sp.max_iters * F_TOT
+
+    # phase-2 inverse coefficient orders per (image, channel): inv[b,
+    # ci, p] = chain step k whose coefficient lands at raster pos p
+    sp.inv_order = np.stack([_dct8_orders(plan, si)
+                             for si in range(B)])
+    return sp
+
+
+def _dct8_orders(plan, si):
+    """(3, 64) inverse order: raster pos -> chain step (0 = DC, unset)."""
+    from ..vardct import ac_strategy as acs
+
+    inv = np.zeros((3, 64), np.int64)
+    for ci in range(3):
+        order = plan.orders[si].get((0, ci))
+        if order is None:
+            order = acs.natural_coeff_order(0)
+        order = np.asarray(order, np.int64)
+        for kk in range(1, 64):
+            inv[ci, order[kk]] = kk
+    return inv
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+def _srl(x, n):
+    import jax
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _make_kernel(alias_rows, zd_rows, las, n_per_sub):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    les = ANS_LOG - las
+
+    def kernel(win_ref, kz_ref, nzclu_ref, zdclu_ref, a1_ref, a2_ref,
+               cfg_ref, regs_in, rows_in, tape_ref, regs_ref, rows_ref,
+               queue_ref):
+        regs_ref[:] = regs_in[:]
+        rows_ref[:] = rows_in[:]
+        zero = jnp.zeros((8, 128), jnp.int32)
+        regs_ref[R_WPOS] = zero
+        regs_ref[R_WBASE] = zero
+        kz = kz_ref[:]
+        nch = cfg_ref[C_NCH]
+        bw = cfg_ref[C_BW]
+        tslot = cfg_ref[C_TSLOT]
+
+        def rebuild_queue():
+            """Extract 32 halfwords at per-lane offset wpos from the
+            256-hw window into queue_ref (16 packed words)."""
+            wpos = regs_ref[R_WPOS]
+            hb = _srl(wpos, 1)
+            cur = [win_ref[i] for i in range(WIN_W)]
+            for bit in (64, 32, 16, 8, 4, 2, 1):
+                take = (hb & bit) != 0
+                need = 17 + (bit - 1)
+                nxt = []
+                for i in range(min(need, len(cur))):
+                    hi = cur[i + bit] if i + bit < len(cur) else zero
+                    nxt.append(jnp.where(take, hi, cur[i]))
+                cur = nxt
+            odd = (wpos & 1) == 1
+            for i in range(16):
+                lo = _srl(cur[i], 16) | (cur[i + 1] << 16)
+                queue_ref[i] = jnp.where(odd, lo, cur[i])
+            regs_ref[R_WBASE] = wpos
+
+        def pull16(need):
+            """Lanes in `need` pull one halfword from the queue into the
+            bit buffer. Caller guarantees cnt <= 31 for those lanes."""
+            qidx = regs_ref[R_WPOS] - regs_ref[R_WBASE]
+            widx = _srl(qidx, 1)
+            v = queue_ref[0]
+            for i in range(1, 16):
+                v = jnp.where(widx == i, queue_ref[i], v)
+            hw = jnp.where((qidx & 1) == 1, _srl(v, 16), v) & 0xFFFF
+            cnt = regs_ref[R_CNT]
+            regs_ref[R_BLO] = regs_ref[R_BLO] | jnp.where(
+                need, hw << cnt, 0)
+            spill = _srl(hw, jnp.minimum(32 - cnt, 31))
+            regs_ref[R_BHI] = regs_ref[R_BHI] | jnp.where(need, spill, 0)
+            regs_ref[R_CNT] = cnt + jnp.where(need, 16, 0)
+            regs_ref[R_WPOS] = regs_ref[R_WPOS] + jnp.where(need, 1, 0)
+
+        def read_bits(n):
+            """Read/consume n (per-lane, 0..21) bits; returns values."""
+            blo = regs_ref[R_BLO]
+            bhi = regs_ref[R_BHI]
+            out = blo & ((1 << n) - 1)
+            hi_in = jnp.where(n > 0, bhi << (32 - jnp.maximum(n, 1)), 0)
+            regs_ref[R_BLO] = _srl(blo, n) | hi_in
+            regs_ref[R_BHI] = _srl(bhi, n)
+            regs_ref[R_CNT] = regs_ref[R_CNT] - n
+            return out
+
+        def gather(tbl, idx):
+            return jnp.take_along_axis(tbl, idx, axis=1)
+
+        def step(t_out):
+            done = regs_ref[R_DONE]
+            corrupt = regs_ref[R_CORRUPT]
+            act = (done == 0) & (corrupt == 0)
+            # refill to >= 32 bits (2 masked pulls)
+            pull16(act & (regs_ref[R_CNT] <= 31))
+            pull16(act & (regs_ref[R_CNT] <= 31))
+
+            mode = regs_ref[R_MODE]
+            is_nz = act & (mode == 0)
+            in_ch = act & (mode == 1)
+            j = regs_ref[R_J]
+            bx = regs_ref[R_BX]
+            by = regs_ref[R_BY]
+
+            # ---- nzeros predictor from the byte-packed row file
+            woff = _srl(bx, 2)
+            bsh = (bx & 3) * 8
+            bxm = jnp.maximum(bx - 1, 0)
+            woffm = _srl(bxm, 2)
+            bshm = (bxm & 3) * 8
+            top_w = zero
+            left_w = zero
+            for b in range(24):
+                jb, wb = b // 8, b % 8
+                plane = rows_ref[b]
+                mj = j == jb
+                top_w = jnp.where(mj & (woff == wb), plane, top_w)
+                left_w = jnp.where(mj & (woffm == wb), plane, left_w)
+            top = _srl(top_w, bsh) & 0xFF
+            left = _srl(left_w, bshm) & 0xFF
+            first_row = by == 0
+            first_col = bx == 0
+            pred = jnp.where(
+                first_col,
+                jnp.where(first_row, 32, top),
+                jnp.where(first_row, left, _srl(top + left + 1, 1)))
+            pred = jnp.minimum(pred, 64)
+            nzb = jnp.where(pred < 8, pred, 4 + _srl(pred, 1))
+            nz_idx = j * NONZERO_BUCKETS + nzb
+            cl_nz = zero
+            for t in range(n_per_sub):
+                g = gather(nzclu_ref[t], nz_idx)
+                cl_nz = jnp.where(tslot == t, g, cl_nz) if t else g
+
+            # ---- zero-density context (DCT8: nzl=remaining, kf=k)
+            rem = regs_ref[R_REM]
+            kreg = regs_ref[R_K]
+            kn = gather(kz, jnp.minimum(rem, 63))
+            kf = gather(kz, 64 + jnp.minimum(kreg, 63))
+            zctx = (kn + kf) * 2 + regs_ref[R_PREV]
+            bad_z = in_ch & (zctx >= ZD_COUNT)
+            corrupt = corrupt | bad_z
+            in_ch = in_ch & ~bad_z
+            act = is_nz | in_ch
+            zidx = jnp.clip(j * ZD_COUNT + zctx, 0, 3 * ZD_COUNT - 1)
+            widx = _srl(zidx, 2)
+            zrow = tslot * zd_rows + _srl(widx, 7)
+            zlane = widx & 127
+            zw = zero
+            for r in range(n_per_sub * zd_rows):
+                g = gather(zdclu_ref[r], zlane)
+                zw = jnp.where(zrow == r, g, zw) if r else g
+            cl_zd = _srl(zw, (zidx & 3) * 8) & 0xFF
+            cluster = jnp.where(is_nz, cl_nz, cl_zd)
+
+            # ---- rANS symbol via alias table
+            st = regs_ref[R_ST]
+            res = st & 0xFFF
+            i_b = _srl(res, les)
+            pos = res & ((1 << les) - 1)
+            ai = jnp.clip((cluster << las) | i_b,
+                          0, alias_rows * 128 - 1)
+            arow = tslot * alias_rows + _srl(ai, 7)
+            alane = ai & 127
+            w1 = zero
+            w2 = zero
+            for r in range(n_per_sub * alias_rows):
+                m = arow == r
+                w1 = jnp.where(m, gather(a1_ref[r], alane), w1)
+                w2 = jnp.where(m, gather(a2_ref[r], alane), w2)
+            cutoff = w1 & 255
+            right = _srl(w1, 8) & 63
+            freq0 = _srl(w1, 14) & 0x1FFF
+            se = _srl(w1, 27) & 7
+            msb = _srl(w1, 30) & 3
+            freq1 = w2 & 0x1FFF
+            off1 = _srl(w2, 13) & 0xFFF
+            lsb = _srl(w2, 25) & 3
+            ge = pos >= cutoff
+            sym = jnp.where(ge, right, i_b)
+            off = jnp.where(ge, off1 + pos, pos)
+            freq = jnp.where(ge, freq1, freq0)
+            nst = freq * _srl(st, ANS_LOG) + off      # i32 wrap == u32
+            st = jnp.where(act, nst, st)
+            renorm = act & (_srl(st, 16) == 0)
+            b16 = read_bits(jnp.where(renorm, 16, 0))
+            st = jnp.where(renorm, (st << 16) | b16, st)
+            regs_ref[R_ST] = st
+
+            # ---- hybrid uint
+            split = 1 << se
+            small = sym < split
+            ml = msb + lsb
+            nbits = jnp.where(small, 0,
+                              se - ml + ((sym - split) >> ml))
+            nbits = jnp.maximum(nbits, 0)
+            raw = read_bits(jnp.where(act & ~small, nbits, 0))
+            low = sym & ((1 << lsb) - 1)
+            tok2 = _srl(sym, lsb)
+            val = (((((1 << msb) | (tok2 & ((1 << msb) - 1)))
+                     << nbits) | raw) << lsb) | low
+            u = jnp.where(small, sym, val)
+
+            # ---- tape
+            uv = jnp.minimum(u, TAPE_VAL)
+            tp = jnp.where(is_nz, MARKER | uv, uv)
+            tape_ref[pl.ds(t_out, 1)] = jnp.where(act, tp, 0)[None]
+
+            # ---- nzeros step
+            bad_nz = is_nz & (u > 63)
+            corrupt = corrupt | bad_nz
+            is_ok = is_nz & ~bad_nz
+            merged_any = jnp.where(is_ok, u, 0)
+            for b in range(24):
+                jb, wb = b // 8, b % 8
+                m = is_ok & (j == jb) & (woff == wb)
+                old = rows_ref[b]
+                merged = (old & ~(0xFF << bsh)) | (merged_any << bsh)
+                rows_ref[b] = jnp.where(m, merged, old)
+            prev = jnp.where(is_ok, jnp.where(u > 4, 0, 1),
+                             regs_ref[R_PREV])
+            rem = jnp.where(is_ok, u, rem)
+            kreg = jnp.where(is_ok, 1, kreg)
+            empty = is_ok & (u == 0)
+            mode = jnp.where(is_ok & ~empty, 1, mode)
+
+            # ---- coefficient step
+            bad_u = in_ch & (u >= (1 << 27))
+            corrupt = corrupt | bad_u
+            in_ok = in_ch & ~bad_u
+            nzf = jnp.where(in_ok & (u != 0), 1, 0)
+            prev = jnp.where(in_ok, nzf, prev)
+            rem = rem - nzf
+            kreg = kreg + jnp.where(in_ok, 1, 0)
+            ch_end = in_ok & (rem == 0)
+            ch_over = in_ok & (kreg >= 64) & (rem > 0)
+            corrupt = corrupt | ch_over
+
+            # ---- chain advance (DCT8 raster: j cycle, bx, by)
+            adv = empty | ch_end
+            advi = jnp.where(adv, 1, 0)
+            chain = regs_ref[R_CHAIN] + advi
+            mode = jnp.where(adv, 0, mode)
+            j2 = j + advi
+            wrapj = j2 == 3
+            j2 = jnp.where(wrapj, 0, j2)
+            bx2 = bx + jnp.where(wrapj, 1, 0)
+            wrapx = bx2 == bw
+            bx2 = jnp.where(wrapx, 0, bx2)
+            by2 = by + jnp.where(wrapx, 1, 0)
+            regs_ref[R_CHAIN] = chain
+            regs_ref[R_MODE] = mode
+            regs_ref[R_K] = kreg
+            regs_ref[R_REM] = rem
+            regs_ref[R_PREV] = prev
+            regs_ref[R_J] = j2
+            regs_ref[R_BX] = bx2
+            regs_ref[R_BY] = by2
+            regs_ref[R_CORRUPT] = corrupt
+            regs_ref[R_DONE] = jnp.where(adv & (chain >= nch), 1, done)
+
+        def body(s, _):
+            @pl.when(s % F_Q == 0)
+            def _():
+                rebuild_queue()
+
+            step(s)
+            return 0
+
+        jax.lax.fori_loop(0, F_TOT, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _driver_fn(alias_rows, zd_rows, las, n_per_sub, max_iters, t_alloc,
+               interpret):
+    """Unjitted full-decode driver: XLA while loop around the kernel.
+    Composable inside larger jitted programs (decode+render fusion)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _make_kernel(alias_rows, zd_rows, las, n_per_sub)
+
+    def call_kernel(win, kz, nzclu, zdclu, a1, a2, cfg, regs, rows):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((F_TOT, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((NREG, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((24, 8, 128), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+            scratch_shapes=[pltpu.VMEM((16, 8, 128), jnp.int32)],
+            input_output_aliases={7: 1, 8: 2},
+            interpret=bool(interpret),
+        )(win, kz, nzclu, zdclu, a1, a2, cfg, regs, rows)
+
+    def run(flat_hw, lane_off, regs0, rows0, cfg, kz, nzclu, zdclu,
+            a1, a2):
+        total = flat_hw.shape[0]
+        tape0 = jnp.zeros((t_alloc, 8, 128), jnp.int32)
+        awp0 = lane_off.reshape(8, 128)
+
+        def cond(c):
+            it, regs, rows, tape, awp = c
+            fin = (regs[R_DONE] != 0) | (regs[R_CORRUPT] != 0)
+            return (it < max_iters) & ~jnp.all(fin)
+
+        def body(c):
+            it, regs, rows, tape, awp = c
+            idx = awp.reshape(1024, 1) + \
+                jax.lax.broadcasted_iota(jnp.int32, (1, WIN_HW), 1)
+            idx = jnp.minimum(idx, total - 1)
+            win = jnp.take(flat_hw, idx, axis=0).astype(jnp.int32)
+            w32 = win[:, 0::2] | (win[:, 1::2] << 16)      # (1024,128)
+            w32 = jnp.transpose(w32.reshape(8, 128, WIN_W), (2, 0, 1))
+            chunk, regs, rows = call_kernel(
+                w32, kz, nzclu, zdclu, a1, a2, cfg, regs, rows)
+            tape = jax.lax.dynamic_update_slice(
+                tape, chunk, (it * F_TOT, 0, 0))
+            awp = awp + regs[R_WPOS]
+            return (it + 1, regs, rows, tape, awp)
+
+        it, regs, rows, tape, awp = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), regs0, rows0, tape0, awp0))
+        ok = (regs[R_DONE] != 0) & (regs[R_CORRUPT] == 0) & (
+            (regs[R_ST] == ANS_SIGNATURE) | (cfg[C_NCH] == 0))
+        return tape, regs, ok, it
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _driver(alias_rows, zd_rows, las, n_per_sub, max_iters, t_alloc,
+            interpret):
+    import jax
+
+    return jax.jit(_driver_fn(alias_rows, zd_rows, las, n_per_sub,
+                              max_iters, t_alloc, interpret))
+
+
+def decode_device(sp, interpret=None, max_steps_hint=None):
+    """Run the kernel over a ServePlan. Returns (tape (T,8,128) i32
+    device array, regs, ok (8,128) bool array, iters run).
+
+    max_steps_hint bounds the tape allocation below the structural
+    worst case; if any lane doesn't finish within it, its ok flag is
+    False and the caller retries with the full bound (sp.max_steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    max_iters = sp.max_iters
+    t_alloc = sp.t_alloc
+    if max_steps_hint is not None:
+        max_iters = min(max_iters, -(-int(max_steps_hint) // F_TOT))
+        t_alloc = max_iters * F_TOT
+    run = _driver(sp.alias_rows, sp.zd_rows, sp.las, sp.n_per_sub,
+                  max_iters, t_alloc, bool(interpret))
+    tape, regs, ok, it = run(
+        jnp.asarray(sp.flat_hw), jnp.asarray(sp.lane_off),
+        jnp.asarray(sp.regs0), jnp.asarray(sp.rows0),
+        jnp.asarray(sp.lane_cfg), jnp.asarray(sp.kz),
+        jnp.asarray(sp.nzclu), jnp.asarray(sp.zdclu),
+        jnp.asarray(sp.a1), jnp.asarray(sp.a2))
+    return tape, regs, ok, it
+
+
+# --------------------------------------------------------------------------
+# Phase 2: dense tape -> qimg coefficient planes (plain XLA)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _placer_fn(B, gy, gx, H, W, t_alloc, n_lanes):
+    import jax
+    import jax.numpy as jnp
+
+    gdim = 32                      # blocks per group side (DCT8)
+    C = gdim * gdim * 3            # chains per full lane
+
+    def place(tape, inv_order):
+        T = tape.shape[0]
+        tl = tape.reshape(T, 1024)[:, :n_lanes]       # (T, L)
+        markers = ((tl >> 30) & 1).astype(jnp.int32)
+        cum = jnp.cumsum(markers, axis=0)             # (T, L)
+        cum_f = jnp.transpose(cum).reshape(-1)        # (L*T,) lane-major
+        # starts[l, c] = first t with cum[t, l] == c+1 (binary search)
+        q = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, C), 1) + 1
+        lo = jnp.zeros((n_lanes, C), jnp.int32)
+        hi = jnp.full((n_lanes, C), T, jnp.int32)
+        lane_base = (jax.lax.broadcasted_iota(
+            jnp.int32, (n_lanes, C), 0) * T)
+
+        def bs(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) >> 1
+            v = jnp.take(cum_f, lane_base + mid, axis=0)
+            less = v < q
+            return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+        nbs = max(1, int(np.ceil(np.log2(max(T, 2)))) + 1)
+        lo, hi = jax.lax.fori_loop(0, nbs, bs, (lo, hi))
+        starts = lo                                    # (L, C)
+
+        # vals[l, c, k] = tape value at starts+k (k = 1..63 coeffs)
+        tl_f = jnp.transpose(tl).reshape(-1)           # lane-major (L*T)
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_lanes, C, 64), 2)
+        idx = lane_base[:, :, None] + \
+            jnp.minimum(starts[:, :, None] + k_iota, T - 1)
+        vals = jnp.take(tl_f, idx, axis=0)             # (L, C, 64)
+        # mask steps belonging to the next chain (its rows differ) and
+        # rows past lane end (zeros already)
+        nxt = jnp.concatenate(
+            [starts[:, 1:], jnp.full((n_lanes, 1), T, jnp.int32)],
+            axis=1)
+        ln = nxt - starts                              # chain step count
+        valid = (k_iota >= 1) & (k_iota < ln[:, :, None])
+        u = jnp.where(valid, vals & TAPE_VAL, 0)
+        coeff = jnp.where((u & 1) == 1, -((u + 1) >> 1), u >> 1)
+
+        # (L, C, 64) -> (B, gy, gx, 32, 32, 3, 64); j->(y,x,b) = ci(1,0,2)
+        c6 = coeff.reshape(B, gy, gx, gdim, gdim, 3, 64)
+        c6 = c6[..., jnp.asarray([1, 0, 2]), :]        # now ci = 0,1,2
+        # order permutation per (image, channel): pos p <- inv[b, ci, p]
+        inv = inv_order[:, None, None, None, None, :, :]
+        perm = jnp.take_along_axis(
+            c6, jnp.broadcast_to(inv, c6.shape).astype(jnp.int32),
+            axis=6)
+        perm = jnp.where(inv == 0, 0, perm)
+        p8 = perm.reshape(B, gy, gx, gdim, gdim, 3, 8, 8)
+        # -> (B, 3, gy, gdim(by), 8(ry), gx, gdim(bx), 8(rx))
+        p8 = jnp.transpose(p8, (0, 5, 1, 3, 6, 2, 4, 7))
+        return p8.reshape(B, 3, H, W)
+
+    return place
+
+
+@functools.lru_cache(maxsize=16)
+def _placer(B, gy, gx, H, W, t_alloc, n_lanes):
+    import jax
+
+    return jax.jit(_placer_fn(B, gy, gx, H, W, t_alloc, n_lanes))
+
+
+def place_device(sp, tape):
+    """Phase 2 on device: tape -> (B, 3, H, W) i32 qimg batch."""
+    import jax.numpy as jnp
+
+    place = _placer(sp.B, sp.gy, sp.gx, sp.H, sp.W,
+                    int(tape.shape[0]), sp.n_lanes)
+    return place(tape, jnp.asarray(sp.inv_order, jnp.int32))

@@ -84,6 +84,7 @@ class DecodePlan:
         "alias_rows", "num_ctxs", "max_bits_per_sym",
         "lane_img", "lane_gy", "lane_gx", "states", "chain_block",
         "chain_ci", "chain_sizes", "imgs_geom", "orders",
+        "alias_w1_list", "alias_w2_list", "cm_list", "num_ctxs_list",
     )
 
 
@@ -149,11 +150,16 @@ def _pack_context_map(cmap):
     return buf.view("<u4").astype(np.uint32).reshape(rows, 128), rows
 
 
-def build_plan(states, datas, raw_list):
+def build_plan(states, datas, raw_list, shared_tables=True):
     """states: VarDCTState list (headers+DC+meta decoded, AC captured raw);
     datas: frame section bytes per state; raw_list: (offs, sizes) of the
     single pass's AC group sections per state. Raises AnsTpuUnsupported
-    for streams outside kernel scope."""
+    for streams outside kernel scope.
+
+    shared_tables=True requires identical entropy tables across the
+    batch (single packed table set); False keeps per-image table sets
+    (plan.alias_w1_list/... + per-lane bases) — the Pallas kernel packs
+    those per sublane (ans_kernel.build_serve_plan)."""
     from ..vardct import ac_strategy as acs
 
     st0 = states[0]
@@ -168,31 +174,63 @@ def build_plan(states, datas, raw_list):
             raise AnsTpuUnsupported("multiple histogram sets")
         if st.fh.passes.num_passes != 1:
             raise AnsTpuUnsupported("progressive passes")
+        if st.block_ctx_map.num_dc_ctxs != 1:
+            raise AnsTpuUnsupported("dc-conditioned block contexts")
         c = st.ac_code[0]
         if c.lz77.enabled or c.use_prefix_code:
             raise AnsTpuUnsupported("lz77/prefix AC stream")
 
     plan = DecodePlan()
-    # per-frame tables must match across the batch for shared lookups
-    cm0 = states[0].ac_context_map[0]
-    w1, w2, las, max_nbits = _pack_alias_tables(code, cm0)
-    for st in states[1:]:
-        wx1, wx2, lasx, nbx = _pack_alias_tables(st.ac_code[0],
-                                                 st.ac_context_map[0])
-        if lasx != las or len(wx1) != len(w1) \
-                or not np.array_equal(wx1, w1) \
-                or not np.array_equal(wx2, w2) \
-                or not np.array_equal(np.asarray(st.ac_context_map[0]),
-                                      np.asarray(cm0)):
-            raise AnsTpuUnsupported("mixed entropy tables in batch")
-        max_nbits = max(max_nbits, nbx)
-    cm_packed, cm_rows = _pack_context_map(cm0)
-    plan.cm_packed, plan.cm_rows = cm_packed, cm_rows
-    plan.alias_w1 = w1.view(np.int32).reshape(-1, 128)
-    plan.alias_w2 = w2.view(np.int32).reshape(-1, 128)
-    plan.alias_rows = plan.alias_w1.shape[0]
+    packed = [_pack_alias_tables(st.ac_code[0], st.ac_context_map[0])
+              for st in states]
+    las = packed[0][2]
+    max_nbits = max(p[3] for p in packed)
+    if any(p[2] != las for p in packed):
+        raise AnsTpuUnsupported("mixed log_alpha_size in batch")
+    if shared_tables:
+        w1, w2 = packed[0][0], packed[0][1]
+        cm0 = states[0].ac_context_map[0]
+        for si, st in enumerate(states[1:], 1):
+            if len(packed[si][0]) != len(w1) \
+                    or not np.array_equal(packed[si][0], w1) \
+                    or not np.array_equal(packed[si][1], w2) \
+                    or not np.array_equal(
+                        np.asarray(st.ac_context_map[0]),
+                        np.asarray(cm0)):
+                raise AnsTpuUnsupported("mixed entropy tables in batch")
+        cm_packed, cm_rows = _pack_context_map(cm0)
+        plan.cm_packed, plan.cm_rows = cm_packed, cm_rows
+        plan.alias_w1 = w1.view(np.int32).reshape(-1, 128)
+        plan.alias_w2 = w2.view(np.int32).reshape(-1, 128)
+        plan.alias_rows = plan.alias_w1.shape[0]
+        plan.alias_w1_list = [plan.alias_w1] * len(states)
+        plan.alias_w2_list = [plan.alias_w2] * len(states)
+        plan.cm_list = [np.asarray(states[0].ac_context_map[0], np.uint8)
+                        ] * len(states)
+    else:
+        # pad every image's alias table to the batch-max row count so
+        # per-image row strides match in the kernel's packed planes
+        max_rows = max(len(p[0]) // 128 for p in packed)
+        w1l, w2l = [], []
+        for p in packed:
+            w1 = p[0].view(np.int32).reshape(-1, 128)
+            w2 = p[1].view(np.int32).reshape(-1, 128)
+            if w1.shape[0] < max_rows:
+                pad = np.zeros((max_rows - w1.shape[0], 128), np.int32)
+                w1 = np.concatenate([w1, pad])
+                w2 = np.concatenate([w2, pad])
+            w1l.append(w1)
+            w2l.append(w2)
+        plan.alias_w1_list, plan.alias_w2_list = w1l, w2l
+        plan.alias_w1, plan.alias_w2 = w1l[0], w2l[0]
+        plan.alias_rows = max_rows
+        plan.cm_list = [np.asarray(st.ac_context_map[0], np.uint8)
+                        for st in states]
+        cm_packed, cm_rows = _pack_context_map(plan.cm_list[0])
+        plan.cm_packed, plan.cm_rows = cm_packed, cm_rows
     plan.las = las
     plan.num_ctxs = bcm.num_ctxs
+    plan.num_ctxs_list = [st.block_ctx_map.num_ctxs for st in states]
     plan.max_bits_per_sym = 16 + max_nbits
     plan.states = states
     plan.orders = [st.orders[0] if st.orders else {} for st in states]
@@ -384,15 +422,23 @@ def simulate(plan, max_supersteps=None, trace_lane=None, trace_out=None):
     init = read_bits(live, n32)
     st[live] = init[live].astype(np.uint32)
 
-    cm_flat = np.zeros(plan.cm_rows * 512, np.int64)
-    cmb = plan.cm_packed.astype(np.uint32).reshape(-1)
-    for i in range(4):
-        cm_flat[i::4] = (cmb >> (8 * i)) & 0xFF
-    a1 = plan.alias_w1.view(np.uint32).reshape(-1).astype(np.int64)
-    a2 = plan.alias_w2.view(np.uint32).reshape(-1).astype(np.int64)
+    # stacked per-image tables + per-lane base offsets (identical
+    # pointers when shared_tables packed one set)
+    lane_imgv = plan.lane_img[:L].astype(np.int64)
+    cm_offs = np.zeros(len(plan.cm_list) + 1, np.int64)
+    cm_offs[1:] = np.cumsum([len(c) for c in plan.cm_list])
+    cm_all = np.concatenate([np.asarray(c, np.int64)
+                             for c in plan.cm_list])
+    cm_base = cm_offs[lane_imgv]
+    a_stride = plan.alias_rows * 128
+    a1 = np.concatenate([w.view(np.uint32).reshape(-1).astype(np.int64)
+                         for w in plan.alias_w1_list])
+    a2 = np.concatenate([w.view(np.uint32).reshape(-1).astype(np.int64)
+                         for w in plan.alias_w2_list])
+    a_base = lane_imgv * a_stride
     las = plan.las
     les = ANS_LOG - las
-    num_ctxs = plan.num_ctxs
+    num_ctxs = np.asarray(plan.num_ctxs_list, np.int64)[lane_imgv]
     zd_base = num_ctxs * NONZERO_BUCKETS
 
     T = (max_supersteps or plan.n_supersteps_hint + 2) * F
@@ -427,8 +473,8 @@ def simulate(plan, max_supersteps=None, trace_lane=None, trace_out=None):
         in_ch &= ~bad_z
         act = is_nz | in_ch
         ctx = np.where(is_nz, ctx_nz, zd_base + ZD_COUNT * bc + zctx)
-        ctx = np.clip(ctx, 0, len(cm_flat) - 1)
-        cluster = cm_flat[ctx]
+        ctx = np.clip(cm_base + ctx, 0, len(cm_all) - 1)
+        cluster = cm_all[ctx]
         if trace_lane is not None and trace_out is not None:
             tl = trace_lane
             trace_out.append(dict(
@@ -441,7 +487,7 @@ def simulate(plan, max_supersteps=None, trace_lane=None, trace_out=None):
         res = (st & 0xFFF).astype(np.int64)
         i_b = res >> les
         pos = res & ((1 << les) - 1)
-        ai = np.clip((cluster << las) | i_b, 0, len(a1) - 1)
+        ai = np.clip(a_base + ((cluster << las) | i_b), 0, len(a1) - 1)
         w1 = a1[ai]
         w2 = a2[ai]
         cutoff = w1 & 255
