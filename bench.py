@@ -1,29 +1,39 @@
-"""Benchmark: real-codestream VarDCT decode throughput on one TPU chip.
+"""Benchmark: end-to-end VarDCT decode throughput on one TPU chip.
 
-Round-3 methodology — every reported number is a measured wall clock and
-every image in a dispatch is a DISTINCT real bitstream:
+Round-5 methodology — the HEADLINE (`value`) is end-to-end: batched
+decode of N distinct real bitstreams with EVERYTHING on the clock
+(host rANS entropy decode + argument staging + device dispatch + full
+u8 pixel readback), through the public serving pipeline
+`api/tpu_codec.decode_tpu_pipelined` (host entropy of batch k+1
+overlapped with device render + readback of batch k). This matches
+what the reference clocks for its ~400 MP/s design target — one path,
+nothing excluded (dec_frame.cc:568,716; doc/xl_overview.md:7-9).
 
-1. Synthesize B distinct 2048x2048 photo-like images (independent noise
-   fields) and encode each at d1/e3 with this package's encoder (real
-   VarDCT streams: adaptive quant field on device, CfL, gaborish+EPF
-   signaled).
-2. Host entropy decode of each real bitstream (native/vardct_decode.c;
-   per-AC-group pthread pool when cores are available). `entropy_mp_s`
-   is the measured single-stream rate on this machine's cores.
-3. Device render: the serving-path batched program
-   (api/tpu_codec.prepare_tpu_batch — dequant + IDCT + Gaborish + EPF +
-   sRGB-u8 write vmapped over the batch axis). One dispatch renders the
-   B distinct images; the timed program reduces each image to a
-   checksum on device (the dev-rig tunnel makes full-image readback a
-   measurement artifact). `value` = B * MP / median dispatch seconds.
-   B halves automatically if the batched program fails to fit.
+Setup: synthesize N distinct 2048x2048 photo-like images (independent
+noise fields), encode each at d1/e3 with this package's encoder (real
+VarDCT streams: adaptive quant field, CfL, gaborish+EPF signaled).
+All N streams are distinct so no execution cache can fire.
 
-`e2e_mp_s` is the honest unpipelined single-stream rate
-(decode_tpu_batch on one stream: entropy + staging + render + full u8
-readback). `encode_mp_s` is the e3 device-encoder rate on the same
-content. Baseline for vs_baseline: the reference's ~400 MP/s
-multithreaded-CPU decode design target (doc/xl_overview.md:7-9),
-compared against the headline batched device rate.
+Secondary fields (each a measured wall clock on this machine):
+- render_mp_s: device render only, one vmapped dispatch over 16
+  distinct streams, device-side checksum readback (the round-3/4
+  headline, kept for cross-round comparability).
+- entropy_mp_s: host C entropy decode of one stream (pthread pool;
+  this rig exposes ONE core, so this is also the pipeline's ceiling).
+- device_entropy_mp_s: the Pallas lockstep rANS kernel's fused
+  entropy+render path (ops/ans_kernel.py) measured end-to-end on a
+  4-stream batch. Reported so the artifact of record carries the
+  kernel's real rate (see README "device entropy" for its status).
+- e2e_single_mp_s: unpipelined single-stream decode (entropy +
+  staging + render + readback of one image; dominated by per-dispatch
+  latency through the dev-rig tunnel).
+- encode_mp_s: e3 device-encoder rate on the same content.
+
+vs_baseline = value / 400 (the reference's multithreaded-CPU decode
+design target). Path to 400: the pipeline ceiling is the host entropy
+stage, which scales with cores (per-AC-group pthread pool); this rig
+has 1 core at ~39 MP/s, so ~10 cores of entropy — or a device entropy
+kernel at >=400 MP/s — saturate the 366+ MP/s device render stage.
 """
 
 import json
@@ -73,7 +83,7 @@ def main():
         print("bench: accelerator backend unreachable (init timed out)",
               file=sys.stderr, flush=True)
         print(json.dumps({
-            "metric": "vardct_device_decode_pipeline", "value": 0,
+            "metric": "vardct_e2e_decode_pipelined", "value": 0,
             "unit": "MP/s", "vs_baseline": 0.0,
             "error": "accelerator backend init timed out; "
                      "no measurement possible on this run"}))
@@ -85,14 +95,18 @@ def main():
 
     from libjxl_tpu.api import codestream
     from libjxl_tpu.api.codestream import parse_codestream_header
-    from libjxl_tpu.api.tpu_codec import decode_tpu_batch, prepare_tpu_batch
+    from libjxl_tpu.api.tpu_codec import (decode_tpu_batch,
+                                          decode_tpu_pipelined,
+                                          prepare_tpu_batch)
     from libjxl_tpu.io.bits import BitReader
     from libjxl_tpu.io.frame_header import FrameHeader
     from libjxl_tpu.vardct import frame as vf
 
     n = 2048
     mp = n * n / 1e6
-    n_streams = int(os.environ.get("BENCH_STREAMS", "16"))
+    batch = 16
+    n_streams = int(os.environ.get("BENCH_STREAMS", "48"))
+    n_streams = max(batch, (n_streams // batch) * batch)
     print(f"bench: encoding {n_streams} distinct streams...",
           file=sys.stderr, flush=True)
     codestream.encode_lossy(_make_image(n, seed=999), distance=1.0,
@@ -137,8 +151,9 @@ def main():
         times.append(time.time() - t0)
     t_entropy = statistics.median(times)
 
-    # --- batched device render over B DISTINCT real bitstreams
-    B = n_streams
+    # --- device render only (round-3/4 headline, now secondary):
+    # one vmapped dispatch over 16 DISTINCT streams, checksum readback
+    B = batch
     chks = None
     while B >= 1:
         try:
@@ -149,8 +164,9 @@ def main():
 
             @jax.jit
             def chk_prog(*a):
-                # per-image checksum on device: tiny readback through
-                # the dev-rig tunnel instead of B full u8 images
+                # per-image checksum on device: tiny readback, times
+                # ONLY the render stage (readback excluded by design —
+                # the e2e headline above includes it)
                 return prog(*a).astype(jnp.int32).sum(axis=(1, 2, 3))
 
             t0 = time.time()
@@ -171,28 +187,70 @@ def main():
         # the dev rig (block_until_ready does not sync axon arrays)
         np.asarray(chk_prog(*args))
         times.append(time.time() - t0)
-    t_batch = statistics.median(times)
-    device_mp_s = mp * B / t_batch
+    t_render = statistics.median(times)
+    render_mp_s = mp * B / t_render
 
-    # --- honest single-stream end-to-end: entropy + staging + batched
-    # render + full u8 readback, through the public API
+    # --- HEADLINE: pipelined end-to-end over all N distinct streams.
+    # Everything on the clock: entropy + staging + dispatch + full u8
+    # pixel readback. The B=16 render program is compiled by the
+    # render-only stage above; the first pipelined run below is
+    # steady-state work, not compilation.
+    print(f"bench: pipelined e2e over {n_streams} streams...",
+          file=sys.stderr, flush=True)
+    e2e_times = []
+    for _ in range(2):
+        t0 = time.time()
+        outs = decode_tpu_pipelined(streams, batch_size=batch)
+        e2e_times.append(time.time() - t0)
+        print(f"bench: pipelined pass {e2e_times[-1]:.2f}s",
+              file=sys.stderr, flush=True)
+    t_e2e_pipe = min(e2e_times)
+    # correctness guard: full pixels came back, all distinct
+    sums = {int(o.astype(np.int64).sum()) for o in outs}
+    assert len(sums) == n_streams, "pipelined outputs must be distinct"
+    assert outs[0].shape == (n, n, 3) and outs[0].dtype == np.uint8
+    e2e_pipe_mp_s = mp * n_streams / t_e2e_pipe
+
+    # --- unpipelined single-stream end-to-end (public API)
     decode_tpu_batch([streams[0]])  # warm the B=1 program
     t0 = time.time()
     decode_tpu_batch([streams[1 % n_streams]])
-    t_e2e = time.time() - t0
+    t_e2e1 = time.time() - t0
 
-    value = round(device_mp_s, 2)
+    # --- device-entropy (Pallas lockstep rANS) fused path, measured
+    # end-to-end on a 4-stream batch; best-effort (scope-gated)
+    dev_entropy_mp_s = None
+    try:
+        from libjxl_tpu.api.tpu_codec import decode_tpu_batch_entropy
+
+        sub = streams[:4]
+        decode_tpu_batch_entropy(sub)  # warm/compile
+        t0 = time.time()
+        _, info = decode_tpu_batch_entropy(sub)
+        t_dev_ent = time.time() - t0
+        if info.get("path") == "device_entropy":
+            dev_entropy_mp_s = round(mp * len(sub) / t_dev_ent, 2)
+        print(f"bench: device-entropy path {info.get('path')} "
+              f"{t_dev_ent:.2f}s", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: device-entropy measurement skipped "
+              f"({type(e).__name__}: {e})", file=sys.stderr, flush=True)
+
+    value = round(e2e_pipe_mp_s, 2)
     print(json.dumps({
-        "metric": "vardct_device_decode_pipeline",
+        "metric": "vardct_e2e_decode_pipelined",
         "value": value,
         "unit": "MP/s",
         "vs_baseline": round(value / 400.0, 3),
-        "images_per_dispatch": B,
-        "distinct_streams": B,
-        "dispatch_s": round(t_batch, 4),
+        "streams": n_streams,
+        "batch": batch,
+        "pipelined_wall_s": round(t_e2e_pipe, 3),
+        "render_mp_s": round(render_mp_s, 2),
+        "render_dispatch_s": round(t_render, 4),
         "entropy_mp_s": round(mp / t_entropy, 2),
         "entropy_threads": n_threads,
-        "e2e_mp_s": round(mp / t_e2e, 2),
+        "device_entropy_mp_s": dev_entropy_mp_s,
+        "e2e_single_mp_s": round(mp / t_e2e1, 2),
         "encode_mp_s": round(mp / t_enc, 3),
         "checksum": int(chks[0]),
     }))

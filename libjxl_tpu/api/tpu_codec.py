@@ -403,6 +403,63 @@ def decode_tpu_batch(streams, num_threads: int = 0):
     return [out[i] for i in range(len(streams))]
 
 
+def decode_tpu_pipelined(streams, batch_size: int = 16,
+                         num_threads: int = 0):
+    """Pipelined serving decode: host entropy of batch k+1 overlaps the
+    device render + full-pixel readback of batch k.
+
+    The serving path's stages hold disjoint resources — host CPU (rANS
+    entropy decode; native C entered via ctypes, so the GIL is released
+    for the duration), the TPU (the batched render program), and the
+    host<->device link (argument staging + u8 pixel readback). A
+    two-deep pipeline keeps all three busy: the caller's thread
+    entropy-decodes batch k+1 while a single worker thread dispatches
+    and reads back batch k, so steady-state throughput is
+    max(entropy, render + readback) rather than their sum. The
+    reference gets the same overlap from one pool running entropy and
+    render per group (dec_frame.cc:568,716); here the stages live on
+    different processors, so the overlap is an explicit pipeline.
+
+    Returns a list of uint8 (H, W, 3) images in input order. Raises
+    JXLError (like decode_tpu_batch) when any batch falls outside the
+    homogeneous all-DCT8 serving scope — callers fall back to
+    per-stream decode().
+    """
+    import concurrent.futures as cf
+
+    if not streams:
+        return []
+    bs = max(1, int(batch_size))
+    out = [None] * len(streams)
+
+    def drain(p):
+        fut, start, cnt = p
+        px = fut.result()
+        for j in range(cnt):
+            out[start + j] = px[j]
+
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None
+        try:
+            for start in range(0, len(streams), bs):
+                chunk = streams[start:start + bs]
+                # host stage (this thread): entropy decode + staging
+                prog, args = prepare_tpu_batch(chunk,
+                                               num_threads=num_threads)
+                # device stage (worker): dispatch + pixel readback; we
+                # submit BEFORE draining the previous batch so the
+                # worker rolls straight from batch k-1 into batch k
+                job = ex.submit(
+                    lambda p=prog, a=args: np.asarray(p(*a)))
+                if pending is not None:
+                    drain(pending)
+                pending = (job, start, len(chunk))
+        finally:
+            if pending is not None:
+                drain(pending)
+    return out
+
+
 def decode_tpu_batch_sharded(streams, mesh=None, num_threads: int = 0):
     """Multi-chip serving decode: the batched program data-parallel over
     a device mesh (each chip renders batch_size/n_chips images; XLA

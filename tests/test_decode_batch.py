@@ -52,6 +52,35 @@ def test_public_decode_batch_falls_back():
                   - rb[0][:, :, :3].astype(int)).max() <= 1
 
 
+def test_pipelined_matches_batch():
+    """decode_tpu_pipelined (entropy/render overlap, uneven tail batch)
+    produces exactly the pixels of the one-dispatch batch path."""
+    from libjxl_tpu.api.tpu_codec import decode_tpu_pipelined
+
+    streams, refs = _streams(5, h=256, w=192)
+    base = decode_tpu_batch(streams)
+    piped = decode_tpu_pipelined(streams, batch_size=2)
+    assert len(piped) == 5
+    for b, p, ref in zip(base, piped, refs):
+        assert np.array_equal(b, p)
+        assert np.abs(ref[:, :, :3].astype(int)
+                      - p.astype(int)).max() <= 1
+
+
+def test_pipelined_rejects_out_of_scope_batch():
+    a, _ = _streams(2)
+    b, _ = _streams(1, h=128, w=128)
+    from libjxl_tpu.api.tpu_codec import decode_tpu_pipelined
+
+    with pytest.raises(JXLError):
+        # first batch [a0, a1, b0] mixes geometry -> loud failure
+        decode_tpu_pipelined(a + b, batch_size=3)
+    # per-batch homogeneity is enough: mixed geometry ACROSS batches
+    # decodes fine (each batch compiles its own program)
+    outs = decode_tpu_pipelined(a + b, batch_size=2)
+    assert outs[0].shape != outs[2].shape
+
+
 def test_sharded_batch_decode_on_mesh():
     """Data-parallel serving decode over the 8-device virtual mesh."""
     import jax
