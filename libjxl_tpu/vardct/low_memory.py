@@ -267,10 +267,6 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     from .coeff_order import decode_coeff_orders
 
     m = fh.nonserialized_metadata.m
-    if fh.passes.num_passes != 1:
-        raise JXLError("low-memory decode: progressive passes")
-    if fh.upsampling != 1:
-        raise JXLError("low-memory decode: upsampling")
     if fh.color_transform == CT_YCBCR \
             and not fh.chroma_subsampling.is_444():
         raise JXLError("low-memory decode: subsampled YCbCr")
@@ -285,8 +281,9 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     state = VarDCTState(fh, fd, alloc_xyb=False)
     state.num_threads = num_threads
     mstate = ModularFrameState()
+    num_passes = fh.passes.num_passes
 
-    n = num_toc_entries(fd, 1)
+    n = num_toc_entries(fd, num_passes)
     offsets, sizes, total = read_group_offsets(n, r)
     r.jump_to_byte_boundary()
     base = r.total_bits_consumed() // 8
@@ -330,15 +327,16 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
         nbits = (fd.num_groups - 1).bit_length() if fd.num_groups > 1 \
             else 0
         state.num_histograms = 1 + (sr.read_bits(nbits) if nbits else 0)
-        used_orders = u32_read(ORDER_ENC, sr)
-        state.orders.append(decode_coeff_orders(used_orders, sr))
-        num_contexts = (state.num_histograms
-                        * state.block_ctx_map.num_ac_contexts())
-        code, cmap = decode_histograms(sr, num_contexts)
-        state.ac_code.append(code)
-        state.ac_context_map.append(cmap)
+        for _ in range(num_passes):  # per-pass orders + histograms
+            used_orders = u32_read(ORDER_ENC, sr)
+            state.orders.append(decode_coeff_orders(used_orders, sr))
+            num_contexts = (state.num_histograms
+                            * state.block_ctx_map.num_ac_contexts())
+            code, cmap = decode_histograms(sr, num_contexts)
+            state.ac_code.append(code)
+            state.ac_context_map.append(cmap)
 
-    single = fd.num_groups == 1
+    single = fd.num_groups == 1 and num_passes == 1
     if single:
         sr = section_reader(0)
         dc_global(sr)
@@ -356,24 +354,44 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     filtered = lf.gab or lf.epf_iters > 0
     from ..io.frame_header import CT_XYB
 
+    ups = fh.upsampling
+    if ups > 1:
+        if state.noise_lut is not None:
+            # noise is added at coded resolution before upsampling; the
+            # strip's upsample context rows would need noise-applied
+            # neighbor data — unsupported combination, loud fallback
+            raise JXLError("low-memory decode: noise + upsampling")
+        from ..render.upsample import kernels_from_metadata, upsample
+
+        up_kern = kernels_from_metadata(fh.nonserialized_metadata, ups)
+    # filter-chain radius is 7 px (gab 1 + EPF 3+2+1); with upsampling
+    # the strip also needs 2 EXACT filtered context rows for the 5x5
+    # upsample kernels, so the rolling halo grows (8-block aligned for
+    # the per-block sigma slicing in _filter_strip)
+    halo_px = 16 if ups > 1 else _HALO
+
     if device is None:
         from ..api.tpu_codec import accelerator_available
 
         device = accelerator_available()
     device = bool(
         device and fh.color_transform == CT_XYB
-        and state.noise_lut is None
+        and state.noise_lut is None and ups == 1
         and np.all(state.strategy[state.is_origin] == _acs().DCT)
         and getattr(state, "color_factor", 84) == 84
         and getattr(state, "base_x", 0.0) == 0.0
         and getattr(state, "base_b", 1.0) == 1.0)
 
     def decode_row_blocks(gy):
-        for gx in range(fd.xsize_groups):
-            g = gy * fd.xsize_groups + gx
-            sr = row_reader[0] if single \
-                else section_reader(2 + fd.num_dc_groups + g)
-            decode_ac_group(sr, state, g)
+        # all passes for this group row before rendering: progressive
+        # coefficients accumulate per block (dec_frame.cc pass loop)
+        for p in range(num_passes):
+            for gx in range(fd.xsize_groups):
+                g = gy * fd.xsize_groups + gx
+                sr = row_reader[0] if single \
+                    else section_reader(
+                        2 + fd.num_dc_groups + p * fd.num_groups + g)
+                decode_ac_group(sr, state, g, p)
 
     def finish_row(gy):
         strip = _strip_qimg(state, gy) if device \
@@ -403,17 +421,52 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                 yield y0, u8[:emit, :fd.xsize]
             prev, cur = cur, nxt
             continue
+        out = None
         if filtered:
-            top = prev[:, -_HALO:] if prev is not None else None
-            bot = nxt[:, :_HALO] if nxt is not None else None
+            top = prev[:, -halo_px:] if prev is not None else None
+            bot = nxt[:, :halo_px] if nxt is not None else None
             comp = np.concatenate(
                 [p for p in (top, cur, bot) if p is not None], axis=1)
-            comp_y0 = y0 - (_HALO if prev is not None else 0)
+            comp_y0 = y0 - (halo_px if prev is not None else 0)
             out = _filter_strip(comp, fh, state, comp_y0)
-            off = _HALO if prev is not None else 0
+            off = halo_px if prev is not None else 0
             strip = out[:, off:off + rows]
         else:
             strip = cur
+        if ups > 1:
+            # upsample the strip at coded resolution -> output rows.
+            # 5x5 kernels need 2 rows of exact context on each interior
+            # seam; frame edges pad symmetric exactly like the
+            # whole-image stage (render/upsample.py upsample)
+            emit = min(rows, fd.ysize - y0)
+            if emit <= 0:
+                prev, cur = cur, nxt
+                continue
+            bot_avail = fd.ysize - (y0 + emit)
+            top_ctx = 2 if prev is not None else 0
+            bot_ctx = min(2, max(0, bot_avail)) if nxt is not None else 0
+            if filtered:
+                src = out[:, off - top_ctx:off + emit + bot_ctx]
+            else:
+                parts = []
+                if top_ctx:
+                    parts.append(prev[:, -top_ctx:])
+                parts.append(cur[:, :emit])
+                if bot_ctx:
+                    parts.append(nxt[:, :bot_ctx])
+                src = np.concatenate(parts, axis=1) if len(parts) > 1 \
+                    else parts[0]
+            src = src[:, :, :fd.xsize]
+            up = np.stack([upsample(src[c], ups, kernels=up_kern)
+                           for c in range(3)])
+            up = up[:, top_ctx * ups:top_ctx * ups + emit * ups,
+                    :fd.xsize_upsampled]
+            oy0 = y0 * ups
+            ocut = min(up.shape[1], fd.ysize_upsampled - oy0)
+            if ocut > 0:
+                yield oy0, up[:, :ocut]
+            prev, cur = cur, nxt
+            continue
         if state.noise_lut is not None:
             strip = _add_strip_noise(state, np.ascontiguousarray(strip),
                                      gy)

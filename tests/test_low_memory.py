@@ -50,12 +50,46 @@ def test_strips_match_with_noise():
     assert np.array_equal(ref[:, :, :3], _assemble(stream))
 
 
+@pytest.mark.parametrize("passes", [2, 3])
+def test_strips_match_progressive(passes):
+    """All passes of a group row entropy-decode before the row renders
+    (the dec_frame.cc pass loop, strip-scheduled)."""
+    img = _image(600, 330)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     device=False, progressive=passes)
+    ref, _ = codestream.decode(stream, device=False)
+    assert np.array_equal(ref[:, :, :3], _assemble(stream))
+
+
+@pytest.mark.parametrize("resampling", [2, 4])
+def test_strips_match_upsampling(resampling):
+    """Strip-wise 5x5-kernel upsampling with 2 exact context rows at
+    interior seams (stage_upsampling.cc as a rolling-window stage)."""
+    img = _image(520, 280, seed=8)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     device=False, resampling=resampling)
+    ref, _ = codestream.decode(stream, device=False)
+    out = _assemble(stream)
+    assert out.shape == ref[:, :, :3].shape
+    assert np.array_equal(ref[:, :, :3], out)
+
+
+def test_strips_match_progressive_upsampled():
+    img = _image(600, 256, seed=12)
+    stream = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                     device=False, resampling=2,
+                                     progressive=2)
+    ref, _ = codestream.decode(stream, device=False)
+    assert np.array_equal(ref[:, :, :3], _assemble(stream))
+
+
 def test_unsupported_features_raise():
     img = _image(128, 128)
-    prog = codestream.encode_lossy(img, distance=1.0, effort=3,
-                                   device=False, progressive=2)
+    noisy_up = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                       device=False, resampling=2,
+                                       photon_noise_iso=1600)
     with pytest.raises(JXLError):
-        list(codestream.decode_rows(prog))
+        list(codestream.decode_rows(noisy_up))
     lossless = codestream.encode_lossless(img)
     with pytest.raises(JXLError):
         list(codestream.decode_rows(lossless))
