@@ -471,6 +471,12 @@ def decode(data: bytes, target_nits: float = None,
     from ..ops.xyb import linear_to_srgb
     from ..vardct.frame import decode_vardct_frame
 
+    from ..io.container import extract_codestream, is_container
+
+    if is_container(data):
+        # container-transparent like JxlDecoderProcessInput: pull the
+        # codestream out of the jxlc/jxlp boxes (io/container.py)
+        data = extract_codestream(data)
     r = BitReader(data)
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
@@ -496,6 +502,38 @@ def decode(data: bytes, target_nits: float = None,
             continue
         if fh.frame_type == FT_REFERENCE_ONLY:
             # decode and stash pre-color-transform; not displayed
+            if fh.encoding == ENC_MODULAR:
+                # modular reference frame (e.g. the patch sheet the
+                # reference's lossless encoder emits): stash in the
+                # reference decoder's storage scale — XYB floats for
+                # XYB-coded sheets (ints are YX(B-Y) scaled by the
+                # DC quants, dec_modular.cc:553-600), [0, 1]-normalized
+                # samples otherwise
+                from ..io.frame_header import CT_XYB as _CT_XYB_R
+
+                img = decode_modular_frame(r, fh, reference_frames)
+                num_ec = len(meta.m.extra_channel_info)
+                nb = len(img.channel) - num_ec
+                if fh.color_transform == _CT_XYB_R:
+                    chy = img.channel[0].data.astype(np.float64)
+                    chx = img.channel[1].data.astype(np.float64)
+                    chb = img.channel[2].data.astype(np.float64)
+                    dq = img.dc_quant
+                    reference_frames[fh.save_as_reference] = np.stack(
+                        [chx * dq[0], chy * dq[1], (chb + chy) * dq[2]])
+                else:
+                    mv = (1 << meta.m.bit_depth.bits_per_sample) - 1
+                    reference_frames[fh.save_as_reference] = np.stack(
+                        [img.channel[c].data.astype(np.float64)
+                         for c in range(nb)]) / mv
+                if num_ec:
+                    reference_extra[fh.save_as_reference] = [
+                        img.channel[nb + k].data.astype(np.float64)
+                        / ((1 << meta.m.extra_channel_info[k]
+                            .bit_depth.bits_per_sample) - 1)
+                        for k in range(num_ec)]
+                r.jump_to_byte_boundary()
+                continue
             ref_ec = []
             xyb = decode_vardct_frame(r, fh, reference_frames,
                                       return_xyb=True, extra_out=ref_ec)
@@ -524,7 +562,8 @@ def decode(data: bytes, target_nits: float = None,
     if fh.encoding == ENC_MODULAR:
         if decode_info is not None:
             decode_info["path"] = "host:modular"
-        img = decode_modular_frame(r, fh)
+        img = decode_modular_frame(r, fh, reference_frames,
+                                   reference_extra)
         chans = [c.data for c in img.channel]
         stacked = np.stack(chans, axis=-1)
         if bits <= 8:
@@ -683,11 +722,18 @@ def decode_batch(streams, num_threads: int = 0):
     streams into ONE vmapped device dispatch (tpu_codec.decode_tpu_batch
     — the TPU serving path). Falls back to per-stream decode() when the
     batch is heterogeneous or device batching is unavailable. Returns a
-    list of uint8 images in input order."""
-    from .tpu_codec import accelerator_available, decode_tpu_batch
+    list of uint8 images in input order. Lists longer than one device
+    batch run through the two-deep entropy/render pipeline
+    (tpu_codec.decode_tpu_pipelined) so host entropy of batch k+1
+    overlaps device render + readback of batch k."""
+    from .tpu_codec import (accelerator_available, decode_tpu_batch,
+                            decode_tpu_pipelined)
 
     if streams and accelerator_available():
         try:
+            if len(streams) > 16:
+                return decode_tpu_pipelined(streams, batch_size=16,
+                                            num_threads=num_threads)
             return decode_tpu_batch(streams, num_threads=num_threads)
         except JXLError:
             pass  # heterogeneous / feature-gated batch: per-stream path
@@ -700,8 +746,10 @@ def decode_rows(data: bytes, num_threads: int = 0):
     The low-memory group-at-a-time scheduler
     (vardct/low_memory.py; reference low_memory_render_pipeline.cc):
     peak pixel memory is three AC-group rows plus the 1/64-area DC
-    fields, never the full image. Raises JXLError for features needing
-    whole-image context (patches, splines, upsampling, progressive,
+    fields, never the full image. Progressive passes (all passes of a
+    group row decode before it renders) and 2-8x upsampling (strip-wise
+    with exact 2-row seam context) are supported; JXLError is raised
+    for features needing whole-image context (patches, splines,
     animation, extra channels, modular mode) — fall back to decode().
     """
     from ..io.frame_header import ENC_MODULAR as _MOD, FT_REGULAR

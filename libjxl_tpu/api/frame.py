@@ -250,22 +250,43 @@ def decode_frame_sections(r: BitReader, fh: FrameHeader,
     r.skip_bits(total * 8)
 
 
-def decode_modular_frame(r: BitReader, fh: FrameHeader) -> ModularImage:
-    """Full modular-mode frame decode (headers already read)."""
+def decode_modular_frame(r: BitReader, fh: FrameHeader,
+                         reference_frames=None,
+                         reference_extra=None) -> ModularImage:
+    """Full modular-mode frame decode (headers already read).
+
+    reference_frames: up to 4 stashed float frames ([0, 1]-normalized
+    planes for modular reference frames, matching the reference
+    decoder's storage scale) — required when the frame signals the
+    kPatches flag (the reference encoder emits patch dictionaries for
+    glyph-heavy lossless content, enc_patch_dictionary.cc:594)."""
     fd = fh.frame_dimensions()
     state = ModularFrameState()
+    state.patches = None
 
     def dc_global(sr):
+        # image features in reference LfGlobal order: patches, splines,
+        # noise (dec_frame.cc:269-292)
+        if fh.flags & 2:  # patches
+            if reference_frames is None:
+                raise JXLError("modular patches need reference frames")
+            from ..render.patches import decode_patches
+
+            m = fh.nonserialized_metadata.m
+            state.patches = decode_patches(
+                sr, fd.xsize_padded, fd.ysize_padded,
+                len(m.extra_channel_info), reference_frames)
+        if fh.flags & 16:
+            raise JXLError("splines not yet supported in modular decode")
         if fh.flags & 1:  # noise
             raise JXLError("noise not yet supported in modular decode")
-        if fh.flags & 2 or fh.flags & 16:
-            raise JXLError("patches/splines not yet supported")
-        if sr.read_bits(1) != 1:
-            # non-default DC dequant factors (quant_weights.cc:507-522)
-            from ..io.fields import f16_read
+        # DC dequant factors (quant_weights.cc:507-522): for XYB-coded
+        # modular frames they are the int->float scale (dec_modular.cc
+        # DCQuants usage), so keep them instead of skipping
+        from ..vardct.quant_weights import DequantMatrices
 
-            for _ in range(3):
-                f16_read(sr)
+        state.matrices = DequantMatrices()
+        state.matrices.decode_dc(sr)
         decode_global_info(sr, fh, fd, state)
 
     def dc_group(g, sr):
@@ -289,7 +310,55 @@ def decode_modular_frame(r: BitReader, fh: FrameHeader) -> ModularImage:
                              modular_ac_stream_id(fd, g, p))
 
     decode_frame_sections(r, fh, dc_global, dc_group, ac_global, ac_group)
-    return finalize_modular_frame(fh, state)
+    img = finalize_modular_frame(fh, state)
+    img.dc_quant = state.matrices.dc_quant  # XYB int->float scale
+    if state.patches is not None:
+        _apply_modular_patches(img, state.patches, fh, reference_frames,
+                               reference_extra)
+    return img
+
+
+def _apply_modular_patches(img: ModularImage, patches, fh: FrameHeader,
+                           reference_frames, reference_extra) -> None:
+    """Blend the patch dictionary into a decoded modular frame.
+
+    The reference stores modular reference frames as [0, 1]-normalized
+    floats and blends in that space (blending.cc operates on the render
+    pipeline's nominal float range); integer results round back exactly
+    for the lossless kAdd/kReplace modes the encoder emits."""
+    from ..render.patches import apply_patches
+
+    m = fh.nonserialized_metadata.m
+    bits = m.bit_depth.bits_per_sample
+    maxval = (1 << bits) - 1
+    num_ec = len(m.extra_channel_info)
+    nb = len(img.channel) - num_ec
+    col = np.stack([img.channel[c].data.astype(np.float64)
+                    for c in range(nb)]) / maxval
+    norm_extras = None
+    ec_maxvals = []
+    if num_ec:
+        ec_maxvals = [
+            (1 << m.extra_channel_info[k].bit_depth.bits_per_sample) - 1
+            for k in range(num_ec)]
+        norm_extras = [
+            img.channel[nb + k].data.astype(np.float64) / mv
+            for k, mv in enumerate(ec_maxvals)]
+    premul = bool(m.extra_channel_info
+                  and getattr(m.extra_channel_info[0], "alpha_associated",
+                              False))
+    apply_patches(col, patches, reference_frames, add=True,
+                  extra=norm_extras, ref_extra=reference_extra,
+                  alpha_is_premultiplied=premul)
+    for c in range(nb):
+        img.channel[c].data = np.clip(
+            np.round(col[c] * maxval), 0, maxval).astype(
+                img.channel[c].data.dtype)
+    if norm_extras is not None:
+        for k, mv in enumerate(ec_maxvals):
+            img.channel[nb + k].data = np.clip(
+                np.round(norm_extras[k] * mv), 0, mv).astype(
+                    img.channel[nb + k].data.dtype)
 
 
 def get_downsampling_bracket(passes, pass_idx: int):
