@@ -391,6 +391,65 @@ def encode(image: np.ndarray, distance: float = 1.0, effort: int = 7,
         lib.JxlEncoderDestroy(enc)
 
 
+def butteraugli(orig: np.ndarray, dist: np.ndarray,
+                pnorm: float = 3.0, hf_asymmetry: float = 0.8,
+                intensity_target: float = 80.0):
+    """Reference Butteraugli via the system library's C API
+    (JxlButteraugliCompute; the exact comparator behind cjxl's quality
+    loop, butteraugli/butteraugli.h:166-212).
+
+    orig/dist: (H, W, 3) uint8 sRGB. Returns (max_distance,
+    pnorm_distance); max_distance is the score cjxl/butteraugli_main
+    report. Raises OracleError if the installed library predates or
+    postdates the C Butteraugli API."""
+    lib = _load()
+    if lib is None:
+        raise OracleError("no system libjxl available")
+    if not hasattr(lib, "JxlButteraugliApiCreate"):
+        raise OracleError("libjxl lacks the Butteraugli C API")
+    lib.JxlButteraugliApiCreate.restype = c_void_p
+    lib.JxlButteraugliApiCreate.argtypes = [c_void_p]
+    lib.JxlButteraugliApiDestroy.argtypes = [c_void_p]
+    lib.JxlButteraugliApiSetHFAsymmetry.argtypes = [c_void_p, c_float]
+    lib.JxlButteraugliApiSetIntensityTarget.argtypes = [c_void_p, c_float]
+    lib.JxlButteraugliCompute.restype = c_void_p
+    lib.JxlButteraugliCompute.argtypes = [
+        c_void_p, c_uint32, c_uint32, POINTER(JxlPixelFormat), c_void_p,
+        c_size_t, POINTER(JxlPixelFormat), c_void_p, c_size_t]
+    lib.JxlButteraugliResultGetDistance.restype = c_float
+    lib.JxlButteraugliResultGetDistance.argtypes = [c_void_p, c_float]
+    lib.JxlButteraugliResultGetMaxDistance.restype = c_float
+    lib.JxlButteraugliResultGetMaxDistance.argtypes = [c_void_p]
+    lib.JxlButteraugliResultDestroy.argtypes = [c_void_p]
+
+    orig = np.ascontiguousarray(orig[:, :, :3], dtype=np.uint8)
+    dist = np.ascontiguousarray(dist[:, :, :3], dtype=np.uint8)
+    if orig.shape != dist.shape:
+        raise OracleError("butteraugli: shape mismatch")
+    h, w = orig.shape[:2]
+    fmt = JxlPixelFormat(3, JXL_TYPE_UINT8, JXL_NATIVE_ENDIAN, 0)
+    api = lib.JxlButteraugliApiCreate(None)
+    if not api:
+        raise OracleError("JxlButteraugliApiCreate failed")
+    try:
+        lib.JxlButteraugliApiSetHFAsymmetry(api, hf_asymmetry)
+        lib.JxlButteraugliApiSetIntensityTarget(api, intensity_target)
+        res = lib.JxlButteraugliCompute(
+            api, w, h, byref(fmt),
+            orig.ctypes.data_as(c_void_p), orig.nbytes,
+            byref(fmt), dist.ctypes.data_as(c_void_p), dist.nbytes)
+        if not res:
+            raise OracleError("JxlButteraugliCompute failed")
+        try:
+            mx = float(lib.JxlButteraugliResultGetMaxDistance(res))
+            pn = float(lib.JxlButteraugliResultGetDistance(res, pnorm))
+        finally:
+            lib.JxlButteraugliResultDestroy(res)
+        return mx, pn
+    finally:
+        lib.JxlButteraugliApiDestroy(api)
+
+
 def encode_jpeg(jpeg_bytes: bytes, effort: int = 7) -> bytes:
     """Losslessly recompress a JPEG file with the system libjxl.
 
