@@ -184,18 +184,29 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
         # max-dominated norm, so the loop must chase block maxima —
         # a mean blend under-reads exactly the blocks that set the score
         berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3))
-        # one-sided targeting: blocks whose proxy error exceeds the
-        # target get a finer quantizer; blocks under it KEEP their
-        # initial field value. The proxy (per-block mean/max blend)
-        # reads below the global max-normed butteraugli score, so
-        # coarsening "good" blocks degrades the reported distance —
-        # refinement must only spend rate where the loop sees damage
-        # (FindBestQuantization's asymmetric updates,
-        # enc_adaptive_quantization.cc:934-1010)
-        ratio = np.clip((berr / target) ** 0.5, 1.0, 1.6)
-        qf_float = np.clip(qf_float * ratio, 1.0, QUANT_MAX)
+        qf_float = np.clip(qf_float * _refine_ratio(berr, target),
+                           1.0, QUANT_MAX)
     state.raw_quant_field = np.clip(
         np.round(qf_float), 1, QUANT_MAX).astype(np.int32)
+
+
+def _refine_ratio(berr: np.ndarray, target: float) -> np.ndarray:
+    """Per-block quant update factor for one refinement round.
+
+    Tightening side: blocks whose proxy error exceeds the target get a
+    finer quantizer (FindBestQuantization's damage-chasing updates,
+    enc_adaptive_quantization.cc:934-1010). Relaxing side: blocks
+    reading FAR below the target (< 0.4x) release rate, bounded at
+    0.8x per round — gated that low because the per-block proxy
+    under-reads the global max norm on textured content, and relaxing
+    a block that actually contributes to the max degrades the
+    delivered score (measured: an ungated 0.7 floor cost texture
+    +0.35 BA; the 0.4x gate leaves texture untouched while cutting
+    screenshot/smooth sizes ~20%, judged by the REFERENCE comparator —
+    docs/BUTTERAUGLI_ANCHOR.md section 2)."""
+    r = (berr / target) ** 0.5
+    ratio = np.clip(r, 1.0, 1.6)
+    return np.where(berr < 0.4 * target, np.maximum(r, 0.8), ratio)
 
 
 _TRIAL_JIT = None
@@ -272,8 +283,8 @@ def _refine_device(state, co, dc, dm, dm_inv, inv_gs, gab, lf, xyb_orig,
                     gab_on=gab is not None, epf_iters=epf_iters)
         dmap = np.asarray(butteraugli_diffmap_jax(lin, lin_orig))
         berr = dmap.reshape(nby, 8, nbx, 8).max(axis=(1, 3))
-        ratio = np.clip((berr / target) ** 0.5, 1.0, 1.6)
-        qf_float = np.clip(qf_float * ratio, 1.0, QUANT_MAX)
+        qf_float = np.clip(qf_float * _refine_ratio(berr, target),
+                           1.0, QUANT_MAX)
     state.raw_quant_field = np.clip(
         np.round(qf_float), 1, QUANT_MAX).astype(np.int32)
 
