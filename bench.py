@@ -28,6 +28,8 @@ Secondary fields (each a measured wall clock on this machine):
   staging + render + readback of one image; dominated by per-dispatch
   latency through the dev-rig tunnel).
 - encode_mp_s: e3 device-encoder rate on the same content.
+- encode_e7_mp_s: full-heuristics e7 encode rate (device AQ field +
+  device Butteraugli-feedback refinement + ACS search + host entropy).
 
 vs_baseline = value / 400 (the reference's multithreaded-CPU decode
 design target). Path to 400: the pipeline ceiling is the host entropy
@@ -217,6 +219,22 @@ def main():
     decode_tpu_batch([streams[1 % n_streams]])
     t_e2e1 = time.time() - t0
 
+    # --- e7 encode (full heuristics: device AQ field + device
+    # Butteraugli-feedback refinement + ACS search + host entropy)
+    e7_mp_s = None
+    try:
+        img7 = _make_image(n, seed=777)
+        codestream.encode_lossy(img7[:256, :256], distance=1.0,
+                                effort=7)  # warm the trial programs
+        t0 = time.time()
+        codestream.encode_lossy(img7, distance=1.0, effort=7)
+        e7_mp_s = round(mp / (time.time() - t0), 3)
+        print(f"bench: e7 encode {mp / e7_mp_s:.1f}s", file=sys.stderr,
+              flush=True)
+    except Exception as e:
+        print(f"bench: e7 encode skipped ({type(e).__name__}: {e})",
+              file=sys.stderr, flush=True)
+
     # --- device-entropy (Pallas lockstep rANS) fused path, measured
     # end-to-end on a 4-stream batch; best-effort (scope-gated)
     dev_entropy_mp_s = None
@@ -252,6 +270,7 @@ def main():
         "device_entropy_mp_s": dev_entropy_mp_s,
         "e2e_single_mp_s": round(mp / t_e2e1, 2),
         "encode_mp_s": round(mp / t_enc, 3),
+        "encode_e7_mp_s": e7_mp_s,
         "checksum": int(chks[0]),
     }))
 
