@@ -447,8 +447,15 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
 
 def decode(data: bytes, target_nits: float = None,
            num_threads: int = 0, device: bool = None,
-           decode_info: dict = None, color_management: bool = None):
+           decode_info: dict = None, color_management: bool = None,
+           pixel_format: str = None):
     """Decode a bare codestream. Returns (image ndarray HxWxC, CodecMetadata).
+
+    pixel_format: None (default) emits uint8/uint16 by the stream's bit
+    depth; "float32"/"float16" emit sRGB-transfer floats in [0, 1]
+    (extra channels normalized), the JXL_TYPE_FLOAT/FLOAT16 output
+    legs of the reference API (types.h:46,57). Float output takes the
+    sRGB leg (no CMS re-quantization).
 
     Only the first frame is returned; animation frames via decode_frames.
     target_nits: when set and below the stream's intensity target, the
@@ -477,9 +484,14 @@ def decode(data: bytes, target_nits: float = None,
         # container-transparent like JxlDecoderProcessInput: pull the
         # codestream out of the jxlc/jxlp boxes (io/container.py)
         data = extract_codestream(data)
+    if pixel_format not in (None, "float32", "float16"):
+        raise JXLError(f"unsupported pixel_format {pixel_format!r}")
+    want_float = pixel_format is not None
     r = BitReader(data)
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
+    if want_float:
+        color_management = False  # float output takes the sRGB leg
     if color_management is None:
         # the signaled color encoding IS the decoder's output space:
         # apply the CMS stage automatically for embedded RGB profiles
@@ -566,6 +578,16 @@ def decode(data: bytes, target_nits: float = None,
                                    reference_extra)
         chans = [c.data for c in img.channel]
         stacked = np.stack(chans, axis=-1)
+        if want_float:
+            num_ec = len(meta.m.extra_channel_info)
+            nb = stacked.shape[2] - num_ec
+            scale = np.empty(stacked.shape[2])
+            scale[:nb] = (1 << bits) - 1
+            for k in range(num_ec):
+                scale[nb + k] = (1 << meta.m.extra_channel_info[k]
+                                 .bit_depth.bits_per_sample) - 1
+            fdt = np.float32 if pixel_format == "float32" else np.float16
+            return _orient((stacked / scale).astype(fdt)), meta
         if bits <= 8:
             return _orient(stacked.astype(np.uint8)), meta
         if bits <= 16:
@@ -591,6 +613,7 @@ def decode(data: bytes, target_nits: float = None,
         from ..io.frame_header import CT_YCBCR as _CT_YCBCR_W
 
         out["want_u8"] = (target_nits is None and bits <= 8
+                          and not want_float
                           and (meta.m.xyb_encoded
                                or fh.color_transform == _CT_YCBCR_W)
                           and meta.m.orientation == 1
@@ -660,6 +683,20 @@ def decode(data: bytes, target_nits: float = None,
             "color_management requested but %s; returning sRGB",
             "lcms2 unavailable" if not _cms.available()
             else "profile is not RGB")
+    if want_float:
+        fdt = np.float32 if pixel_format == "float32" else np.float16
+        outf = linear_to_srgb(np.clip(rgb, 0.0, 1.0)) \
+            if meta.m.xyb_encoded else np.clip(rgb, 0.0, 1.0)
+        if extra:
+            scales = [
+                (1 << (meta.m.extra_channel_info[k]
+                       .bit_depth.bits_per_sample
+                       if k < len(meta.m.extra_channel_info) else 8)) - 1
+                for k in range(len(extra))]
+            ecs = np.stack([np.asarray(e, dtype=np.float64) / s
+                            for e, s in zip(extra, scales)], axis=-1)
+            outf = np.concatenate([outf, ecs], axis=-1)
+        return _orient(outf.astype(fdt)), meta
     # non-XYB VarDCT frames (YCbCr/None) carry display-space values
     if bits <= 8:
         from ..ops.xyb import linear_to_srgb_u8

@@ -16,6 +16,11 @@ def build_parser():
                    help="tone-map HDR content to this display brightness")
     p.add_argument("--preview_out", default=None,
                    help="also decode the preview frame to this file")
+    p.add_argument("--pixel_format", choices=["float32", "float16"],
+                   default=None,
+                   help="emit sRGB-transfer floats in [0,1] (the "
+                        "JXL_TYPE_FLOAT/FLOAT16 output legs); pair "
+                        "with .npy/.pfm/.exr outputs")
     p.add_argument("--num_threads", type=int, default=0,
                    help="accepted for djxl compatibility")
     p.add_argument("--color_management", dest="color_management",
@@ -85,6 +90,10 @@ def _main(argv=None):
     t0 = time.perf_counter()
     info = {}
     image = meta = None
+    if args.low_memory and args.pixel_format is not None:
+        print("djxl: --low_memory emits integer rows; using the regular "
+              "decoder for float output", file=sys.stderr)
+        args.low_memory = False
     if args.low_memory and args.display_nits is not None:
         print("djxl: --low_memory has no tone-mapping stage; using the "
               "regular decoder", file=sys.stderr)
@@ -114,7 +123,8 @@ def _main(argv=None):
                              num_threads=args.num_threads,
                              device=False if args.host else None,
                              decode_info=info,
-                             color_management=args.color_management)
+                             color_management=args.color_management,
+                             pixel_format=args.pixel_format)
     dt = time.perf_counter() - t0
     if args.verbose:
         print(f"render path: {info.get('path')}", file=sys.stderr)
