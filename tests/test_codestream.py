@@ -52,3 +52,34 @@ def test_lossless_roundtrip_with_alpha():
     out, meta = decode(data)
     assert meta.m.has_alpha()
     np.testing.assert_array_equal(out, img)
+
+
+def test_float_pixel_output():
+    """pixel_format="float32"/"float16": the JXL_TYPE_FLOAT output legs
+    (types.h:46,57) — sRGB-transfer floats in [0, 1], consistent with
+    the u8 output to within one quantization step."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(3)
+    base = 128 + 40 * np.sin(np.arange(96)[:, None] * 0.05) \
+        + rng.normal(0, 6, (96, 80))
+    img = np.clip(np.stack([base, base * 0.9 + 8, base * 1.1 - 9], -1),
+                  0, 255).astype(np.uint8)
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False)
+    u8, _ = codestream.decode(s, device=False)
+    f32, _ = codestream.decode(s, device=False, pixel_format="float32")
+    f16, _ = codestream.decode(s, device=False, pixel_format="float16")
+    assert f32.dtype == np.float32 and f16.dtype == np.float16
+    assert np.abs(u8.astype(int)
+                  - np.round(f32 * 255).astype(int)).max() <= 1
+    assert np.allclose(f16.astype(np.float32), f32, atol=2e-3)
+    # lossless + alpha: floats are exactly sample/maxval
+    rgba = np.dstack([img, np.linspace(0, 255, 96 * 80).reshape(
+        96, 80).astype(np.uint8)])
+    fl, _ = codestream.decode(codestream.encode_lossless(rgba),
+                              device=False, pixel_format="float32")
+    assert fl.shape == (96, 80, 4)
+    assert np.allclose(fl * 255.0, rgba, atol=1e-4)
