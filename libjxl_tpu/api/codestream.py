@@ -801,8 +801,8 @@ def decode_rows(data: bytes, num_threads: int = 0):
         raise JXLError("low-memory decode: orientation")
     if meta.m.have_preview:
         raise JXLError("low-memory decode: preview frame")
-    if not meta.m.xyb_encoded:
-        raise JXLError("low-memory decode: non-XYB stream")
+    # non-XYB streams are fine when YCbCr (JPEG-transcode family):
+    # strips come back as YCbCr planes and convert below
     if meta.m.color_encoding.want_icc:
         raise JXLError("low-memory decode: CMS output stage")
     fh = FrameHeader(meta)
@@ -811,10 +811,22 @@ def decode_rows(data: bytes, num_threads: int = 0):
         raise JXLError("low-memory decode: multi-frame stream")
     if fh.encoding == _MOD:
         raise JXLError("low-memory decode: modular frame")
+    from ..io.frame_header import CT_YCBCR as _CT_YCBCR_LM
+
+    ycbcr = fh.color_transform == _CT_YCBCR_LM
+    if not meta.m.xyb_encoded and not ycbcr:
+        raise JXLError("low-memory decode: non-XYB/non-YCbCr stream")
     for y0, strip in decode_vardct_strips(r, fh, num_threads):
         if strip.dtype == np.uint8:
             # device-rendered strip: already final sRGB u8 rows
             yield y0, strip
+            continue
+        if ycbcr:
+            from ..vardct.frame import ycbcr_to_rgb
+
+            rgb = ycbcr_to_rgb(strip)
+            yield y0, np.clip(np.round(np.moveaxis(rgb, 0, -1) * 255.0),
+                              0, 255).astype(np.uint8)
             continue
         rgb = xyb_to_linear_rgb(strip)
         from ..ops.xyb import linear_to_srgb_u8

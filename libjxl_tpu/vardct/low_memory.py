@@ -16,9 +16,12 @@ mirroring as the whole-image path (render/pipeline.py
 mirror_fill_padding, image_ops.h:184 Mirror). Noise synthesis is seeded
 per AC group (PrepareNoiseInput), so it reproduces exactly per strip.
 
-Features that need whole-image context (patches, splines, upsampling,
-progressive passes, subsampled YCbCr, extra channels, animation
-blending) raise JXLError; callers fall back to the regular decoder.
+Progressive passes (all passes of a row entropy-decode before it
+renders), 2-8x upsampling (strip-wise, exact seam context) and
+subsampled YCbCr (per-channel strip render + box chroma upsampling)
+are supported. Features needing whole-image context (patches, splines,
+extra channels, animation blending) raise JXLError; callers fall back
+to the regular decoder.
 """
 
 from __future__ import annotations
@@ -131,6 +134,52 @@ def _add_strip_noise(state, strip, gy):
     return add_noise(strip, conv, state.noise_lut,
                      state.ytox(state.ytox_dc),
                      state.ytob(state.ytob_dc), preconvolved=True)
+
+
+def _render_strip_sub(state, gy):
+    """Subsampled-YCbCr strip render: per-channel dequant + IDCT8 at
+    each channel's resolution for this group row only, then box chroma
+    upsampling to luma resolution (render_groups_sub restricted to the
+    row; stage_chroma_upsampling analog). qblocks_sub holds only the
+    current row's blocks (cleared per row), keyed by GLOBAL (sby, sbx).
+    """
+    from ..ops.dct import inv_matrix
+    from . import ac_strategy as acs
+    from .frame import adjust_quant_bias
+
+    from .subsampled import _shifts
+
+    fd = state.fd
+    hs, vs = _shifts(state.fh)
+    gdim_b = fd.group_dim // 8
+    by0 = gy * gdim_b
+    by1 = min(by0 + gdim_b, fd.ysize_blocks)
+    rows = (by1 - by0) * 8
+    inv_gs = state.quantizer.inv_global_scale
+    i8 = inv_matrix(8)
+    out = np.zeros((3, rows, fd.xsize_padded), dtype=np.float64)
+    for c in range(3):
+        cb0 = by0 >> vs[c]
+        cb1 = -(-by1 >> vs[c])
+        nbx = (fd.xsize_blocks + (1 << hs[c]) - 1) >> hs[c]
+        dm = state.matrices.dequant_matrix(acs.QUANT_TABLE[acs.DCT],
+                                           c).reshape(-1)
+        plane = np.zeros(((cb1 - cb0) * 8, nbx * 8))
+        for (sby, sbx), qblock in state.qblocks_sub[c].items():
+            if not (cb0 <= sby < cb1):
+                continue
+            quant = int(state.raw_quant_field[sby << vs[c],
+                                              sbx << hs[c]])
+            co = adjust_quant_bias(qblock, c) * dm * (inv_gs / quant)
+            co = co.reshape(8, 8).copy()
+            co[0, 0] = state.dc_sub[c][sby, sbx]
+            pix = i8 @ co.T @ i8.T
+            plane[(sby - cb0) * 8:(sby - cb0) * 8 + 8,
+                  sbx * 8:sbx * 8 + 8] = pix
+        up = np.repeat(np.repeat(plane, 1 << vs[c], 0), 1 << hs[c], 1)
+        y_off = by0 * 8 - (cb0 << vs[c]) * 8
+        out[c] = up[y_off:y_off + rows, :fd.xsize_padded]
+    return out
 
 
 def _strip_qimg(state, gy):
@@ -267,9 +316,8 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     from .coeff_order import decode_coeff_orders
 
     m = fh.nonserialized_metadata.m
-    if fh.color_transform == CT_YCBCR \
-            and not fh.chroma_subsampling.is_444():
-        raise JXLError("low-memory decode: subsampled YCbCr")
+    subsampled = (fh.color_transform == CT_YCBCR
+                  and not fh.chroma_subsampling.is_444())
     if m.num_extra_channels:
         raise JXLError("low-memory decode: extra channels")
     if fh.flags & (FLAG_PATCHES | FLAG_SPLINES):
@@ -282,6 +330,13 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     state.num_threads = num_threads
     mstate = ModularFrameState()
     num_passes = fh.passes.num_passes
+    if subsampled:
+        from .subsampled import _shifts, channel_block_grid
+
+        hs_, vs_ = _shifts(fh)
+        grids = channel_block_grid(fd, hs_, vs_)
+        state.dc_sub = [np.zeros(g, dtype=np.float64) for g in grids]
+        state.qblocks_sub = [dict() for _ in range(3)]
 
     n = num_toc_entries(fd, num_passes)
     offsets, sizes, total = read_group_offsets(n, r)
@@ -308,7 +363,12 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
         state.context_map = mstate.context_map
 
     def dc_group(g, sr):
-        decode_dc_group(sr, state, g)
+        if subsampled:
+            from .subsampled import decode_dc_group_sub
+
+            decode_dc_group_sub(sr, state, g)
+        else:
+            decode_dc_group(sr, state, g)
         gx = g % fd.xsize_dc_groups
         gy = g // fd.xsize_dc_groups
         rect = (gx * fd.dc_group_dim, gy * fd.dc_group_dim,
@@ -391,11 +451,21 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                 sr = row_reader[0] if single \
                     else section_reader(
                         2 + fd.num_dc_groups + p * fd.num_groups + g)
-                decode_ac_group(sr, state, g, p)
+                if subsampled:
+                    from .subsampled import decode_ac_group_sub
+
+                    decode_ac_group_sub(sr, state, g, p)
+                else:
+                    decode_ac_group(sr, state, g, p)
 
     def finish_row(gy):
-        strip = _strip_qimg(state, gy) if device \
-            else _render_strip(state, gy)
+        if subsampled:
+            strip = _render_strip_sub(state, gy)
+            for d in state.qblocks_sub:
+                d.clear()
+        else:
+            strip = _strip_qimg(state, gy) if device \
+                else _render_strip(state, gy)
         state.qblocks.clear()
         cache = getattr(state, "_ac_native", None)
         if cache is not None:

@@ -170,3 +170,55 @@ def test_truncated_stream_raises_cleanly():
         with pytest.raises(JXLError):
             for _ in codestream.decode_rows(stream[:cut]):
                 pass
+
+
+@pytest.mark.parametrize("mode", [[0, 1, 0], [0, 2, 0]])
+def test_strips_match_subsampled_ycbcr(mode):
+    """Subsampled YCbCr strips: per-channel strip render + box chroma
+    upsampling, bit-exact vs the whole-image decoder."""
+    from libjxl_tpu.api.codestream import (CodecMetadata, SizeHeader,
+                                           write_codestream_header)
+    from libjxl_tpu.io.bits import BitWriter
+    from libjxl_tpu.io.frame_header import (
+        CT_YCBCR, ENC_VARDCT, FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+        FT_REGULAR, FrameHeader)
+    from libjxl_tpu.vardct.frame import rgb_to_ycbcr
+    from libjxl_tpu.vardct.subsampled import encode_vardct_subsampled
+
+    img = _image(600, 320, seed=17)
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(320, 600)
+    meta.m.all_default = False
+    meta.m.xyb_encoded = False
+    w = BitWriter()
+    write_codestream_header(w, meta)
+    fh = FrameHeader(meta)
+    fh.all_default = False
+    fh.frame_type = FT_REGULAR
+    fh.encoding = ENC_VARDCT
+    fh.color_transform = CT_YCBCR
+    fh.chroma_subsampling.channel_mode = mode
+    fh.flags = FLAG_SKIP_ADAPTIVE_DC_SMOOTHING
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    hs = [fh.chroma_subsampling.hshift(c) for c in range(3)]
+    vs = [fh.chroma_subsampling.vshift(c) for c in range(3)]
+    ycbcr = rgb_to_ycbcr(np.moveaxis(img.astype(np.float64) / 255, -1, 0))
+
+    def ds(p, fy, fx):
+        h2, w2 = p.shape[0] // fy * fy, p.shape[1] // fx * fx
+        return p[:h2, :w2].reshape(h2 // fy, fy, w2 // fx, fx).mean(
+            axis=(1, 3))
+
+    planes = [ds(ycbcr[c], 1 << vs[c], 1 << hs[c]) for c in range(3)]
+    encode_vardct_subsampled(w, planes, fh, distance=1.0)
+    stream = w.get_bytes()
+    ref, _ = codestream.decode(stream, device=False)
+    out = _assemble(stream)
+    assert out.shape == ref[:, :, :3].shape
+    # the whole-image subsampled renderer accumulates in float32; the
+    # strip renderer in float64 — equal within one u8 rounding step
+    d = np.abs(ref[:, :, :3].astype(int) - out.astype(int))
+    assert d.max() <= 1 and (d != 0).mean() < 1e-4, (
+        d.max(), (d != 0).mean())
