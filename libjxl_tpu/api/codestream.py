@@ -191,6 +191,11 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     extra_channels = None
     meta = CodecMetadata()
     meta.size = SizeHeader().set(w, h)
+    if image.dtype == np.uint16:
+        # HDR/deep input: signal 16-bit samples (the XYB payload is the
+        # same; bit depth governs the decoder's output quantization)
+        meta.m.all_default = False
+        meta.m.bit_depth.bits_per_sample = 16
     if nc == 4:
         meta.m.all_default = False
         meta.m.set_alpha_bits(8 if image.dtype == np.uint8 else 16)
@@ -324,8 +329,9 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     if cms_linear is not None:
         rgb = cms_linear
     else:
+        in_scale = 65535.0 if image.dtype == np.uint16 else 255.0
         rgb = (srgb_u8_to_linear(image) if image.dtype == np.uint8
-           else srgb_to_linear(image.astype(np.float64) / 255.0))
+           else srgb_to_linear(image.astype(np.float64) / in_scale))
         rgb = np.moveaxis(rgb, -1, 0)
     if noise and noise_lut is None:
         # content-based estimation (GetNoiseParameter, enc_noise.cc:328)
@@ -713,6 +719,15 @@ def decode(data: bytes, target_nits: float = None,
             out = np.concatenate([out, ec], axis=-1)
         return _orient(out), meta
     srgb = linear_to_srgb(rgb) if meta.m.xyb_encoded else rgb
+    if bits <= 16 and not meta.m.bit_depth.floating_point_sample:
+        # integer deep output: quantize like the u8 leg (u16 samples)
+        mv = (1 << bits) - 1
+        out16 = np.clip(np.round(srgb * mv), 0, mv).astype(np.uint16)
+        if extra:
+            ec = np.stack([np.clip(np.round(e), 0, 65535).astype(
+                np.uint16) for e in extra], axis=-1)
+            out16 = np.concatenate([out16, ec], axis=-1)
+        return _orient(out16), meta
     if extra:
         srgb = np.concatenate(
             [srgb] + [e[:, :, None].astype(srgb.dtype) for e in extra],
@@ -795,8 +810,7 @@ def decode_rows(data: bytes, num_threads: int = 0):
 
     r = BitReader(data)
     meta = parse_codestream_header(r)
-    if meta.m.bit_depth.bits_per_sample > 8:
-        raise JXLError("low-memory decode: >8-bit output")
+    bits = meta.m.bit_depth.bits_per_sample
     if meta.m.orientation != 1:
         raise JXLError("low-memory decode: orientation")
     if meta.m.have_preview:
@@ -816,7 +830,9 @@ def decode_rows(data: bytes, num_threads: int = 0):
     ycbcr = fh.color_transform == _CT_YCBCR_LM
     if not meta.m.xyb_encoded and not ycbcr:
         raise JXLError("low-memory decode: non-XYB/non-YCbCr stream")
-    for y0, strip in decode_vardct_strips(r, fh, num_threads):
+    maxval = (1 << min(bits, 16)) - 1
+    for y0, strip in decode_vardct_strips(
+            r, fh, num_threads, device=None if bits <= 8 else False):
         if strip.dtype == np.uint8:
             # device-rendered strip: already final sRGB u8 rows
             yield y0, strip
@@ -825,13 +841,21 @@ def decode_rows(data: bytes, num_threads: int = 0):
             from ..vardct.frame import ycbcr_to_rgb
 
             rgb = ycbcr_to_rgb(strip)
-            yield y0, np.clip(np.round(np.moveaxis(rgb, 0, -1) * 255.0),
-                              0, 255).astype(np.uint8)
+            yield y0, np.clip(
+                np.round(np.moveaxis(rgb, 0, -1) * maxval), 0,
+                maxval).astype(np.uint8 if bits <= 8 else np.uint16)
             continue
         rgb = xyb_to_linear_rgb(strip)
-        from ..ops.xyb import linear_to_srgb_u8
+        if bits <= 8:
+            from ..ops.xyb import linear_to_srgb_u8
 
-        yield y0, linear_to_srgb_u8(np.moveaxis(rgb, 0, -1))
+            yield y0, linear_to_srgb_u8(np.moveaxis(rgb, 0, -1))
+        else:
+            # HDR leg: 9-16 bit sRGB-transfer samples per row
+            srgb = linear_to_srgb(
+                np.clip(np.moveaxis(rgb, 0, -1), 0.0, 1.0))
+            yield y0, np.clip(np.round(srgb * maxval), 0,
+                              maxval).astype(np.uint16)
 
 
 def decode_preview(data: bytes):

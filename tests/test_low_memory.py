@@ -222,3 +222,27 @@ def test_strips_match_subsampled_ycbcr(mode):
     d = np.abs(ref[:, :, :3].astype(int) - out.astype(int))
     assert d.max() <= 1 and (d != 0).mean() < 1e-4, (
         d.max(), (d != 0).mean())
+
+
+def test_strips_16bit_progressive_hdr():
+    """The HDR north-star leg: a 16-bit progressive lossy stream
+    decodes bounded-memory to u16 rows identical to the whole-image
+    decoder."""
+    rng = np.random.default_rng(4)
+    base = (30000 + 12000 * np.sin(np.arange(600)[:, None] * 0.01)
+            + 9000 * np.cos(np.arange(320)[None, :] * 0.013)
+            + rng.normal(0, 800, (600, 320)))
+    img = np.clip(np.stack([base, base * 0.92, base * 1.05], -1),
+                  0, 65535).astype(np.uint16)
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False, progressive=2)
+    dec, meta = codestream.decode(s, device=False)
+    assert dec.dtype == np.uint16
+    assert meta.m.bit_depth.bits_per_sample == 16
+    # quality sanity in 8-bit units
+    err = np.abs(dec.astype(np.int64)
+                 - img.astype(np.int64)).mean() / 257.0
+    assert err < 3.0, err
+    strips = _assemble(s)
+    assert strips.dtype == np.uint16
+    assert np.array_equal(strips, dec[:, :, :3])
