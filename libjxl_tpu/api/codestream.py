@@ -75,7 +75,9 @@ def write_codestream_header(w: BitWriter, meta: CodecMetadata) -> None:
 def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
                     effort: int = 3, group_size_shift: int = 1,
                     icc: bytes = None, responsive: bool = False,
-                    orientation: int = 1) -> bytes:
+                    orientation: int = 1, predictor: int = None,
+                    palette_colors: int = None, colorspace: int = None,
+                    lossy_palette: bool = False) -> bytes:
     """Encode an image losslessly (modular mode).
 
     image: (H, W) or (H, W, C) uint8/uint16/int array.
@@ -116,6 +118,18 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
     opts = ModularEncOptions(group_size_shift=group_size_shift,
                              color_transform=6 if nc >= 3 else None,
                              effort=effort, responsive=responsive)
+    # cjxl expert modular knobs (cjxl_main.cc modular_* flags)
+    if predictor is not None:
+        opts.predictor = int(predictor)
+    if palette_colors is not None:
+        opts.max_palette_colors = int(palette_colors)
+        opts.try_palette = palette_colors != 0
+    if colorspace is not None:
+        # -1 = encoder default; 0 = none; 1-41 = RCT type
+        opts.color_transform = None if colorspace == 0 else (
+            int(colorspace) if colorspace > 0 else opts.color_transform)
+    if lossy_palette:
+        opts.delta_palette = True
     encode_modular_frame(writer, channels, fh, opts)
     return writer.get_bytes()
 
@@ -138,6 +152,9 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  epf: int = None,
                  dots: bool = None,
                  patches: bool = None,
+                 intensity_target: float = None,
+                 iterations: int = None,
+                 already_downsampled: bool = False,
                  debug_cb=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
@@ -190,12 +207,23 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     h, w, nc = image.shape
     extra_channels = None
     meta = CodecMetadata()
-    meta.size = SizeHeader().set(w, h)
+    if already_downsampled and resampling > 1:
+        # input pixels are the low-res frame; the signaled image size is
+        # the upsampled one (cjxl --already_downsampled semantics)
+        meta.size = SizeHeader().set(w * resampling, h * resampling)
+    else:
+        meta.size = SizeHeader().set(w, h)
     if image.dtype == np.uint16:
         # HDR/deep input: signal 16-bit samples (the XYB payload is the
         # same; bit depth governs the decoder's output quantization)
         meta.m.all_default = False
         meta.m.bit_depth.bits_per_sample = 16
+    if intensity_target is not None:
+        # display brightness the stream targets (tone_mapping bundle;
+        # drives the decoder's Rec.2408 stage and HDR intent)
+        meta.m.all_default = False
+        meta.m.tone_mapping.all_default = False
+        meta.m.tone_mapping.intensity_target = float(intensity_target)
     if nc == 4:
         meta.m.all_default = False
         meta.m.set_alpha_bits(8 if image.dtype == np.uint8 else 16)
@@ -341,7 +369,12 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         noise_lut = estimate_noise(linear_rgb_to_xyb(rgb))
     if noise_lut is not None:
         fh.flags |= FLAG_NOISE
-    if resampling > 1:
+    if resampling > 1 and already_downsampled:
+        # cjxl --already_downsampled: the input IS the low-res frame;
+        # only signal the upsampling factor (SizeHeader keeps the full
+        # output size, so the caller passed H/N x W/N pixels)
+        pass
+    elif resampling > 1:
         from ..render.upsample import (
             downsample2_iterative,
             downsample2_sharper,
@@ -370,6 +403,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     # Butteraugli-feedback quant refinement (<= 4 iters, like the ref);
     # e8+ also runs dot detection (FindBestPatchDictionary dot path)
     butteraugli_iters = 0 if effort < 7 else min(4, effort - 5)
+    if iterations is not None:  # cjxl --iterations override
+        butteraugli_iters = max(0, min(10, int(iterations)))
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         noise_lut=noise_lut, splines=splines,
                         extra_channels=extra_channels,

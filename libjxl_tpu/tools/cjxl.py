@@ -66,18 +66,61 @@ def build_parser():
                    help="content-adaptive noise synthesis")
     p.add_argument("--progressive_ac", action="store_true",
                    help="spectral-progression AC passes (= -p 2)")
+    p.add_argument("--intensity_target", type=float, default=None,
+                   help="display nits the stream targets (tone mapping "
+                        "metadata; drives the decoder's Rec.2408 stage)")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="Butteraugli quant-refinement rounds override "
+                        "(default: effort tier, <=4 at e7+)")
+    p.add_argument("--already_downsampled", action="store_true",
+                   help="input is already the low-res frame for "
+                        "--resampling N; only signal the upsampling")
+    p.add_argument("--alpha_distance", type=float, default=0.0,
+                   help="alpha channel distance (only 0 = lossless "
+                        "alpha is supported; nonzero warns)")
+    p.add_argument("--override_bitdepth", type=int, default=None,
+                   help="signal this bit depth instead of the input's "
+                        "(modular/lossless)")
+    p.add_argument("--codestream_level", type=int, choices=(5, 10),
+                   default=5, help="container jxll level box")
+    p.add_argument("--exif", default=None, metavar="FILE",
+                   help="embed EXIF blob as a container box")
+    p.add_argument("--xmp", default=None, metavar="FILE",
+                   help="embed XMP/XML blob as a container box")
+    p.add_argument("--modular_predictor", type=int, default=None,
+                   help="modular predictor 0-15 (15 = per-channel best)")
+    p.add_argument("--modular_palette_colors", type=int, default=None,
+                   help="max palette size (0 disables palette)")
+    p.add_argument("--modular_colorspace", type=int, default=None,
+                   help="RCT 0-41 (0 = none, default YCoCg family)")
+    p.add_argument("--modular_lossy_palette", type=int, choices=(0, 1),
+                   default=None, help="lossy delta palette")
+    p.add_argument("--modular_group_size", type=int, choices=range(4),
+                   default=None,
+                   help="modular group size shift 0-3 (alias of "
+                        "--group-size-shift)")
+    p.add_argument("--allow_expert_options", action="store_true",
+                   help="allow distance > 25 and other extremes")
+    p.add_argument("--num_reps", type=int, default=1,
+                   help="encode N times (benchmarking)")
+    p.add_argument("--disable_output", action="store_true",
+                   help="skip writing the output file")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--version", action="store_true",
+                   help=argparse.SUPPRESS)
     # accepted for cjxl command-line compatibility; not yet wired to a
     # distinct behavior here (logged when verbose, like the reference
     # ignores settings outside the active tier)
     for flag in ("--brotli_effort", "--faster_decoding",
                  "--progressive_dc", "--qprogressive_ac",
-                 "--intensity_target", "--override_bitdepth",
                  "--center_x", "--center_y", "--group_order",
-                 "--modular_group_size", "--modular_predictor",
-                 "--modular_colorspace", "--modular_ma_tree_learning_percent",
-                 "--modular_nb_prev_channels", "--modular_palette_colors",
-                 "--modular_lossy_palette", "--pre_compact",
-                 "--post_compact", "--iterations", "--allow_expert_options"):
+                 "--modular_ma_tree_learning_percent",
+                 "--modular_nb_prev_channels",
+                 "--modular_channel_colors_global_percent",
+                 "--modular_channel_colors_group_percent",
+                 "--ec_resampling", "--keep_invisible", "--premultiply",
+                 "--jpeg_reconstruction_cfl", "--upsampling_mode",
+                 "--frame_indexing", "--pre_compact", "--post_compact"):
         p.add_argument(flag, type=float, default=None,
                        help=argparse.SUPPRESS)
     p.add_argument("--stats", action="store_true",
@@ -115,6 +158,19 @@ def _main(argv=None):
     from ..extras.io import load_image
     from ..api.codestream import encode_lossless, encode_lossy
     from ..io.container import wrap_codestream
+
+    if args.version:
+        print("cjxl (libjxl_tpu)")
+        return 0
+    if args.alpha_distance not in (0, 0.0, None):
+        print("cjxl: warning: only lossless alpha (--alpha_distance 0) "
+              "is supported; alpha stays lossless", file=sys.stderr)
+    if args.distance > 25 and not args.allow_expert_options:
+        print("cjxl: error: distance > 25 requires "
+              "--allow_expert_options", file=sys.stderr)
+        return 1
+    if args.modular_group_size is not None:
+        args.group_size_shift = args.modular_group_size
 
     if args.input.lower().endswith((".jpg", ".jpeg")) and args.lossless_jpeg:
         from ..jpeg.recompress import recompress_jpeg, recompress_jpeg_vardct
@@ -158,7 +214,13 @@ def _main(argv=None):
         data = encode_lossless(image,
                                group_size_shift=args.group_size_shift,
                                icc=icc, effort=args.effort,
-                               responsive=bool(args.responsive))
+                               responsive=bool(args.responsive),
+                               bits_per_sample=args.override_bitdepth,
+                               predictor=args.modular_predictor,
+                               palette_colors=args.modular_palette_colors,
+                               colorspace=args.modular_colorspace,
+                               lossy_palette=bool(
+                                   args.modular_lossy_palette))
     elif args.streaming:
         from ..api.codestream import encode_lossy_streaming
 
@@ -176,13 +238,14 @@ def _main(argv=None):
                 save_heatmap(state.strategy, prefix + "_acs.png")
         unwired = [f for f in (
             "brotli_effort", "faster_decoding", "progressive_dc",
-            "qprogressive_ac", "intensity_target", "override_bitdepth",
-            "center_x", "center_y", "group_order", "modular_group_size",
-            "modular_predictor", "modular_colorspace",
+            "qprogressive_ac", "center_x", "center_y", "group_order",
             "modular_ma_tree_learning_percent",
-            "modular_nb_prev_channels", "modular_palette_colors",
-            "modular_lossy_palette", "pre_compact", "post_compact",
-            "iterations", "allow_expert_options")
+            "modular_nb_prev_channels",
+            "modular_channel_colors_global_percent",
+            "modular_channel_colors_group_percent",
+            "ec_resampling", "keep_invisible", "premultiply",
+            "jpeg_reconstruction_cfl", "upsampling_mode",
+            "frame_indexing", "pre_compact", "post_compact")
             if getattr(args, f, None) is not None]
         if unwired and args.verbose:
             print(f"cjxl: accepted (not wired): {', '.join(unwired)}",
@@ -197,6 +260,9 @@ def _main(argv=None):
                             resampling=args.resampling,
                             photon_noise_iso=args.photon_noise_iso,
                             preview=args.preview,
+                            intensity_target=args.intensity_target,
+                            iterations=args.iterations,
+                            already_downsampled=args.already_downsampled,
                             epf=args.epf if args.epf not in (None, -1)
                             else None,
                             gaborish=None if args.gaborish is None
@@ -210,12 +276,32 @@ def _main(argv=None):
         if stats:
             for k, v in sorted(stats.items()):
                 print(f"{k}: {v} bits ({v / 8:.0f} B)", file=sys.stderr)
+    for _ in range(max(0, args.num_reps - 1)):  # --num_reps benchmark
+        t1 = time.perf_counter()
+        if lossless:
+            encode_lossless(image, group_size_shift=args.group_size_shift,
+                            icc=icc, effort=args.effort)
+        else:
+            encode_lossy(image, distance=distance, effort=args.effort)
+        dt_r = time.perf_counter() - t1
+        if not args.quiet:
+            print(f"rep: {dt_r:.3f}s", file=sys.stderr)
     dt = time.perf_counter() - t0
-    if args.container:
-        data = wrap_codestream(data, compress_boxes=bool(args.compress_boxes))
-    with open(args.output, "wb") as f:
-        f.write(data)
-    if args.verbose:
+    exif = xml = None
+    if args.exif:
+        with open(args.exif, "rb") as f:
+            exif = f.read()
+    if args.xmp:
+        with open(args.xmp, "rb") as f:
+            xml = f.read()
+    if args.container or exif or xml or args.codestream_level != 5:
+        data = wrap_codestream(data, level=args.codestream_level,
+                               exif=exif, xml=xml,
+                               compress_boxes=bool(args.compress_boxes))
+    if not args.disable_output:
+        with open(args.output, "wb") as f:
+            f.write(data)
+    if args.verbose and not args.quiet:
         h, w = image.shape[:2]
         mp = h * w / 1e6
         bpp = len(data) * 8 / (h * w)
