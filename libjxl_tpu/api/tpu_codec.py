@@ -216,16 +216,30 @@ def encode_lossy_tpu(image: np.ndarray, distance: float = 1.0,
         np.float32(b_dm_mult), qf_in=qf_arr,
         adaptive=adaptive_quant, cfl=cfl, gab=fh.loop_filter.gab,
         distance=float(distance) if adaptive_quant else None)
+    # device->host: the big qimg tensor fetches as concurrent row
+    # slices (the dev-rig tunnel's readback bandwidth only saturates
+    # with many in-flight transfers; see decode_tpu_pipelined)
+    import concurrent.futures as cf
+
+    nchunks = 16
+    rows = qimg.shape[1]
+    step = max(8, -(-rows // nchunks) // 8 * 8)
+    slices = [qimg[:, y:y + step] for y in range(0, rows, step)]
+    with cf.ThreadPoolExecutor(max_workers=nchunks + 6) as tp:
+        qimg_parts = tp.map(np.asarray, slices)
+        small = list(tp.map(np.asarray, (nz, dc, qf, ytox_map,
+                                         ytob_map, sharp)))
+        qimg_np = np.concatenate(list(qimg_parts), axis=1)
     precomputed = {
         "quant_median": (quant_median if adaptive_quant
                          else K_AC_QUANT / distance),
-        "qimg": np.asarray(qimg),
-        "nz": np.asarray(nz),
-        "dc": np.asarray(dc),
-        "qf": np.asarray(qf),
-        "ytox_map": np.asarray(ytox_map),
-        "ytob_map": np.asarray(ytob_map),
-        "sharp": np.asarray(sharp),
+        "qimg": qimg_np,
+        "nz": small[0],
+        "dc": small[1],
+        "qf": small[2],
+        "ytox_map": small[3],
+        "ytob_map": small[4],
+        "sharp": small[5],
     }
     encode_vardct_frame(writer, None, fh, distance=distance,
                         precomputed=precomputed,
@@ -432,6 +446,22 @@ def decode_tpu_pipelined(streams, batch_size: int = 16,
     bs = max(1, int(batch_size))
     out = [None] * len(streams)
 
+    # the dev-rig tunnel's device->host bandwidth only saturates with
+    # many in-flight transfers (measured ~3x one serial np.asarray), so
+    # the worker fans the batched u8 result out to per-image row-halved
+    # readbacks on a transfer pool
+    tp = cf.ThreadPoolExecutor(max_workers=32)
+
+    def fetch(dev_batch, cnt):
+        halves = []
+        for j in range(cnt):
+            h = dev_batch.shape[1] // 2
+            halves.append(dev_batch[j, :h])
+            halves.append(dev_batch[j, h:])
+        got = list(tp.map(np.asarray, halves))
+        return [np.concatenate((got[2 * j], got[2 * j + 1]), axis=0)
+                for j in range(cnt)]
+
     def drain(p):
         fut, start, cnt = p
         px = fut.result()
@@ -450,13 +480,14 @@ def decode_tpu_pipelined(streams, batch_size: int = 16,
                 # submit BEFORE draining the previous batch so the
                 # worker rolls straight from batch k-1 into batch k
                 job = ex.submit(
-                    lambda p=prog, a=args: np.asarray(p(*a)))
+                    lambda p=prog, a=args, n=len(chunk): fetch(p(*a), n))
                 if pending is not None:
                     drain(pending)
                 pending = (job, start, len(chunk))
         finally:
             if pending is not None:
                 drain(pending)
+            tp.shutdown(wait=False)
     return out
 
 
