@@ -134,6 +134,63 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
     return writer.get_bytes()
 
 
+def encode_cmyk(cmyk: np.ndarray, icc: bytes = None,
+                effort: int = 3, group_size_shift: int = 1) -> bytes:
+    """Encode a CMYK image losslessly (kBlack extra channel).
+
+    cmyk: (H, W, 4) uint8/uint16 INK values (0 = no ink). Per the spec
+    the stream stores trichromatic samples = 1 - ink for C, M, Y plus
+    a kBlack extra channel = 1 - K ink (color_encoding_cms.h:40-43:
+    the kBlack channel's presence IS the CMYK signal; jxl_cms.cc:235
+    re-inverts for the CMS). icc: the CMYK ICC profile to embed
+    (recommended — decoders need it for colorimetric meaning)."""
+    from ..io.headers import EC_BLACK, ExtraChannelInfo
+
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise JXLError("encode_cmyk needs (H, W, 4) ink samples")
+    h, w, _ = cmyk.shape
+    bits = 16 if cmyk.dtype == np.uint16 else 8
+    maxval = (1 << bits) - 1
+    inv = (maxval - cmyk.astype(np.int64)).astype(np.int32)
+    meta = CodecMetadata()
+    meta.size = SizeHeader().set(w, h)
+    meta.m.all_default = False
+    meta.m.xyb_encoded = False
+    meta.m.bit_depth.bits_per_sample = bits
+    if bits > 12:
+        meta.m.modular_16_bit_buffer_sufficient = False
+    eci = ExtraChannelInfo()
+    eci.set_default()
+    eci.all_default = False
+    eci.type = EC_BLACK
+    eci.bit_depth.bits_per_sample = bits
+    meta.m.extra_channel_info.append(eci)
+    meta.m.num_extra_channels = 1
+    if icc is not None:
+        meta.m.color_encoding.all_default = False
+        meta.m.color_encoding.want_icc = True
+        meta.m.color_encoding.icc = icc
+    writer = BitWriter()
+    write_codestream_header(writer, meta)
+    fh = make_modular_frame_header(meta, group_size_shift=group_size_shift)
+    channels = [inv[:, :, c] for c in range(4)]
+    opts = ModularEncOptions(group_size_shift=group_size_shift,
+                             color_transform=6, effort=effort)
+    encode_modular_frame(writer, channels, fh, opts)
+    return writer.get_bytes()
+
+
+def decode_cmyk(data: bytes):
+    """Decode a CMYK (kBlack) stream to (H, W, 4) ink samples + meta.
+    Inverse of encode_cmyk: samples -> maxval - stored."""
+    ink, meta = decode(data, color_management=False)
+    if not any(e.type == 4 for e in meta.m.extra_channel_info):
+        raise JXLError("stream has no kBlack channel")
+    maxval = (1 << meta.m.bit_depth.bits_per_sample) - 1
+    return (maxval - ink[:, :, :4].astype(np.int64)).astype(
+        ink.dtype), meta
+
+
 def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  group_size_shift: int = 1,
                  photon_noise_iso: float = None,
@@ -619,6 +676,31 @@ def decode(data: bytes, target_nits: float = None,
                                    reference_extra)
         chans = [c.data for c in img.channel]
         stacked = np.stack(chans, axis=-1)
+        from ..io.headers import EC_BLACK as _EC_BLACK
+
+        has_black = any(e.type == _EC_BLACK
+                        for e in meta.m.extra_channel_info)
+        if has_black and color_management and stacked.shape[2] >= 4:
+            # CMYK leg (color_encoding_cms.h:40-43): stored samples are
+            # 1 - ink; convert through the embedded CMYK profile when
+            # lcms is present, else the naive formula
+            mv = (1 << bits) - 1
+            ink = np.clip(1.0 - stacked[:, :, :4] / mv, 0.0, 1.0)
+            from ..extras import cms as _cms
+            from ..ops.xyb import linear_to_srgb_u8
+
+            icc_prof = meta.m.color_encoding.icc \
+                if meta.m.color_encoding.want_icc else None
+            if icc_prof is not None and _cms.available() \
+                    and _cms.profile_is_cmyk(icc_prof):
+                lin = _cms.cmyk_icc_to_linear_srgb(ink, icc_prof)
+            else:
+                # naive: rgb = (1 - c)(1 - k), nonlinear sRGB values
+                srgb = ((1.0 - ink[:, :, :3])
+                        * (1.0 - ink[:, :, 3:4]))
+                return _orient(np.clip(np.round(srgb * 255.0), 0,
+                                       255).astype(np.uint8)), meta
+            return _orient(linear_to_srgb_u8(lin)), meta
         if want_float:
             num_ec = len(meta.m.extra_channel_info)
             nb = stacked.shape[2] - num_ec

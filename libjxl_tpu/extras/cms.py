@@ -288,3 +288,36 @@ def linear_srgb_to_gray_icc(pixels: np.ndarray, icc: bytes) -> np.ndarray:
                        out.ctypes.data_as(c_void_p), h * w)
     lib.cmsDeleteTransform(xf)
     return np.clip(out, 0.0, 1.0)
+
+
+TYPE_CMYK_FLT = (1 << 22) | (6 << 16) | (4 << 3) | 4  # PT_CMYK, 4xf32
+
+
+def profile_is_cmyk(icc: bytes) -> bool:
+    return profile_color_space(icc) == 0x434D594B  # 'CMYK'
+
+
+def cmyk_icc_to_linear_srgb(ink: np.ndarray, icc: bytes) -> np.ndarray:
+    """Convert (H, W, 4) CMYK ink fractions in [0, 1] described by a
+    CMYK `icc` profile to linear sRGB f32 (H, W, 3). lcms float CMYK
+    is scaled 0..100 (ink percent)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("lcms2 not available")
+    src = np.ascontiguousarray(ink.astype(np.float32) * 100.0)
+    h, w, _ = src.shape
+    p_in = lib.cmsOpenProfileFromMem(icc, len(icc))
+    if not p_in:
+        raise ValueError("invalid ICC profile")
+    p_out = _linear_srgb_profile(lib)
+    xf = lib.cmsCreateTransform(p_in, TYPE_CMYK_FLT, p_out, TYPE_RGB_FLT,
+                                INTENT_RELATIVE_COLORIMETRIC, 0)
+    lib.cmsCloseProfile(p_in)
+    lib.cmsCloseProfile(p_out)
+    if not xf:
+        raise ValueError("cannot build CMYK transform")
+    out = np.empty((h, w, 3), dtype=np.float32)
+    lib.cmsDoTransform(xf, src.ctypes.data_as(c_void_p),
+                       out.ctypes.data_as(c_void_p), h * w)
+    lib.cmsDeleteTransform(xf)
+    return np.clip(out, 0.0, 1.0)

@@ -83,3 +83,34 @@ def test_float_pixel_output():
                               device=False, pixel_format="float32")
     assert fl.shape == (96, 80, 4)
     assert np.allclose(fl * 255.0, rgba, atol=1e-4)
+
+
+def test_cmyk_roundtrip():
+    """CMYK via the kBlack extra channel (color_encoding_cms.h:40-43):
+    stored samples are 1 - ink; encode_cmyk/decode_cmyk roundtrip the
+    ink values bit-exactly, and decode(color_management=True)
+    composites to RGB."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+    from libjxl_tpu.io.headers import EC_BLACK
+
+    rng = np.random.default_rng(2)
+    cmyk = rng.integers(0, 256, (120, 100, 4), dtype=np.uint8)
+    cmyk[:40] = (cmyk[:40] // 32) * 32
+    s = codestream.encode_cmyk(cmyk)
+    ink, meta = codestream.decode_cmyk(s)
+    assert np.array_equal(ink, cmyk)
+    assert meta.m.extra_channel_info[0].type == EC_BLACK
+    rgb, _ = codestream.decode(s, color_management=True)
+    assert rgb.shape == (120, 100, 3) and rgb.dtype == np.uint8
+    # pure black ink must composite to black, no ink to white
+    flat = codestream.encode_cmyk(
+        np.dstack([np.zeros((16, 16, 3), np.uint8),
+                   np.full((16, 16), 255, np.uint8)]))
+    black, _ = codestream.decode(flat, color_management=True)
+    assert black.max() == 0
+    white, _ = codestream.decode(
+        codestream.encode_cmyk(np.zeros((16, 16, 4), np.uint8)),
+        color_management=True)
+    assert white.min() == 255
