@@ -33,7 +33,22 @@ TPU mapping (all shapes fixed by microbenchmarks on this v5e):
 Reference coverage: this replaces dec_group.cc:453-530 DecodeACVarBlock
 + entropy_coder rANS reads for the serving path; the reference has no
 accelerator entropy path (its ~400 MP/s target assumes a many-core
-CPU; this rig has one core, so entropy decode must live on-device).
+CPU; this rig has one core, which motivated trying entropy on-device).
+
+STATUS (round 5, measured): DEMOTED to a research artifact. The fused
+entropy+render path measures 2.6 MP/s end-to-end on the real chip
+(BENCH r5 `device_entropy_mp_s`) vs 38.7 MP/s for the single-core
+host C decoder — the official serving path is pipelined host entropy
+(api/tpu_codec.decode_tpu_pipelined). The two measured bottlenecks,
+for anyone picking this back up: (1) the per-superstep XLA window
+re-gather (WIN_HW halfwords per lane every F_TOT steps) dominates at
+low live-lane counts; (2) the per-step cost is bounded by the
+15-select queue ladder below — one symbol per lane per step through
+~15 vector selects, roughly two orders of magnitude off the arithmetic
+throughput the chip could sustain on this data layout. Correctness is
+fully oracle-tested (the tape matches ops/ans_tpu.simulate, which
+matches the native C decoder bit-exactly; fused pixels matched host
+pixels with max diff 0 on real streams).
 """
 
 from __future__ import annotations
