@@ -212,6 +212,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  intensity_target: float = None,
                  iterations: int = None,
                  already_downsampled: bool = False,
+                 progressive_dc: bool = False,
                  debug_cb=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
@@ -463,6 +464,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     if iterations is not None:  # cjxl --iterations override
         butteraugli_iters = max(0, min(10, int(iterations)))
     encode_vardct_frame(writer, rgb, fh, distance=distance,
+                        use_dc_frame=progressive_dc,
                         noise_lut=noise_lut, splines=splines,
                         extra_channels=extra_channels,
                         custom_quant=custom_quant,

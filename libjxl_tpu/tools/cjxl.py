@@ -111,8 +111,12 @@ def build_parser():
     # accepted for cjxl command-line compatibility; not yet wired to a
     # distinct behavior here (logged when verbose, like the reference
     # ignores settings outside the active tier)
+    p.add_argument("--progressive_dc", type=int, choices=(0, 1),
+                   default=None,
+                   help="code DC as a separate 1:8 kDCFrame (the "
+                        "decoder can render a preview from it)")
     for flag in ("--brotli_effort", "--faster_decoding",
-                 "--progressive_dc", "--qprogressive_ac",
+                 "--qprogressive_ac",
                  "--center_x", "--center_y", "--group_order",
                  "--modular_ma_tree_learning_percent",
                  "--modular_nb_prev_channels",
@@ -237,7 +241,7 @@ def _main(argv=None):
                 save_heatmap(state.epf_sharpness, prefix + "_sharp.png")
                 save_heatmap(state.strategy, prefix + "_acs.png")
         unwired = [f for f in (
-            "brotli_effort", "faster_decoding", "progressive_dc",
+            "brotli_effort", "faster_decoding",
             "qprogressive_ac", "center_x", "center_y", "group_order",
             "modular_ma_tree_learning_percent",
             "modular_nb_prev_channels",
@@ -263,6 +267,7 @@ def _main(argv=None):
                             intensity_target=args.intensity_target,
                             iterations=args.iterations,
                             already_downsampled=args.already_downsampled,
+                            progressive_dc=bool(args.progressive_dc),
                             epf=args.epf if args.epf not in (None, -1)
                             else None,
                             gaborish=None if args.gaborish is None

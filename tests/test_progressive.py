@@ -38,3 +38,33 @@ def test_progressive_multigroup_roundtrip():
     data = encode_lossy(img, distance=1.5, progressive=2, group_size_shift=0)
     out, _ = decode(data)
     assert psnr(img, out) > 28
+
+
+def test_progressive_dc_api():
+    """encode_lossy(progressive_dc=True) / cjxl --progressive_dc: DC
+    coded as a separate 1:8 kDCFrame (frame_header.h:348 pyramid),
+    decoded through the kUseDcFrame path at comparable quality."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(9)
+    base = 128 + 40 * np.sin(np.arange(300)[:, None] * 0.02) \
+        + rng.normal(0, 5, (300, 280))
+    img = np.clip(np.stack([base, base * 0.9 + 8, base * 1.1 - 9], -1),
+                  0, 255).astype(np.uint8)
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False, progressive_dc=True)
+    dec, _ = codestream.decode(s, device=False)
+    err = np.abs(dec[:, :, :3].astype(int) - img.astype(int)).mean()
+    assert err < 3.0, err
+    # stream really carries a kDCFrame
+    from libjxl_tpu.api.codestream import parse_codestream_header
+    from libjxl_tpu.io.bits import BitReader
+    from libjxl_tpu.io.frame_header import FT_DC, FrameHeader
+
+    r = BitReader(s)
+    meta = parse_codestream_header(r)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    assert fh.frame_type == FT_DC and fh.dc_level == 1
