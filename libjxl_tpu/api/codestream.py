@@ -213,6 +213,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
                  iterations: int = None,
                  already_downsampled: bool = False,
                  progressive_dc: bool = False,
+                 group_order: int = 0,
+                 center_x: int = None, center_y: int = None,
                  debug_cb=None) -> bytes:
     """Encode an sRGB uint8 (H, W, 3|4) image lossily (VarDCT mode).
 
@@ -465,6 +467,8 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
         butteraugli_iters = max(0, min(10, int(iterations)))
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         use_dc_frame=progressive_dc,
+                        group_order=group_order,
+                        center_x=center_x, center_y=center_y,
                         noise_lut=noise_lut, splines=splines,
                         extra_channels=extra_channels,
                         custom_quant=custom_quant,

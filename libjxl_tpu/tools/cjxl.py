@@ -115,9 +115,15 @@ def build_parser():
                    default=None,
                    help="code DC as a separate 1:8 kDCFrame (the "
                         "decoder can render a preview from it)")
+    p.add_argument("--group_order", type=int, choices=(0, 1), default=0,
+                   help="1 = center-first AC group order in the TOC "
+                        "(permuted sections; decoders render the "
+                        "center first)")
+    p.add_argument("--center_x", type=int, default=None,
+                   help="center for --group_order 1 (default: middle)")
+    p.add_argument("--center_y", type=int, default=None)
     for flag in ("--brotli_effort", "--faster_decoding",
                  "--qprogressive_ac",
-                 "--center_x", "--center_y", "--group_order",
                  "--modular_ma_tree_learning_percent",
                  "--modular_nb_prev_channels",
                  "--modular_channel_colors_global_percent",
@@ -241,8 +247,7 @@ def _main(argv=None):
                 save_heatmap(state.epf_sharpness, prefix + "_sharp.png")
                 save_heatmap(state.strategy, prefix + "_acs.png")
         unwired = [f for f in (
-            "brotli_effort", "faster_decoding",
-            "qprogressive_ac", "center_x", "center_y", "group_order",
+            "brotli_effort", "faster_decoding", "qprogressive_ac",
             "modular_ma_tree_learning_percent",
             "modular_nb_prev_channels",
             "modular_channel_colors_global_percent",
@@ -268,6 +273,9 @@ def _main(argv=None):
                             iterations=args.iterations,
                             already_downsampled=args.already_downsampled,
                             progressive_dc=bool(args.progressive_dc),
+                            group_order=args.group_order,
+                            center_x=args.center_x,
+                            center_y=args.center_y,
                             epf=args.epf if args.epf not in (None, -1)
                             else None,
                             gaborish=None if args.gaborish is None

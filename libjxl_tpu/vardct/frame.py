@@ -1906,6 +1906,8 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
                         ctx_model: bool = False,
                         effort: int = None,
                         dc_distance: float = None,
+                        group_order: int = 0,
+                        center_x: int = None, center_y: int = None,
                         debug_cb=None) -> None:
     """Encode (3, H, W) linear RGB as a VarDCT frame (DCT8 strategy).
 
@@ -2675,7 +2677,31 @@ def encode_vardct_frame(writer: BitWriter, rgb_linear: np.ndarray,
     b0 = writer.bits_written()
     fh.write(writer)
     acc("frame_header", writer.bits_written() - b0)
-    write_group_offsets([len(s) for s in sections], None, writer)
+    perm = None
+    if group_order == 1 and fd.num_groups > 1 and len(sections) > 1:
+        # kCenterFirst TOC permutation (cjxl --group_order): AC group
+        # sections stream in order of distance from (center_x,
+        # center_y); fixed sections keep their positions. The signaled
+        # permutation maps natural section index -> stream position
+        # (toc.cc:94-105 inverse application on read).
+        cx = (fd.xsize / 2.0) if center_x is None else float(center_x)
+        cy = (fd.ysize / 2.0) if center_y is None else float(center_y)
+        fixed = 2 + fd.num_dc_groups
+
+        def dist(g):
+            gx = (g % fd.xsize_groups + 0.5) * fd.group_dim
+            gy = (g // fd.xsize_groups + 0.5) * fd.group_dim
+            return (gx - cx) ** 2 + (gy - cy) ** 2
+
+        order = sorted(range(fd.num_groups), key=dist)
+        stream_natural = list(range(fixed)) + [
+            fixed + p * fd.num_groups + g
+            for p in range(num_passes) for g in order]
+        perm = [0] * len(stream_natural)
+        for pos, nat in enumerate(stream_natural):
+            perm[nat] = pos
+        sections = [sections[nat] for nat in stream_natural]
+    write_group_offsets([len(s) for s in sections], perm, writer)
     writer.zero_pad_to_byte()
     for s in sections:
         writer.append_bytes(s)

@@ -114,3 +114,30 @@ def test_cmyk_roundtrip():
         codestream.encode_cmyk(np.zeros((16, 16, 4), np.uint8)),
         color_management=True)
     assert white.min() == 255
+
+
+def test_center_first_group_order():
+    """--group_order 1: AC group sections stream center-first via the
+    TOC permutation (enc_toc.cc); both our decoder and the reference
+    (see test_interop) read the permuted TOC transparently."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(9)
+    base = 128 + 40 * np.sin(np.arange(600)[:, None] * 0.02) \
+        + rng.normal(0, 5, (600, 520))
+    img = np.clip(np.stack([base, base * 0.9 + 8, base * 1.1 - 9], -1),
+                  0, 255).astype(np.uint8)
+    s0 = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                 device=False)
+    s1 = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                 device=False, group_order=1)
+    assert s1 != s0  # really permuted
+    d0, _ = codestream.decode(s0, device=False)
+    d1, _ = codestream.decode(s1, device=False)
+    assert np.array_equal(d0, d1)
+    from libjxl_tpu.extras import oracle
+
+    if oracle.available():
+        assert np.array_equal(oracle.decode(s1)[0], oracle.decode(s0)[0])
