@@ -67,3 +67,29 @@ def test_jpeg_reconstruction_case():
     from libjxl_tpu.jpeg.recompress import reconstruct_jpeg
 
     assert reconstruct_jpeg(data) == jpg
+
+
+def test_jpeg_recon_pixel_decode():
+    """The oracle's JPEG-recompressed container must also PIXEL-decode
+    (YCbCr VarDCT transcode path), matching an independent JPEG decode
+    of the original file within IDCT rounding."""
+    jc = [c for c in MANIFEST["cases"]
+          if c["kind"] == "jpeg_reconstruction"]
+    if not jc:
+        pytest.skip("no jpeg case in corpus")
+    with open(os.path.join(CORPUS, "jpeg_recon.jxl"), "rb") as f:
+        data = f.read()
+    ours, _ = codestream.decode(data)
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("no PIL")
+    import io as _io
+
+    with open(os.path.join(CORPUS, "jpeg_recon.jpg"), "rb") as f:
+        ref = np.asarray(Image.open(_io.BytesIO(f.read())).convert("RGB"))
+    assert ours.shape[:2] == ref.shape[:2]
+    d = np.abs(ours[:, :, :3].astype(int) - ref.astype(int))
+    # two independent JPEG decoders (ours via the VarDCT transcode,
+    # PIL's libjpeg): differences are IDCT/upsampling rounding only
+    assert d.mean() < 2.0 and d.max() <= 32, (d.mean(), d.max())
