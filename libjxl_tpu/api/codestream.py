@@ -77,7 +77,8 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
                     icc: bytes = None, responsive: bool = False,
                     orientation: int = 1, predictor: int = None,
                     palette_colors: int = None, colorspace: int = None,
-                    lossy_palette: bool = False) -> bytes:
+                    lossy_palette: bool = False,
+                    ma_tree_learning_percent: float = None) -> bytes:
     """Encode an image losslessly (modular mode).
 
     image: (H, W) or (H, W, C) uint8/uint16/int array.
@@ -130,6 +131,11 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
             int(colorspace) if colorspace > 0 else opts.color_transform)
     if lossy_palette:
         opts.delta_palette = True
+    if ma_tree_learning_percent is not None \
+            and ma_tree_learning_percent > 0:
+        # percent of samples fed to the CART learner -> sample step
+        opts.tree_sample_step = max(1, int(round(
+            100.0 / ma_tree_learning_percent)))
     encode_modular_frame(writer, channels, fh, opts)
     return writer.get_bytes()
 

@@ -122,8 +122,16 @@ def build_parser():
     p.add_argument("--center_x", type=int, default=None,
                    help="center for --group_order 1 (default: middle)")
     p.add_argument("--center_y", type=int, default=None)
+    p.add_argument("--qprogressive_ac", type=int, choices=(0, 1),
+                   default=None,
+                   help="quantized (shift-based) AC progression; this "
+                        "encoder's -p N ladder IS shift-based, so this "
+                        "equals -p 2")
+    p.add_argument("--modular_ma_tree_learning_percent", type=float,
+                   default=None,
+                   help="percent of samples used to learn the modular "
+                        "MA tree (maps to the CART sample step)")
     for flag in ("--brotli_effort", "--faster_decoding",
-                 "--qprogressive_ac",
                  "--modular_ma_tree_learning_percent",
                  "--modular_nb_prev_channels",
                  "--modular_channel_colors_global_percent",
@@ -230,7 +238,9 @@ def _main(argv=None):
                                palette_colors=args.modular_palette_colors,
                                colorspace=args.modular_colorspace,
                                lossy_palette=bool(
-                                   args.modular_lossy_palette))
+                                   args.modular_lossy_palette),
+                               ma_tree_learning_percent=(
+                                   args.modular_ma_tree_learning_percent))
     elif args.streaming:
         from ..api.codestream import encode_lossy_streaming
 
@@ -247,7 +257,7 @@ def _main(argv=None):
                 save_heatmap(state.epf_sharpness, prefix + "_sharp.png")
                 save_heatmap(state.strategy, prefix + "_acs.png")
         unwired = [f for f in (
-            "brotli_effort", "faster_decoding", "qprogressive_ac",
+            "brotli_effort", "faster_decoding",
             "modular_ma_tree_learning_percent",
             "modular_nb_prev_channels",
             "modular_channel_colors_global_percent",
@@ -260,7 +270,8 @@ def _main(argv=None):
             print(f"cjxl: accepted (not wired): {', '.join(unwired)}",
                   file=sys.stderr)
         progressive = args.progressive
-        if args.progressive_ac and progressive == 1:
+        if (args.progressive_ac or args.qprogressive_ac) \
+                and progressive == 1:
             progressive = 2
         data = encode_lossy(image, distance=distance,
                             group_size_shift=args.group_size_shift, icc=icc,
