@@ -132,7 +132,6 @@ def build_parser():
                    help="percent of samples used to learn the modular "
                         "MA tree (maps to the CART sample step)")
     for flag in ("--brotli_effort", "--faster_decoding",
-                 "--modular_ma_tree_learning_percent",
                  "--modular_nb_prev_channels",
                  "--modular_channel_colors_global_percent",
                  "--modular_channel_colors_group_percent",
@@ -258,7 +257,6 @@ def _main(argv=None):
                 save_heatmap(state.strategy, prefix + "_acs.png")
         unwired = [f for f in (
             "brotli_effort", "faster_decoding",
-            "modular_ma_tree_learning_percent",
             "modular_nb_prev_channels",
             "modular_channel_colors_global_percent",
             "modular_channel_colors_group_percent",
