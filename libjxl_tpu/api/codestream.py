@@ -960,8 +960,19 @@ def decode_rows(data: bytes, num_threads: int = 0):
     if not meta.m.xyb_encoded and not ycbcr:
         raise JXLError("low-memory decode: non-XYB/non-YCbCr stream")
     maxval = (1 << min(bits, 16)) - 1
-    for y0, strip in decode_vardct_strips(
+    odt = np.uint8 if bits <= 8 else np.uint16
+
+    def with_ec(rows_px, ec):
+        if not ec:
+            return rows_px
+        ecs = np.stack([np.clip(np.round(e), 0, maxval).astype(odt)
+                        for e in ec], axis=-1)
+        return np.concatenate([rows_px, ecs], axis=-1)
+
+    for item in decode_vardct_strips(
             r, fh, num_threads, device=None if bits <= 8 else False):
+        y0, strip = item[0], item[1]
+        ec = item[2] if len(item) > 2 else None
         if strip.dtype == np.uint8:
             # device-rendered strip: already final sRGB u8 rows
             yield y0, strip
@@ -970,21 +981,22 @@ def decode_rows(data: bytes, num_threads: int = 0):
             from ..vardct.frame import ycbcr_to_rgb
 
             rgb = ycbcr_to_rgb(strip)
-            yield y0, np.clip(
+            yield y0, with_ec(np.clip(
                 np.round(np.moveaxis(rgb, 0, -1) * maxval), 0,
-                maxval).astype(np.uint8 if bits <= 8 else np.uint16)
+                maxval).astype(odt), ec)
             continue
         rgb = xyb_to_linear_rgb(strip)
         if bits <= 8:
             from ..ops.xyb import linear_to_srgb_u8
 
-            yield y0, linear_to_srgb_u8(np.moveaxis(rgb, 0, -1))
+            yield y0, with_ec(linear_to_srgb_u8(
+                np.moveaxis(rgb, 0, -1)), ec)
         else:
             # HDR leg: 9-16 bit sRGB-transfer samples per row
             srgb = linear_to_srgb(
                 np.clip(np.moveaxis(rgb, 0, -1), 0.0, 1.0))
-            yield y0, np.clip(np.round(srgb * maxval), 0,
-                              maxval).astype(np.uint16)
+            yield y0, with_ec(np.clip(np.round(srgb * maxval), 0,
+                                      maxval).astype(np.uint16), ec)
 
 
 def decode_preview(data: bytes):

@@ -288,6 +288,7 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     from ..api.frame import (
         decode_global_info,
         decode_modular_group,
+        modular_ac_stream_id,
         modular_dc_stream_id,
         ModularFrameState,
         num_toc_entries,
@@ -318,8 +319,17 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     m = fh.nonserialized_metadata.m
     subsampled = (fh.color_transform == CT_YCBCR
                   and not fh.chroma_subsampling.is_444())
-    if m.num_extra_channels:
-        raise JXLError("low-memory decode: extra channels")
+    num_ec = m.num_extra_channels
+    if num_ec:
+        # extra channels ride per-AC-group modular streams and emit
+        # row-wise; global transforms / upsampling need whole-image
+        # context and fall back loudly below
+        if fh.upsampling != 1:
+            raise JXLError("low-memory decode: extra channels + "
+                           "upsampling")
+        if fh.extra_channel_upsampling and any(
+                u != 1 for u in fh.extra_channel_upsampling):
+            raise JXLError("low-memory decode: ec_upsampling")
     if fh.flags & (FLAG_PATCHES | FLAG_SPLINES):
         raise JXLError("low-memory decode: patches/splines")
     if fh.flags & FLAG_USE_DC_FRAME:
@@ -435,7 +445,7 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
 
         device = accelerator_available()
     device = bool(
-        device and fh.color_transform == CT_XYB
+        device and fh.color_transform == CT_XYB and num_ec == 0
         and state.noise_lut is None and ups == 1
         and np.all(state.strategy[state.is_origin] == _acs().DCT)
         and getattr(state, "color_factor", 84) == 84
@@ -457,6 +467,26 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                     decode_ac_group_sub(sr, state, g, p)
                 else:
                     decode_ac_group(sr, state, g, p)
+                if num_ec:
+                    from ..api.frame import get_downsampling_bracket
+
+                    gx0 = (g % fd.xsize_groups) * fd.group_dim
+                    gy0 = (g // fd.xsize_groups) * fd.group_dim
+                    mn, mx = get_downsampling_bracket(fh.passes, p)
+                    decode_modular_group(
+                        sr, fh, fd, mstate,
+                        (gx0, gy0, fd.group_dim, fd.group_dim), mn, mx,
+                        modular_ac_stream_id(fd, g, p))
+
+    def ec_rows(y0, emit):
+        if not num_ec or mstate.full_image is None:
+            return None
+        if mstate.full_image.transform:
+            raise JXLError("low-memory decode: global EC transforms")
+        if mstate.full_image.nb_meta_channels:
+            raise JXLError("low-memory decode: EC meta channels")
+        return [ch.data[y0:y0 + emit, :fd.xsize]
+                for ch in mstate.full_image.channel]
 
     def finish_row(gy):
         if subsampled:
@@ -542,7 +572,10 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                                      gy)
         emit = min(rows, fd.ysize - y0)
         if emit > 0:
-            yield y0, strip[:, :emit, :fd.xsize]
+            if num_ec:
+                yield y0, strip[:, :emit, :fd.xsize], ec_rows(y0, emit)
+            else:
+                yield y0, strip[:, :emit, :fd.xsize]
         prev, cur = cur, nxt
     r.skip_bits(total * 8)
 

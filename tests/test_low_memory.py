@@ -246,3 +246,21 @@ def test_strips_16bit_progressive_hdr():
     strips = _assemble(s)
     assert strips.dtype == np.uint16
     assert np.array_equal(strips, dec[:, :, :3])
+
+
+def test_strips_with_alpha():
+    """Extra channels (alpha) emit row-wise: each AC group's modular
+    sub-stream decodes with its group and the rows join the strip —
+    bit-exact vs the whole-image decoder."""
+    rng = np.random.default_rng(7)
+    img = _image(600, 300, seed=7)
+    alpha = np.clip(np.linspace(0, 255, 600)[:, None]
+                    + rng.normal(0, 10, (600, 300)), 0,
+                    255).astype(np.uint8)
+    rgba = np.dstack([img, alpha])
+    s = codestream.encode_lossy(rgba, distance=1.0, effort=3,
+                                device=False)
+    ref, _ = codestream.decode(s, device=False)
+    strips = _assemble(s)
+    assert strips.shape == ref.shape
+    assert np.array_equal(strips, ref)
