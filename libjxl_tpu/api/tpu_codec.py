@@ -468,19 +468,42 @@ def decode_tpu_pipelined(streams, batch_size: int = 16,
         for j in range(cnt):
             out[start + j] = px[j]
 
+    import os
+    import time
+
+    dbg = os.environ.get("LIBJXL_TPU_PIPE_DEBUG") == "1"
+
+    def timed_fetch(prog, args, cnt):
+        t0 = time.time()
+        dev = prog(*args)
+        t1 = time.time()
+        px = fetch(dev, cnt)
+        if dbg:
+            import sys
+
+            print(f"pipe: dispatch {t1 - t0:.2f}s readback "
+                  f"{time.time() - t1:.2f}s", file=sys.stderr,
+                  flush=True)
+        return px
+
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
         pending = None
         try:
             for start in range(0, len(streams), bs):
                 chunk = streams[start:start + bs]
                 # host stage (this thread): entropy decode + staging
+                t0 = time.time()
                 prog, args = prepare_tpu_batch(chunk,
                                                num_threads=num_threads)
+                if dbg:
+                    import sys
+
+                    print(f"pipe: prepare {time.time() - t0:.2f}s",
+                          file=sys.stderr, flush=True)
                 # device stage (worker): dispatch + pixel readback; we
                 # submit BEFORE draining the previous batch so the
                 # worker rolls straight from batch k-1 into batch k
-                job = ex.submit(
-                    lambda p=prog, a=args, n=len(chunk): fetch(p(*a), n))
+                job = ex.submit(timed_fetch, prog, args, len(chunk))
                 if pending is not None:
                     drain(pending)
                 pending = (job, start, len(chunk))
