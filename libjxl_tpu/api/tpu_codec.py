@@ -412,9 +412,21 @@ def decode_tpu_batch(streams, num_threads: int = 0):
     non-DCT8 strategies, mismatched filter/dequant config) — callers
     fall back to per-stream decode().
     """
+    import concurrent.futures as cf
+
     prog, args = prepare_tpu_batch(streams, num_threads=num_threads)
-    out = np.asarray(prog(*args))
-    return [out[i] for i in range(len(streams))]
+    dev = prog(*args)
+    # concurrent per-half readback (the dev-rig tunnel's device->host
+    # bandwidth only saturates with many in-flight transfers)
+    halves = []
+    h = dev.shape[1] // 2
+    for j in range(len(streams)):
+        halves.append(dev[j, :h])
+        halves.append(dev[j, h:])
+    with cf.ThreadPoolExecutor(max_workers=32) as tp:
+        got = list(tp.map(np.asarray, halves))
+    return [np.concatenate((got[2 * j], got[2 * j + 1]), axis=0)
+            for j in range(len(streams))]
 
 
 def decode_tpu_pipelined(streams, batch_size: int = 16,
