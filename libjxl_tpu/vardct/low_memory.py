@@ -330,8 +330,11 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
         if fh.extra_channel_upsampling and any(
                 u != 1 for u in fh.extra_channel_upsampling):
             raise JXLError("low-memory decode: ec_upsampling")
-    if fh.flags & (FLAG_PATCHES | FLAG_SPLINES):
-        raise JXLError("low-memory decode: patches/splines")
+    if fh.flags & FLAG_PATCHES:
+        raise JXLError("low-memory decode: patches")
+    if (fh.flags & FLAG_SPLINES) and fh.upsampling != 1:
+        # upsample context rows would need spline-added neighbor data
+        raise JXLError("low-memory decode: splines + upsampling")
     if fh.flags & FLAG_USE_DC_FRAME:
         raise JXLError("low-memory decode: DC frames")
 
@@ -359,6 +362,10 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
         return BitReader(data[start:start + sizes[idx]])
 
     def dc_global(sr):
+        if fh.flags & FLAG_SPLINES:
+            from ..render.splines import decode_splines
+
+            state.splines = decode_splines(sr, fd.xsize * fd.ysize)
         if fh.flags & FLAG_NOISE:
             from ..render.noise import decode_noise
 
@@ -447,6 +454,7 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     device = bool(
         device and fh.color_transform == CT_XYB and num_ec == 0
         and state.noise_lut is None and ups == 1
+        and getattr(state, "splines", None) is None
         and np.all(state.strategy[state.is_origin] == _acs().DCT)
         and getattr(state, "color_factor", 84) == 84
         and getattr(state, "base_x", 0.0) == 0.0
@@ -507,6 +515,7 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
         return finish_row(gy)
 
     emitter = _device_strip_emitter(state, fh) if device else None
+    segments_cache = None
     nrows = fd.ysize_groups
     prev = None
     cur = decode_row(0)
@@ -567,6 +576,25 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                 yield oy0, up[:, :ocut]
             prev, cur = cur, nxt
             continue
+        if getattr(state, "splines", None) is not None:
+            # additive Gaussian segments with bounded extent: draw the
+            # ones overlapping this strip in strip-local coordinates
+            # (draw runs AFTER the filter chain, like the whole-image
+            # stage order; halos stay pre-spline, so draw on a copy)
+            from ..render.splines import draw_segments
+
+            if segments_cache is None:
+                from ..render.splines import compute_segments
+
+                segments_cache = compute_segments(
+                    state.splines, fd.xsize_padded, fd.ysize_padded,
+                    y_to_x=state.ytox(0), y_to_b=state.ytob(0))
+            local = [(cx, cy - y0, col, inv, s4i, md)
+                     for (cx, cy, col, inv, s4i, md) in segments_cache
+                     if y0 - md <= cy <= y0 + rows + md]
+            if local:
+                strip = np.array(strip)
+                draw_segments(strip, local, add=True)
         if state.noise_lut is not None:
             strip = _add_strip_noise(state, np.ascontiguousarray(strip),
                                      gy)

@@ -264,3 +264,30 @@ def test_strips_with_alpha():
     strips = _assemble(s)
     assert strips.shape == ref.shape
     assert np.array_equal(strips, ref)
+
+
+def test_strips_with_splines():
+    """Splines draw strip-wise: segments are additive Gaussians with
+    bounded extent, so each strip draws exactly the overlapping ones —
+    bit-exact vs the whole-image decoder."""
+    from libjxl_tpu.render.splines import Spline
+
+    rng = np.random.default_rng(3)
+    img = np.clip(np.full((600, 300, 3), 128.0)
+                  + rng.normal(0, 4, (600, 300, 3)), 0,
+                  255).astype(np.uint8)
+    pts = np.cumsum(rng.integers(10, 60, size=(8, 2)), axis=0) + 12.0
+    pts[:, 0] = np.clip(pts[:, 0], 0, 280)  # x
+    pts[:, 1] = np.clip(pts[:, 1] * 2.0, 0, 580)  # y spans strips
+    color = np.zeros((3, 32))
+    color[0, 0] = 0.2
+    color[1, 0] = 0.6
+    color[2, 0] = 0.3
+    sigma = np.zeros(32)
+    sigma[0] = 2.5
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False,
+                                splines=[Spline(pts, color, sigma)])
+    ref, _ = codestream.decode(s, device=False)
+    strips = _assemble(s)
+    assert np.array_equal(strips, ref[:, :, :3])
