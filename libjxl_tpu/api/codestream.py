@@ -555,6 +555,53 @@ def encode_lossy_streaming(image_or_chunks, width: int = None,
     return writer.get_bytes()
 
 
+def _stash_reference_frame(r, fh, meta, reference_frames,
+                           reference_extra):
+    """Decode one kReferenceOnly frame (VarDCT or modular) and stash it
+    at the reference decoder's storage scale (see decode())."""
+    from ..vardct.frame import decode_vardct_frame
+
+    if fh.encoding == ENC_MODULAR:
+        from ..io.frame_header import CT_XYB as _CT_XYB_R
+
+        img = decode_modular_frame(r, fh, reference_frames)
+        num_ec = len(meta.m.extra_channel_info)
+        nb = len(img.channel) - num_ec
+        if fh.color_transform == _CT_XYB_R:
+            chy = img.channel[0].data.astype(np.float64)
+            chx = img.channel[1].data.astype(np.float64)
+            chb = img.channel[2].data.astype(np.float64)
+            dq = img.dc_quant
+            reference_frames[fh.save_as_reference] = np.stack(
+                [chx * dq[0], chy * dq[1], (chb + chy) * dq[2]])
+        else:
+            mv = (1 << meta.m.bit_depth.bits_per_sample) - 1
+            reference_frames[fh.save_as_reference] = np.stack(
+                [img.channel[c].data.astype(np.float64)
+                 for c in range(nb)]) / mv
+        if num_ec:
+            reference_extra[fh.save_as_reference] = [
+                img.channel[nb + k].data.astype(np.float64)
+                / ((1 << meta.m.extra_channel_info[k]
+                    .bit_depth.bits_per_sample) - 1)
+                for k in range(num_ec)]
+        return
+    ref_ec = []
+    xyb = decode_vardct_frame(r, fh, reference_frames,
+                              return_xyb=True, extra_out=ref_ec)
+    reference_frames[fh.save_as_reference] = xyb
+    if ref_ec:
+        # normalized [0, 1] planes for alpha-blend sources
+        maxvals = [
+            (1 << (meta.m.extra_channel_info[k]
+                   .bit_depth.bits_per_sample
+                   if k < len(meta.m.extra_channel_info) else 8)) - 1
+            for k in range(len(ref_ec))]
+        reference_extra[fh.save_as_reference] = [
+            np.asarray(e, dtype=np.float64) / mv
+            for e, mv in zip(ref_ec, maxvals)]
+
+
 def decode(data: bytes, target_nits: float = None,
            num_threads: int = 0, device: bool = None,
            decode_info: dict = None, color_management: bool = None,
@@ -624,52 +671,8 @@ def decode(data: bytes, target_nits: float = None,
             continue
         if fh.frame_type == FT_REFERENCE_ONLY:
             # decode and stash pre-color-transform; not displayed
-            if fh.encoding == ENC_MODULAR:
-                # modular reference frame (e.g. the patch sheet the
-                # reference's lossless encoder emits): stash in the
-                # reference decoder's storage scale — XYB floats for
-                # XYB-coded sheets (ints are YX(B-Y) scaled by the
-                # DC quants, dec_modular.cc:553-600), [0, 1]-normalized
-                # samples otherwise
-                from ..io.frame_header import CT_XYB as _CT_XYB_R
-
-                img = decode_modular_frame(r, fh, reference_frames)
-                num_ec = len(meta.m.extra_channel_info)
-                nb = len(img.channel) - num_ec
-                if fh.color_transform == _CT_XYB_R:
-                    chy = img.channel[0].data.astype(np.float64)
-                    chx = img.channel[1].data.astype(np.float64)
-                    chb = img.channel[2].data.astype(np.float64)
-                    dq = img.dc_quant
-                    reference_frames[fh.save_as_reference] = np.stack(
-                        [chx * dq[0], chy * dq[1], (chb + chy) * dq[2]])
-                else:
-                    mv = (1 << meta.m.bit_depth.bits_per_sample) - 1
-                    reference_frames[fh.save_as_reference] = np.stack(
-                        [img.channel[c].data.astype(np.float64)
-                         for c in range(nb)]) / mv
-                if num_ec:
-                    reference_extra[fh.save_as_reference] = [
-                        img.channel[nb + k].data.astype(np.float64)
-                        / ((1 << meta.m.extra_channel_info[k]
-                            .bit_depth.bits_per_sample) - 1)
-                        for k in range(num_ec)]
-                r.jump_to_byte_boundary()
-                continue
-            ref_ec = []
-            xyb = decode_vardct_frame(r, fh, reference_frames,
-                                      return_xyb=True, extra_out=ref_ec)
-            reference_frames[fh.save_as_reference] = xyb
-            if ref_ec:
-                # normalized [0, 1] planes for alpha-blend sources
-                maxvals = [
-                    (1 << (meta.m.extra_channel_info[k]
-                           .bit_depth.bits_per_sample
-                           if k < len(meta.m.extra_channel_info) else 8)) - 1
-                    for k in range(len(ref_ec))]
-                reference_extra[fh.save_as_reference] = [
-                    np.asarray(e, dtype=np.float64) / mv
-                    for e, mv in zip(ref_ec, maxvals)]
+            _stash_reference_frame(r, fh, meta, reference_frames,
+                                   reference_extra)
             r.jump_to_byte_boundary()
             continue
         break
@@ -948,8 +951,21 @@ def decode_rows(data: bytes, num_threads: int = 0):
     # strips come back as YCbCr planes and convert below
     if meta.m.color_encoding.want_icc:
         raise JXLError("low-memory decode: CMS output stage")
-    fh = FrameHeader(meta)
-    fh.read(r)
+    from ..io.frame_header import FT_REFERENCE_ONLY as _FT_REF_LM
+
+    reference_frames = [None] * 4
+    reference_extra = [None] * 4
+    while True:
+        fh = FrameHeader(meta)
+        fh.read(r)
+        if fh.frame_type == _FT_REF_LM:
+            # patch sheets are small by construction; decode them
+            # whole-image and stash, then strip the main frame
+            _stash_reference_frame(r, fh, meta, reference_frames,
+                                   reference_extra)
+            r.jump_to_byte_boundary()
+            continue
+        break
     if fh.frame_type != FT_REGULAR or not fh.is_last:
         raise JXLError("low-memory decode: multi-frame stream")
     if fh.encoding == _MOD:
@@ -970,7 +986,9 @@ def decode_rows(data: bytes, num_threads: int = 0):
         return np.concatenate([rows_px, ecs], axis=-1)
 
     for item in decode_vardct_strips(
-            r, fh, num_threads, device=None if bits <= 8 else False):
+            r, fh, num_threads, device=None if bits <= 8 else False,
+            reference_frames=reference_frames,
+            reference_extra=reference_extra):
         y0, strip = item[0], item[1]
         ec = item[2] if len(item) > 2 else None
         if strip.dtype == np.uint8:

@@ -208,7 +208,8 @@ def encode_patches(st: PatchesState, w: BitWriter) -> None:
 
 def apply_patches(img: np.ndarray, st: PatchesState, reference_frames,
                   add: bool = True, extra=None, ref_extra=None,
-                  alpha_is_premultiplied: bool = False) -> None:
+                  alpha_is_premultiplied: bool = False,
+                  y_window=None) -> None:
     """Blit all patches into img (3, H, W) in place (AddOneRow analog,
     vectorized over whole patch rectangles).
 
@@ -218,15 +219,26 @@ def apply_patches(img: np.ndarray, st: PatchesState, reference_frames,
     extra: list of (H, W) float planes — the frame's extra channels,
     blended in place per blend[1+k]. ref_extra: per reference slot, list
     of extra-channel planes of that reference frame (alpha source).
-    Alpha planes are in [0, 1] units."""
+    Alpha planes are in [0, 1] units.
+    y_window: optional (wy0, wy1) — img holds only image rows
+    [wy0, wy1); every patch rect is clipped to the window and written
+    in window-local coordinates (the strip decoder's patches stage)."""
+    wy0, wy1 = (0, img.shape[1]) if y_window is None else y_window
     for pos, blend in zip(st.positions, st.blendings):
         rp = st.ref_positions[pos.ref_pos_idx]
-        fg = reference_frames[rp.ref][:, rp.y0:rp.y0 + rp.ysize,
+        # clip the placement rows to the window
+        cy0 = max(pos.y, wy0)
+        cy1 = min(pos.y + rp.ysize, wy1)
+        if cy0 >= cy1:
+            continue
+        fy0 = rp.y0 + (cy0 - pos.y)
+        fg = reference_frames[rp.ref][:, fy0:fy0 + (cy1 - cy0),
                                       rp.x0:rp.x0 + rp.xsize]
-        sl = (slice(None), slice(pos.y, pos.y + rp.ysize),
+        sl = (slice(None), slice(cy0 - wy0, cy1 - wy0),
               slice(pos.x, pos.x + rp.xsize))
         sl2 = (sl[1], sl[2])
-        rsl2 = (slice(rp.y0, rp.y0 + rp.ysize), slice(rp.x0, rp.x0 + rp.xsize))
+        rsl2 = (slice(fy0, fy0 + (cy1 - cy0)),
+                slice(rp.x0, rp.x0 + rp.xsize))
 
         def fg_alpha(info):
             planes = ref_extra[rp.ref] if ref_extra else None

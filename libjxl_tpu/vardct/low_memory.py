@@ -276,7 +276,8 @@ def _device_strip_emitter(state, fh):
 
 
 def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
-                         device: bool = None):
+                         device: bool = None, reference_frames=None,
+                         reference_extra=None):
     """Generator of (y0, strip) top to bottom: strip is either
     xyb f64[3, rows, xsize] (host render) or uint8[rows, xsize, 3]
     (device render — the strip composite runs through the same jitted
@@ -331,7 +332,9 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                 u != 1 for u in fh.extra_channel_upsampling):
             raise JXLError("low-memory decode: ec_upsampling")
     if fh.flags & FLAG_PATCHES:
-        raise JXLError("low-memory decode: patches")
+        if reference_frames is None or fh.upsampling != 1:
+            raise JXLError("low-memory decode: patches need decoded "
+                           "reference frames and no upsampling")
     if (fh.flags & FLAG_SPLINES) and fh.upsampling != 1:
         # upsample context rows would need spline-added neighbor data
         raise JXLError("low-memory decode: splines + upsampling")
@@ -362,6 +365,16 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
         return BitReader(data[start:start + sizes[idx]])
 
     def dc_global(sr):
+        if fh.flags & FLAG_PATCHES:
+            from ..render.patches import decode_patches, uses_alpha
+
+            state.patches = decode_patches(
+                sr, fd.xsize_padded, fd.ysize_padded, num_ec,
+                reference_frames)
+            if any(uses_alpha(info.mode) or (i > 0 and info.mode != 0)
+                   for blend in state.patches.blendings
+                   for i, info in enumerate(blend)):
+                raise JXLError("low-memory decode: alpha-blend patches")
         if fh.flags & FLAG_SPLINES:
             from ..render.splines import decode_splines
 
@@ -454,7 +467,7 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
     device = bool(
         device and fh.color_transform == CT_XYB and num_ec == 0
         and state.noise_lut is None and ups == 1
-        and getattr(state, "splines", None) is None
+        and not (fh.flags & (FLAG_PATCHES | FLAG_SPLINES))
         and np.all(state.strategy[state.is_origin] == _acs().DCT)
         and getattr(state, "color_factor", 84) == 84
         and getattr(state, "base_x", 0.0) == 0.0
@@ -576,6 +589,16 @@ def decode_vardct_strips(r: BitReader, fh, num_threads: int = 0,
                 yield oy0, up[:, :ocut]
             prev, cur = cur, nxt
             continue
+        if getattr(state, "patches", None) is not None:
+            # bounded additive/replace rects: blend the placements
+            # overlapping this strip in strip-local coordinates
+            # (decoder stage order: restoration -> patches -> splines)
+            from ..render.patches import apply_patches
+
+            strip = np.array(strip)
+            apply_patches(strip, state.patches, reference_frames,
+                          add=True, ref_extra=reference_extra,
+                          y_window=(y0, y0 + rows))
         if getattr(state, "splines", None) is not None:
             # additive Gaussian segments with bounded extent: draw the
             # ones overlapping this strip in strip-local coordinates

@@ -291,3 +291,23 @@ def test_strips_with_splines():
     ref, _ = codestream.decode(s, device=False)
     strips = _assemble(s)
     assert np.array_equal(strips, ref[:, :, :3])
+
+
+def test_strips_with_patches():
+    """Patch dictionaries strip-decode: the kReferenceOnly sheet decodes
+    whole-image (small by construction), then each strip blends the
+    overlapping placements clipped to its rows — bit-exact vs the
+    whole-image decoder, including a placement spanning a strip seam."""
+    rng = np.random.default_rng(5)
+    base = np.clip(np.full((600, 280, 3), 200.0)
+                   + rng.normal(0, 3, (600, 280, 3)), 0,
+                   255).astype(np.uint8)
+    sheet = np.zeros((24, 24, 3), np.uint8)
+    sheet[4:20, 4:20] = (40, 180, 90)
+    placements = [(0, 0, 24, 24,
+                   [(30, 100), (200, 250), (100, 500), (40, 245)])]
+    s = codestream.encode_with_patches(base, sheet, placements,
+                                       distance=1.0)
+    ref, _ = codestream.decode(s, device=False)
+    strips = _assemble(s)
+    assert np.array_equal(strips, ref[:, :, :3])
