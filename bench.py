@@ -254,17 +254,25 @@ def main():
     t_e2e1 = time.time() - t0
 
     # --- e7 encode (full heuristics: device AQ field + device
-    # Butteraugli-feedback refinement + ACS search + host entropy)
+    # Butteraugli-feedback refinement + ACS search + host entropy).
+    # Measured at 512^2: the rig's remote-compile service rejects the
+    # device Butteraugli program above ~512^2 (HTTP 500) and takes
+    # minutes to compile it once; the steady-state rate after the warm
+    # compile is the honest number (shape reported alongside).
     e7_mp_s = None
+    e7_n = 512
     try:
-        img7 = _make_image(n, seed=777)
-        codestream.encode_lossy(img7[:256, :256], distance=1.0,
-                                effort=7)  # warm the trial programs
-        t0 = time.time()
-        codestream.encode_lossy(img7, distance=1.0, effort=7)
-        e7_mp_s = round(mp / (time.time() - t0), 3)
-        print(f"bench: e7 encode {mp / e7_mp_s:.1f}s", file=sys.stderr,
-              flush=True)
+        img7 = _make_image(e7_n, seed=777)
+        codestream.encode_lossy(img7, distance=1.0, effort=7)  # compile
+        times7 = []
+        for _ in range(2):
+            t0 = time.time()
+            codestream.encode_lossy(img7, distance=1.0, effort=7)
+            times7.append(time.time() - t0)
+        e7_mp_s = round((e7_n * e7_n / 1e6) / statistics.median(times7),
+                        3)
+        print(f"bench: e7 encode {statistics.median(times7):.1f}s at "
+              f"{e7_n}^2", file=sys.stderr, flush=True)
     except Exception as e:
         print(f"bench: e7 encode skipped ({type(e).__name__}: {e})",
               file=sys.stderr, flush=True)
@@ -305,6 +313,7 @@ def main():
         "e2e_single_mp_s": round(mp / t_e2e1, 2),
         "encode_mp_s": round(mp / t_enc, 3),
         "encode_e7_mp_s": e7_mp_s,
+        "encode_e7_shape": e7_n,
         "checksum": int(chks[0]),
     }))
 

@@ -145,9 +145,16 @@ def refine_quant_field(state, xyb_sharp: np.ndarray, xyb_orig: np.ndarray,
         # device proxy: trial quantize + dequant + IDCT + Gaborish + EPF
         # AND the butteraugli diffmap run as jitted programs per iter;
         # only the tiny per-block field update stays host-side
-        _refine_device(state, co, dc, dm, dm_inv, inv_gs, gab, lf,
-                       xyb_orig, qf_float, target, iters, nby, nbx)
-        return
+        try:
+            _refine_device(state, co, dc, dm, dm_inv, inv_gs, gab, lf,
+                           xyb_orig, qf_float, target, iters, nby, nbx)
+            return
+        except Exception as e:  # remote-compile limits on big programs
+            import logging
+
+            logging.getLogger("libjxl_tpu.encode").warning(
+                "device quant refinement unavailable (%s: %.120s); "
+                "falling back to the host loop", type(e).__name__, e)
     for _ in range(iters):
         scaled = (inv_gs / np.maximum(np.round(qf_float), 1.0))[
             None, :, :, None, None]
@@ -289,6 +296,9 @@ def _refine_device(state, co, dc, dm, dm_inv, inv_gs, gab, lf, xyb_orig,
         np.round(qf_float), 1, QUANT_MAX).astype(np.int32)
 
 
+_DEVICE_DIFFMAP_BROKEN: list = []  # sticky remote-compile failure flag
+
+
 def _perceptual_diffmap(xyb_a: np.ndarray, xyb_b: np.ndarray) -> np.ndarray:
     """Diffmap for the quant-feedback loop: the faithful butteraugli
     model on images large enough for its frequency separation, else the
@@ -300,13 +310,22 @@ def _perceptual_diffmap(xyb_a: np.ndarray, xyb_b: np.ndarray) -> np.ndarray:
         lin_b = np.clip(xyb_to_linear_rgb(xyb_b), 0.0, 1.0)
         from ..api.tpu_codec import accelerator_available
 
-        if accelerator_available():
+        if accelerator_available() and not _DEVICE_DIFFMAP_BROKEN:
             # device comparator (metrics/butteraugli_jax.py): the whole
             # diffmap — matmul blurs, Malta filters, masking — is one
             # jitted program; matches the host model to ~2e-4 relative
-            from ..metrics.butteraugli_jax import butteraugli_diffmap_jax
+            try:
+                from ..metrics.butteraugli_jax import (
+                    butteraugli_diffmap_jax)
 
-            return np.asarray(butteraugli_diffmap_jax(lin_a, lin_b))
+                return np.asarray(butteraugli_diffmap_jax(lin_a, lin_b))
+            except Exception as e:  # remote-compile limits: sticky
+                import logging
+
+                _DEVICE_DIFFMAP_BROKEN.append(True)
+                logging.getLogger("libjxl_tpu.encode").warning(
+                    "device diffmap unavailable (%s: %.120s); host "
+                    "comparator from here on", type(e).__name__, e)
         from ..metrics.butteraugli import butteraugli_diffmap
 
         return butteraugli_diffmap(lin_a, lin_b)
