@@ -920,7 +920,40 @@ def decode_batch(streams, num_threads: int = 0):
                                             num_threads=num_threads)
             return decode_tpu_batch(streams, num_threads=num_threads)
         except JXLError:
-            pass  # heterogeneous / feature-gated batch: per-stream path
+            pass  # heterogeneous / feature-gated: bucket by geometry
+        # mixed fleets: group same-(W, H) streams and batch each bucket;
+        # singletons and unparseable/feature-gated streams decode
+        # per-stream (dec_frame.cc serves any mix; the batching is an
+        # optimization, never a behavior change)
+        buckets = {}
+        for i, s in enumerate(streams):
+            try:
+                r = BitReader(s)
+                meta = parse_codestream_header(r)
+                key = (meta.size.xsize(), meta.size.ysize())
+            except JXLError:
+                key = ("bad", i)
+            buckets.setdefault(key, []).append(i)
+        out = [None] * len(streams)
+        for key, idxs in buckets.items():
+            done = False
+            if len(idxs) >= 2:
+                try:
+                    sub = [streams[i] for i in idxs]
+                    imgs = decode_tpu_pipelined(
+                        sub, batch_size=16, num_threads=num_threads) \
+                        if len(sub) > 16 else decode_tpu_batch(
+                            sub, num_threads=num_threads)
+                    for i, im in zip(idxs, imgs):
+                        out[i] = im
+                    done = True
+                except JXLError:
+                    pass
+            if not done:
+                for i in idxs:
+                    out[i] = decode(streams[i],
+                                    num_threads=num_threads)[0]
+        return out
     return [decode(s, num_threads=num_threads)[0] for s in streams]
 
 

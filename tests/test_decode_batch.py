@@ -100,3 +100,20 @@ def test_sharded_batch_decode_on_mesh():
     # non-divisible batch raises
     with pytest.raises(JXLError):
         decode_tpu_batch_sharded(streams[:3], mesh=mesh)
+
+
+def test_decode_batch_buckets_mixed_geometry():
+    """Mixed fleets bucket by geometry: each same-size group batches on
+    device, singletons decode per-stream — order preserved."""
+    from libjxl_tpu.api.codestream import decode_batch
+
+    a, ra = _streams(2)
+    b, rb = _streams(2, h=128, w=128)
+    c, rc = _streams(1, h=64, w=96)
+    mixed = [a[0], b[0], c[0], a[1], b[1]]
+    refs = [ra[0], rb[0], rc[0], ra[1], rb[1]]
+    outs = decode_batch(mixed)
+    assert [o.shape[:2] for o in outs] == [r.shape[:2] for r in refs]
+    for o, r in zip(outs, refs):
+        assert np.abs(o.astype(int)
+                      - r[:, :, :3].astype(int)).max() <= 1
