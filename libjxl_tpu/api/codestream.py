@@ -122,6 +122,7 @@ def encode_lossless(image: np.ndarray, bits_per_sample: int = None,
     # cjxl expert modular knobs (cjxl_main.cc modular_* flags)
     if predictor is not None:
         opts.predictor = int(predictor)
+        opts.force_predictor = True
     if palette_colors is not None:
         opts.max_palette_colors = int(palette_colors)
         opts.try_palette = palette_colors != 0
@@ -438,8 +439,12 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     if resampling > 1 and already_downsampled:
         # cjxl --already_downsampled: the input IS the low-res frame;
         # only signal the upsampling factor (SizeHeader keeps the full
-        # output size, so the caller passed H/N x W/N pixels)
-        pass
+        # output size, so the caller passed H/N x W/N pixels). Extra
+        # channels are at the same low resolution, so they signal the
+        # same factor (ec_upsampling >= upsampling, frame_header.cc)
+        if extra_channels:
+            fh.extra_channel_upsampling = \
+                [resampling] * len(extra_channels)
     elif resampling > 1:
         from ..render.upsample import (
             downsample2_iterative,
@@ -963,11 +968,14 @@ def decode_rows(data: bytes, num_threads: int = 0):
     The low-memory group-at-a-time scheduler
     (vardct/low_memory.py; reference low_memory_render_pipeline.cc):
     peak pixel memory is three AC-group rows plus the 1/64-area DC
-    fields, never the full image. Progressive passes (all passes of a
-    group row decode before it renders) and 2-8x upsampling (strip-wise
-    with exact 2-row seam context) are supported; JXLError is raised
-    for features needing whole-image context (patches, splines,
-    animation, extra channels, modular mode) — fall back to decode().
+    fields (plus any extra-channel planes at 1-2 B/px), never the full
+    float image. Supported strip-wise: progressive passes, 2-8x
+    upsampling (exact seam context), subsampled YCbCr, 16-bit integer
+    output, alpha/extra channels, splines and patch dictionaries
+    (clipped per-strip blends; the small patch sheets decode
+    whole-image first). JXLError is raised for animation blending,
+    alpha-blend patches, modular-mode frames, float/deep samples and
+    CMS output — fall back to decode().
     """
     from ..io.frame_header import ENC_MODULAR as _MOD, FT_REGULAR
     from ..ops.xyb import linear_to_srgb, xyb_to_linear_rgb
@@ -976,6 +984,8 @@ def decode_rows(data: bytes, num_threads: int = 0):
     r = BitReader(data)
     meta = parse_codestream_header(r)
     bits = meta.m.bit_depth.bits_per_sample
+    if meta.m.bit_depth.floating_point_sample or bits > 16:
+        raise JXLError("low-memory decode: float/deep sample output")
     if meta.m.orientation != 1:
         raise JXLError("low-memory decode: orientation")
     if meta.m.have_preview:

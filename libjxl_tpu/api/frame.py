@@ -447,13 +447,16 @@ def encode_modular_frame(writer: BitWriter, channels, fh: FrameHeader,
         global_transforms.append(sq)
     image.transform = global_transforms
 
-    if options.effort >= 4:
+    if options.effort >= 4 and not getattr(options, "force_predictor",
+                                           False):
         from ..modular.learn import learn_tree
 
         tree = learn_tree(
             [(ch.data, i, 0) for i, ch in enumerate(image.channel)],
             sample_step=options.tree_sample_step)
     else:
+        # an explicitly forced predictor (cjxl --modular_predictor)
+        # overrides tree learning at every effort
         tree = make_fixed_tree(options.predictor)
     # Tokenize all streams with the decoder-layout tree.
     tree_writer = BitWriter()

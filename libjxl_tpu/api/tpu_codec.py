@@ -416,17 +416,23 @@ def decode_tpu_batch(streams, num_threads: int = 0):
 
     prog, args = prepare_tpu_batch(streams, num_threads=num_threads)
     dev = prog(*args)
-    # concurrent per-half readback (the dev-rig tunnel's device->host
-    # bandwidth only saturates with many in-flight transfers)
-    halves = []
-    h = dev.shape[1] // 2
-    for j in range(len(streams)):
-        halves.append(dev[j, :h])
-        halves.append(dev[j, h:])
     with cf.ThreadPoolExecutor(max_workers=32) as tp:
-        got = list(tp.map(np.asarray, halves))
+        return _concurrent_readback(dev, len(streams), tp)
+
+
+def _concurrent_readback(dev_batch, cnt, pool):
+    """Device->host fetch of a batched u8 image tensor as per-half row
+    slices on a transfer pool (the dev-rig tunnel's readback bandwidth
+    only saturates with many in-flight transfers; measured ~3x one
+    serial np.asarray)."""
+    halves = []
+    h = dev_batch.shape[1] // 2
+    for j in range(cnt):
+        halves.append(dev_batch[j, :h])
+        halves.append(dev_batch[j, h:])
+    got = list(pool.map(np.asarray, halves))
     return [np.concatenate((got[2 * j], got[2 * j + 1]), axis=0)
-            for j in range(len(streams))]
+            for j in range(cnt)]
 
 
 def decode_tpu_pipelined(streams, batch_size: int = 16,
@@ -458,21 +464,10 @@ def decode_tpu_pipelined(streams, batch_size: int = 16,
     bs = max(1, int(batch_size))
     out = [None] * len(streams)
 
-    # the dev-rig tunnel's device->host bandwidth only saturates with
-    # many in-flight transfers (measured ~3x one serial np.asarray), so
-    # the worker fans the batched u8 result out to per-image row-halved
-    # readbacks on a transfer pool
     tp = cf.ThreadPoolExecutor(max_workers=32)
 
     def fetch(dev_batch, cnt):
-        halves = []
-        for j in range(cnt):
-            h = dev_batch.shape[1] // 2
-            halves.append(dev_batch[j, :h])
-            halves.append(dev_batch[j, h:])
-        got = list(tp.map(np.asarray, halves))
-        return [np.concatenate((got[2 * j], got[2 * j + 1]), axis=0)
-                for j in range(cnt)]
+        return _concurrent_readback(dev_batch, cnt, tp)
 
     def drain(p):
         fut, start, cnt = p

@@ -171,6 +171,11 @@ def main(argv=None):
 
 
 def _main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--version" in argv:
+        print("cjxl (libjxl_tpu)")
+        return 0
     args = build_parser().parse_args(argv)
     from ..extras.io import load_image
     from ..api.codestream import encode_lossless, encode_lossy
@@ -226,9 +231,50 @@ def _main(argv=None):
                       file=sys.stderr)
             return 0
     image, icc = load_image(args.input, return_icc=True)
+
+    def _encode_once():
+        return _run_encode(args, image, icc, lossless, distance)
+
     t0 = time.perf_counter()
+    data = _encode_once()
+    dt = time.perf_counter() - t0
+    for _ in range(max(0, args.num_reps - 1)):  # --num_reps benchmark
+        t1 = time.perf_counter()
+        _encode_once()  # identical options to the reported encode
+        dt_r = time.perf_counter() - t1
+        if not args.quiet:
+            print(f"rep: {dt_r:.3f}s", file=sys.stderr)
+    exif = xml = None
+    if args.exif:
+        with open(args.exif, "rb") as f:
+            exif = f.read()
+    if args.xmp:
+        with open(args.xmp, "rb") as f:
+            xml = f.read()
+    if args.container or exif or xml or args.codestream_level != 5:
+        data = wrap_codestream(data, level=args.codestream_level,
+                               exif=exif, xml=xml,
+                               compress_boxes=bool(args.compress_boxes))
+    if not args.disable_output:
+        with open(args.output, "wb") as f:
+            f.write(data)
+    if args.verbose and not args.quiet:
+        h, w = image.shape[:2]
+        mp = h * w / 1e6
+        bpp = len(data) * 8 / (h * w)
+        print(f"Encoded {w}x{h} ({'lossless' if lossless else f'd{distance}'})"
+              f" to {len(data)} bytes ({bpp:.3f} bpp), "
+              f"{mp / dt:.3f} MP/s", file=sys.stderr)
+    return 0
+
+
+def _run_encode(args, image, icc, lossless, distance):
+    import sys
+
+    from ..api.codestream import encode_lossless, encode_lossy
+
     if lossless:
-        data = encode_lossless(image,
+        return encode_lossless(image,
                                group_size_shift=args.group_size_shift,
                                icc=icc, effort=args.effort,
                                responsive=bool(args.responsive),
@@ -240,12 +286,12 @@ def _main(argv=None):
                                    args.modular_lossy_palette),
                                ma_tree_learning_percent=(
                                    args.modular_ma_tree_learning_percent))
-    elif args.streaming:
+    if args.streaming:
         from ..api.codestream import encode_lossy_streaming
 
-        data = encode_lossy_streaming(image, distance=distance,
+        return encode_lossy_streaming(image, distance=distance,
                                       hosts=args.hosts)
-    else:
+    if True:  # lossy still-image branch
         stats = {} if args.stats else None
         debug_cb = None
         if args.debug_heatmaps:
@@ -298,39 +344,7 @@ def _main(argv=None):
         if stats:
             for k, v in sorted(stats.items()):
                 print(f"{k}: {v} bits ({v / 8:.0f} B)", file=sys.stderr)
-    for _ in range(max(0, args.num_reps - 1)):  # --num_reps benchmark
-        t1 = time.perf_counter()
-        if lossless:
-            encode_lossless(image, group_size_shift=args.group_size_shift,
-                            icc=icc, effort=args.effort)
-        else:
-            encode_lossy(image, distance=distance, effort=args.effort)
-        dt_r = time.perf_counter() - t1
-        if not args.quiet:
-            print(f"rep: {dt_r:.3f}s", file=sys.stderr)
-    dt = time.perf_counter() - t0
-    exif = xml = None
-    if args.exif:
-        with open(args.exif, "rb") as f:
-            exif = f.read()
-    if args.xmp:
-        with open(args.xmp, "rb") as f:
-            xml = f.read()
-    if args.container or exif or xml or args.codestream_level != 5:
-        data = wrap_codestream(data, level=args.codestream_level,
-                               exif=exif, xml=xml,
-                               compress_boxes=bool(args.compress_boxes))
-    if not args.disable_output:
-        with open(args.output, "wb") as f:
-            f.write(data)
-    if args.verbose and not args.quiet:
-        h, w = image.shape[:2]
-        mp = h * w / 1e6
-        bpp = len(data) * 8 / (h * w)
-        print(f"Encoded {w}x{h} ({'lossless' if lossless else f'd{distance}'})"
-              f" to {len(data)} bytes ({bpp:.3f} bpp), "
-              f"{mp / dt:.3f} MP/s", file=sys.stderr)
-    return 0
+        return data
 
 
 def _try_encode_animated(args, lossless: bool, distance: float):

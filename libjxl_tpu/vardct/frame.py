@@ -1239,7 +1239,24 @@ def decode_vardct_frame(r: BitReader, fh: FrameHeader,
     extra_planes = None
     if mstate.full_image is not None and mstate.full_image.channel:
         img = finalize_modular_frame(fh, mstate)
-        extra_planes = [ch.data[:fd.ysize, :fd.xsize] for ch in img.channel]
+        extra_planes = []
+        for k, ch in enumerate(img.channel):
+            ecups = fh.extra_channel_upsampling[k] \
+                if fh.extra_channel_upsampling else 1
+            if ecups > 1:
+                # EC upsample stage (stage_upsampling.cc runs for extra
+                # channels too): same 5x5 signaled kernels
+                from ..render.upsample import (kernels_from_metadata,
+                                               upsample)
+
+                kern = kernels_from_metadata(fh.nonserialized_metadata,
+                                             ecups)
+                up = upsample(ch.data.astype(np.float64), ecups,
+                              kernels=kern)
+                extra_planes.append(
+                    up[:fd.ysize_upsampled, :fd.xsize_upsampled])
+            else:
+                extra_planes.append(ch.data[:fd.ysize, :fd.xsize])
     if render_fn is not None:
         # device render path: must fill state.xyb from state.qblocks
         render_fn(state)

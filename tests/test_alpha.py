@@ -78,3 +78,44 @@ def test_alpha_blend_patches():
     assert abs(int(out[cy, cx, 0]) - 230) < 15
     assert int(out[cy, cx, 1]) < 70
     assert np.abs(out[31, 21, :3].astype(int) - bg[31, 21].astype(int)).max() < 8
+
+
+def test_alpha_with_resampling_decodes():
+    """Extra channels go through the upsample stage at decode
+    (stage_upsampling.cc runs for ECs too); with --already_downsampled
+    the EC planes signal the same factor. Regression: this used to
+    crash concatenating mismatched shapes."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(5)
+    img = np.clip(128 + rng.normal(0, 5, (128, 128, 4)), 0,
+                  255).astype(np.uint8)
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False, resampling=2)
+    d, _ = codestream.decode(s, device=False)
+    assert d.shape == (128, 128, 4)
+    assert np.abs(d[:, :, 3].astype(int)
+                  - img[:, :, 3].astype(int)).mean() < 8
+    low = np.clip(128 + rng.normal(0, 5, (64, 64, 4)), 0,
+                  255).astype(np.uint8)
+    s2 = codestream.encode_lossy(low, distance=1.0, effort=3,
+                                 device=False, resampling=2,
+                                 already_downsampled=True)
+    d2, _ = codestream.decode(s2, device=False)
+    assert d2.shape == (128, 128, 4)
+
+
+def test_forced_modular_predictor_respected_at_high_effort():
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    a = codestream.encode_lossless(img, effort=7, predictor=5)
+    b = codestream.encode_lossless(img, effort=7)
+    assert a != b  # the forced predictor changes the stream
+    da, _ = codestream.decode(a, device=False)
+    assert np.array_equal(da[:, :, :3], img)
