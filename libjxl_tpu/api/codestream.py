@@ -694,6 +694,64 @@ def decode(data: bytes, target_nits: float = None,
             decode_info["path"] = "host:modular"
         img = decode_modular_frame(r, fh, reference_frames,
                                    reference_extra)
+        from ..io.frame_header import CT_XYB as _CT_XYB_M
+
+        if meta.m.xyb_encoded and fh.color_transform == _CT_XYB_M:
+            # lossy-modular main frame: ints are YX(B-Y) scaled by the
+            # signaled DC quants (dec_modular.cc:553-600); convert to
+            # XYB, run restoration if signaled, then the regular XYB
+            # output conversion
+            chy = img.channel[0].data.astype(np.float64)
+            chx = img.channel[1].data.astype(np.float64)
+            chb = img.channel[2].data.astype(np.float64)
+            dq = img.dc_quant
+            xyb = np.stack([chx * dq[0], chy * dq[1],
+                            (chb + chy) * dq[2]])
+            if fh.loop_filter.gab or fh.loop_filter.epf_iters > 0:
+                from ..render.pipeline import (apply_epf_modular,
+                                               apply_gaborish)
+
+                if fh.loop_filter.gab:
+                    xyb = apply_gaborish(xyb, fh.loop_filter)
+                if fh.loop_filter.epf_iters > 0:
+                    xyb = apply_epf_modular(xyb, fh.loop_filter)
+            from ..ops.xyb import linear_to_srgb_u8, xyb_to_linear_rgb
+
+            rgbm = np.clip(xyb_to_linear_rgb(xyb), 0.0, 1.0)
+            rgbm = np.moveaxis(rgbm, 0, -1)
+            ec_m = [img.channel[3 + k].data
+                    for k in range(len(img.channel) - 3)]
+            if want_float:
+                fdt = np.float32 if pixel_format == "float32" \
+                    else np.float16
+                outf = linear_to_srgb(rgbm)
+                if ec_m:
+                    scales = [
+                        (1 << meta.m.extra_channel_info[k]
+                         .bit_depth.bits_per_sample) - 1
+                        for k in range(len(ec_m))]
+                    outf = np.concatenate(
+                        [outf] + [(e / sc)[:, :, None]
+                                  for e, sc in zip(ec_m, scales)],
+                        axis=-1)
+                return _orient(outf.astype(fdt)), meta
+            if bits <= 8:
+                out_m = linear_to_srgb_u8(rgbm)
+                if ec_m:
+                    out_m = np.concatenate(
+                        [out_m] + [np.clip(e, 0, 255).astype(
+                            np.uint8)[:, :, None] for e in ec_m],
+                        axis=-1)
+                return _orient(out_m), meta
+            mvm = (1 << min(bits, 16)) - 1
+            srgbm = np.clip(np.round(linear_to_srgb(rgbm) * mvm), 0,
+                            mvm).astype(np.uint16)
+            if ec_m:
+                srgbm = np.concatenate(
+                    [srgbm] + [np.clip(e, 0, 65535).astype(
+                        np.uint16)[:, :, None] for e in ec_m],
+                    axis=-1)
+            return _orient(srgbm), meta
         chans = [c.data for c in img.channel]
         stacked = np.stack(chans, axis=-1)
         from ..io.headers import EC_BLACK as _EC_BLACK

@@ -156,6 +156,17 @@ def _epf_pass_any(xyb, inv_px, sad_mul, cs, neighbors, pairs, sad_pattern,
                      sigma_scale)
 
 
+def apply_epf_modular(xyb, lf):
+    """EPF for modular frames: a uniform sigma plane from the signaled
+    epf_sigma_for_modular (dec_frame.cc:335 FillImage(kInvSigmaNum /
+    lf.epf_sigma_for_modular))."""
+    nby = -(-xyb.shape[1] // 8)
+    nbx = -(-xyb.shape[2] // 8)
+    inv_sigma = np.full((nby, nbx),
+                        INV_SIGMA_NUM / lf.epf_sigma_for_modular)
+    return apply_epf(xyb, lf, inv_sigma)
+
+
 def apply_epf(xyb, lf, inv_sigma_blocks):
     """EPF iterations per loop_filter.epf_iters (stage_epf.cc).
 

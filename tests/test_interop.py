@@ -276,3 +276,16 @@ def test_tiny_images_decode_oracle_exact():
         ours, _ = codestream.decode(data, device=False)
         theirs, _ = oracle.decode(data)
         assert np.array_equal(ours[:, :, :3], theirs[:, :, :3]), (h, w)
+
+
+@pytest.mark.parametrize("distance", [0.5, 1.0, 2.0])
+def test_oracle_lossy_modular_our_decode(distance):
+    """Lossy-modular (XYB-coded modular) main frames: ints are YX(B-Y)
+    scaled by the DC quants (dec_modular.cc:553-600); our decode must
+    track the reference decoder within u8 rounding."""
+    img = _test_image(seed=13)
+    data = oracle.encode(img, distance=distance, effort=5, modular=True)
+    theirs, _ = oracle.decode(data)
+    ours, _ = codestream.decode(data)
+    assert _peak(ours, theirs) <= 1
+    assert _rmse(ours, theirs) < 0.05

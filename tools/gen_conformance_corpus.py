@@ -101,6 +101,8 @@ CASES = [
     ("lossy_rgba_d1_e7", _rgba, dict(distance=1.0, effort=7), "uint8"),
     ("lossy_noise_d1_e5", _photo,
      dict(distance=1.0, effort=5, photon_noise_iso=1600.0), "uint8"),
+    ("lossy_modular_d1_e5", _photo,
+     dict(distance=1.0, effort=5, modular=True), "uint8"),
 ]
 
 
