@@ -72,6 +72,14 @@ def _rgba(seed=9):
     return np.dstack([img, a])
 
 
+def _hi16smooth(h=96, w=128, seed=3):
+    rng = np.random.default_rng(seed)
+    base = (30000 + 9000 * np.sin(np.arange(h)[:, None] * 0.05)
+            + rng.normal(0, 800, (h, w)))
+    return np.clip(np.stack([base, base * 0.95, base * 1.04], -1),
+                   0, 65535).astype(np.uint16)
+
+
 def _hi16(h=64, w=80, seed=5):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
@@ -103,6 +111,8 @@ CASES = [
      dict(distance=1.0, effort=5, photon_noise_iso=1600.0), "uint8"),
     ("lossy_modular_d1_e5", _photo,
      dict(distance=1.0, effort=5, modular=True), "uint8"),
+    ("lossy_hi16_d1_e5", _hi16smooth,
+     dict(distance=1.0, effort=5), "uint16"),
 ]
 
 
