@@ -1020,6 +1020,103 @@ def decode_batch(streams, num_threads: int = 0):
     return [decode(s, num_threads=num_threads)[0] for s in streams]
 
 
+def decode_dc(data: bytes):
+    """Fast 1:8 preview decode: only the DC sections are entropy-decoded
+    (TOC random access; AC groups are never touched), the smoothed DC
+    converts XYB->sRGB u8 at 1/8 resolution — djxl --downsampling 8 /
+    the JXL_DEC_FRAME_PROGRESSION DC stage. Returns (u8 (H/8, W/8, 3),
+    meta). VarDCT single-frame streams only; raises JXLError otherwise.
+    """
+    from ..io.container import extract_codestream, is_container
+    from ..io.frame_header import ENC_MODULAR as _MOD, FT_REGULAR
+    from ..io.toc import read_group_offsets
+    from ..ops.xyb import linear_to_srgb_u8, xyb_to_linear_rgb
+    from ..vardct.frame import (VarDCTState, adaptive_dc_smoothing,
+                                decode_cmap_dc, decode_dc_group)
+    from ..vardct.ctx import decode_block_ctx_map
+    from ..api.frame import (ModularFrameState, decode_global_info,
+                             decode_modular_group, modular_dc_stream_id,
+                             num_toc_entries)
+    from ..io.frame_header import (FLAG_NOISE, FLAG_PATCHES,
+                                   FLAG_SPLINES,
+                                   FLAG_SKIP_ADAPTIVE_DC_SMOOTHING,
+                                   FLAG_USE_DC_FRAME)
+
+    if is_container(data):
+        data = extract_codestream(data)
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    if not meta.m.xyb_encoded:
+        raise JXLError("dc decode: non-XYB stream")
+    if meta.m.have_preview:
+        _skip_or_decode_preview(r, meta)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    if fh.frame_type != FT_REGULAR or not fh.is_last \
+            or fh.encoding == _MOD:
+        raise JXLError("dc decode: unsupported stream shape")
+    if fh.flags & FLAG_USE_DC_FRAME:
+        raise JXLError("dc decode: kUseDcFrame stream")
+    fd = fh.frame_dimensions()
+    state = VarDCTState(fh, fd, alloc_xyb=False)
+    mstate = ModularFrameState()
+    n = num_toc_entries(fd, fh.passes.num_passes)
+    offsets, sizes, total = read_group_offsets(n, r)
+    r.jump_to_byte_boundary()
+    base = r.total_bits_consumed() // 8
+    raw = r.data
+
+    def section_reader(idx):
+        start = base + offsets[idx]
+        return BitReader(raw[start:start + sizes[idx]])
+
+    def dc_global(sr):
+        if fh.flags & FLAG_PATCHES:
+            raise JXLError("dc decode: patches")
+        if fh.flags & FLAG_SPLINES:
+            from ..render.splines import decode_splines
+
+            decode_splines(sr, fd.xsize * fd.ysize)
+        if fh.flags & FLAG_NOISE:
+            from ..render.noise import decode_noise
+
+            decode_noise(sr)
+        state.matrices.decode_dc(sr)
+        state.quantizer.decode(sr)
+        state.block_ctx_map = decode_block_ctx_map(sr)
+        decode_cmap_dc(sr, state)
+        decode_global_info(sr, fh, fd, mstate)
+        state.tree = mstate.tree
+        state.code = mstate.code
+        state.context_map = mstate.context_map
+
+    def dc_group(g, sr):
+        decode_dc_group(sr, state, g)
+        gx = g % fd.xsize_dc_groups
+        gy = g // fd.xsize_dc_groups
+        rect = (gx * fd.dc_group_dim, gy * fd.dc_group_dim,
+                fd.dc_group_dim, fd.dc_group_dim)
+        decode_modular_group(sr, fh, fd, mstate, rect, 3, 1000,
+                             modular_dc_stream_id(fd, g))
+
+    if fd.num_groups == 1 and fh.passes.num_passes == 1:
+        sr = section_reader(0)
+        dc_global(sr)
+        dc_group(0, sr)
+    else:
+        dc_global(section_reader(0))
+        for g in range(fd.num_dc_groups):
+            dc_group(g, section_reader(1 + g))
+    if not (fh.flags & FLAG_SKIP_ADAPTIVE_DC_SMOOTHING):
+        fac = [state.quantizer.mul_dc(c) for c in range(3)]
+        state.dc = adaptive_dc_smoothing(state.dc, fac)
+    ny = -(-fd.ysize // 8)
+    nx = -(-fd.xsize // 8)
+    xyb_dc = np.asarray(state.dc[:, :ny, :nx], dtype=np.float64)
+    rgb = np.clip(xyb_to_linear_rgb(xyb_dc), 0.0, 1.0)
+    return linear_to_srgb_u8(np.moveaxis(rgb, 0, -1)), meta
+
+
 def decode_rows(data: bytes, num_threads: int = 0):
     """Bounded-memory decode: generator of (y0, uint8 rows (h, W, 3)).
 

@@ -21,6 +21,11 @@ def build_parser():
                    help="emit sRGB-transfer floats in [0,1] (the "
                         "JXL_TYPE_FLOAT/FLOAT16 output legs); pair "
                         "with .npy/.pfm/.exr outputs")
+    p.add_argument("--downsampling", type=int, choices=(1, 2, 4, 8),
+                   default=1,
+                   help="8: fast 1:8 preview from the DC sections only "
+                        "(AC never decoded); 2/4: full decode + box "
+                        "downsample")
     p.add_argument("--num_threads", type=int, default=0,
                    help="accepted for djxl compatibility")
     p.add_argument("--color_management", dest="color_management",
@@ -90,6 +95,17 @@ def _main(argv=None):
     t0 = time.perf_counter()
     info = {}
     image = meta = None
+    if args.downsampling == 8:
+        from ..api.codestream import decode_dc
+
+        t0 = time.perf_counter()
+        image, meta = decode_dc(codestream)
+        dt = time.perf_counter() - t0
+        save_image(args.output, image)
+        if args.verbose:
+            h, w = image.shape[:2]
+            print(f"DC preview {w}x{h} in {dt:.3f}s", file=sys.stderr)
+        return 0
     if args.low_memory and args.pixel_format is not None:
         print("djxl: --low_memory emits integer rows; using the regular "
               "decoder for float output", file=sys.stderr)
@@ -136,6 +152,18 @@ def _main(argv=None):
             save_image(args.preview_out, pv)
         elif args.verbose:
             print("no preview frame in stream", file=sys.stderr)
+    if args.downsampling in (2, 4):
+        import numpy as np
+
+        from ..render.upsample import downsample_box
+
+        image = np.stack(
+            [downsample_box(image[:, :, c].astype(np.float64),
+                            args.downsampling)
+             for c in range(image.shape[2])], axis=-1)
+        image = np.clip(np.round(image), 0,
+                        65535 if image.max() > 255 else 255).astype(
+                            "uint16" if image.max() > 255 else "uint8")
     icc = meta.m.color_encoding.icc if meta.m.color_encoding.want_icc else None
     save_image(args.output, image, icc=icc)
     if args.verbose:

@@ -204,3 +204,26 @@ def test_animation_skip_frames_incremental():
             break
     assert evs.count(decoder.FULL_IMAGE) == 1
     assert np.array_equal(dec.image[:, :, :3], want[2][:, :, :3])
+
+
+def test_decode_dc_fast_preview():
+    """decode_dc: 1:8 preview from the DC sections only (AC never
+    entropy-decoded) — matches a box-downsample of the full decode."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+    from libjxl_tpu.render.upsample import downsample_box
+
+    rng = np.random.default_rng(9)
+    base = 128 + 40 * np.sin(np.arange(600)[:, None] * 0.01) \
+        + rng.normal(0, 5, (600, 512))
+    img = np.clip(np.stack([base, base * 0.9 + 8, base * 1.1 - 9], -1),
+                  0, 255).astype(np.uint8)
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False)
+    dc, _ = codestream.decode_dc(s)
+    assert dc.shape == (75, 64, 3) and dc.dtype == np.uint8
+    full, _ = codestream.decode(s, device=False)
+    ref = np.stack([downsample_box(full[:, :, c].astype(float), 8)
+                    for c in range(3)], -1)
+    assert np.abs(dc.astype(float) - ref).mean() < 2.0
