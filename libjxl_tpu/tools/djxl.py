@@ -21,6 +21,10 @@ def build_parser():
                    help="emit sRGB-transfer floats in [0,1] (the "
                         "JXL_TYPE_FLOAT/FLOAT16 output legs); pair "
                         "with .npy/.pfm/.exr outputs")
+    p.add_argument("--allow_partial_files", action="store_true",
+                   help="render the best partial image from a "
+                        "truncated file (event-decoder flush) instead "
+                        "of erroring")
     p.add_argument("--downsampling", type=int, choices=(1, 2, 4, 8),
                    default=1,
                    help="8: fast 1:8 preview from the DC sections only "
@@ -95,6 +99,30 @@ def _main(argv=None):
     t0 = time.perf_counter()
     info = {}
     image = meta = None
+    if args.allow_partial_files:
+        from ..api.decoder import Decoder
+
+        from ..api.decoder import (FULL_IMAGE, NEED_MORE_INPUT,
+                                   SUCCESS)
+
+        dec = Decoder()
+        dec.set_input(codestream)
+        try:
+            while dec.process() not in (NEED_MORE_INPUT, FULL_IMAGE,
+                                        SUCCESS):
+                pass
+        except Exception:
+            pass
+        image = dec.flush_image()
+        if image is None:
+            print("djxl: error: nothing decodable in partial file",
+                  file=sys.stderr)
+            return 1
+        save_image(args.output, image)
+        if args.verbose:
+            print(f"partial flush: {image.shape[1]}x{image.shape[0]}",
+                  file=sys.stderr)
+        return 0
     if args.downsampling == 8:
         from ..api.codestream import decode_dc
 

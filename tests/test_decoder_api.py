@@ -227,3 +227,32 @@ def test_decode_dc_fast_preview():
     ref = np.stack([downsample_box(full[:, :, c].astype(float), 8)
                     for c in range(3)], -1)
     assert np.abs(dc.astype(float) - ref).mean() < 2.0
+
+
+def test_djxl_allow_partial_files(tmp_path):
+    """djxl --allow_partial_files renders the best partial image from a
+    truncated file via the event decoder's flush."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+    from libjxl_tpu.extras.io import load_image
+    from libjxl_tpu.tools import djxl
+
+    rng = np.random.default_rng(5)
+    base = 128 + 40 * np.sin(np.arange(600)[:, None] * 0.02) \
+        + rng.normal(0, 5, (600, 520))
+    img = np.clip(np.stack([base] * 3, -1), 0, 255).astype(np.uint8)
+    s = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                device=False)
+    trunc = tmp_path / "t.jxl"
+    trunc.write_bytes(s[:int(len(s) * 0.7)])
+    out = tmp_path / "p.png"
+    assert djxl._main([str(trunc), str(out)]) == 1  # loud without flag
+    assert djxl._main([str(trunc), str(out),
+                       "--allow_partial_files"]) == 0
+    partial = load_image(str(out))
+    assert partial.shape[:2] == (600, 520)
+    # decoded-so-far regions track the original
+    err = np.abs(partial[:200, :, :3].astype(int)
+                 - img[:200].astype(int)).mean()
+    assert err < 12, err
