@@ -247,9 +247,9 @@ def test_djxl_allow_partial_files(tmp_path):
     trunc = tmp_path / "t.jxl"
     trunc.write_bytes(s[:int(len(s) * 0.7)])
     out = tmp_path / "p.png"
-    assert djxl._main([str(trunc), str(out)]) == 1  # loud without flag
-    assert djxl._main([str(trunc), str(out),
-                       "--allow_partial_files"]) == 0
+    assert djxl.main([str(trunc), str(out)]) == 1  # loud without flag
+    assert djxl.main([str(trunc), str(out),
+                      "--allow_partial_files"]) == 0
     partial = load_image(str(out))
     assert partial.shape[:2] == (600, 520)
     # decoded-so-far regions track the original
