@@ -31,7 +31,15 @@ def describe(data: bytes, verbose: bool = False) -> str:
     lines.append(f"bit depth: {depth}")
     lines.append(f"xyb encoded: {m.xyb_encoded}")
     if m.num_extra_channels:
-        lines.append(f"extra channels: {m.num_extra_channels}")
+        names = {0: "Alpha", 1: "Depth", 2: "SpotColor",
+                 3: "SelectionMask", 4: "Black", 5: "CFA", 6: "Thermal",
+                 15: "Unknown", 16: "Optional"}
+        kinds = ", ".join(names.get(e.type, str(e.type))
+                          for e in m.extra_channel_info)
+        lines.append(f"extra channels: {m.num_extra_channels}"
+                     + (f" ({kinds})" if kinds else ""))
+        if any(e.type == 4 for e in m.extra_channel_info):
+            lines.append("color data: CMYK (kBlack channel present)")
     if m.have_animation:
         lines.append(
             f"animation: {m.animation.tps_numerator}/"
