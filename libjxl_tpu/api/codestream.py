@@ -668,10 +668,21 @@ def decode(data: bytes, target_nits: float = None,
         fh = FrameHeader(meta)
         fh.read(r)
         if fh.frame_type == FT_DC:
-            # 1:8 DC frame for the next frame (frame_header.h:348)
-            xyb = decode_vardct_frame(r, fh, reference_frames,
-                                      return_xyb=True, dc_frames=dc_frames)
-            dc_frames[fh.dc_level] = xyb
+            # 1:8 DC frame for the next frame (frame_header.h:348);
+            # the reference codes it MODULAR by default (XYB ints =
+            # YX(B-Y) scaled by the DC quants, dec_modular.cc:553-600)
+            if fh.encoding == ENC_MODULAR:
+                img = decode_modular_frame(r, fh, reference_frames)
+                chy = img.channel[0].data.astype(np.float64)
+                chx = img.channel[1].data.astype(np.float64)
+                chb = img.channel[2].data.astype(np.float64)
+                dq = img.dc_quant
+                dc_frames[fh.dc_level] = np.stack(
+                    [chx * dq[0], chy * dq[1], (chb + chy) * dq[2]])
+            else:
+                dc_frames[fh.dc_level] = decode_vardct_frame(
+                    r, fh, reference_frames, return_xyb=True,
+                    dc_frames=dc_frames)
             r.jump_to_byte_boundary()
             continue
         if fh.frame_type == FT_REFERENCE_ONLY:

@@ -113,6 +113,10 @@ CASES = [
      dict(distance=1.0, effort=5, modular=True), "uint8"),
     ("lossy_hi16_d1_e5", _hi16smooth,
      dict(distance=1.0, effort=5), "uint16"),
+    # high distance: the reference emits a MODULAR-coded 1:8 kLFFrame
+    # (progressive DC) that the consuming frame reads via kUseDcFrame
+    ("lossy_photo_d6_e6", _photo,
+     dict(distance=6.0, effort=6), "uint8"),
 ]
 
 
