@@ -476,6 +476,19 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     butteraugli_iters = 0 if effort < 7 else min(4, effort - 5)
     if iterations is not None:  # cjxl --iterations override
         butteraugli_iters = max(0, min(10, int(iterations)))
+    if progressive_dc and resampling > 1:
+        # the kDCFrame dimension formula divides by BOTH 8^dc_level and
+        # the frame's upsampling (frame_header.h:466-483); the
+        # cross-term semantics have no reference-emitted sample to pin
+        # against, so refuse to emit the combination rather than risk
+        # an invalid stream (found by the encoder soak: the previous
+        # behavior wrote a stream both decoders rejected)
+        import logging
+
+        logging.getLogger("libjxl_tpu.encode").warning(
+            "progressive_dc + resampling is not supported; coding DC "
+            "in-frame")
+        progressive_dc = False
     encode_vardct_frame(writer, rgb, fh, distance=distance,
                         use_dc_frame=progressive_dc,
                         group_order=group_order,
@@ -671,6 +684,8 @@ def decode(data: bytes, target_nits: float = None,
             # 1:8 DC frame for the next frame (frame_header.h:348);
             # the reference codes it MODULAR by default (XYB ints =
             # YX(B-Y) scaled by the DC quants, dec_modular.cc:553-600)
+            if fh.upsampling != 1:
+                raise JXLError("DC frame with upsampling: unsupported")
             if fh.encoding == ENC_MODULAR:
                 img = decode_modular_frame(r, fh, reference_frames)
                 chy = img.channel[0].data.astype(np.float64)

@@ -68,3 +68,29 @@ def test_progressive_dc_api():
     fh = FrameHeader(meta)
     fh.read(r)
     assert fh.frame_type == FT_DC and fh.dc_level == 1
+
+
+def test_progressive_dc_with_resampling_degrades_loudly():
+    """progressive_dc + resampling is refused (the kDCFrame dimension
+    cross-term has no reference sample to pin); the encoder codes DC
+    in-frame and the stream stays valid for BOTH decoders."""
+    import numpy as np
+
+    from libjxl_tpu.api import codestream
+
+    rng = np.random.default_rng(5052)
+    base = 120 + 60 * np.sin(np.arange(240)[:, None] * 0.05) \
+        + rng.normal(0, 7, (240, 267))
+    img = np.clip(np.stack([base, base * 0.94 + 6, base * 1.06 - 8],
+                           -1), 0, 255).astype(np.uint8)
+    data = codestream.encode_lossy(img, distance=2.0, effort=6,
+                                   device=False, progressive=3,
+                                   resampling=4, progressive_dc=True)
+    ours, _ = codestream.decode(data, device=False)
+    assert ours.shape[:2] == (240, 267)
+    from libjxl_tpu.extras import oracle
+
+    if oracle.available():
+        theirs = oracle.decode(data)[0][:, :, :3]
+        assert np.abs(ours[:, :, :3].astype(int)
+                      - theirs.astype(int)).max() <= 2
