@@ -327,7 +327,14 @@ class FrameHeader(Bundle):
         if v.conditional(self.frame_type != FT_DC and not self.is_last):
             v.u32(self, U32Enc(Val(0), Val(1), Val(2), Val(3)), 0, "save_as_reference")
         if self.frame_type != FT_DC:
-            can_reference = (not self.is_last and self.save_as_reference != 0)
+            # CanBeReferenced (frame_header.h:373-379): a zero-duration
+            # non-last frame can ALWAYS be referenced (the duration==0
+            # alternative matters: preview and zero-duration frames
+            # carry the save_before_color_transform bool even with
+            # save_as_reference == 0)
+            can_reference = (not self.is_last
+                             and (self.animation_frame.duration == 0
+                                  or self.save_as_reference != 0))
             if v.conditional(can_reference
                              and self.blending_info.mode == BLEND_REPLACE
                              and not is_partial_frame

@@ -289,3 +289,17 @@ def test_oracle_lossy_modular_our_decode(distance):
     ours, _ = codestream.decode(data)
     assert _peak(ours, theirs) <= 1
     assert _rmse(ours, theirs) < 0.05
+
+
+def test_preview_stream_oracle_decodes():
+    """Preview frames are non-last zero-duration frames: per
+    CanBeReferenced (frame_header.h:373-379) they carry the
+    save_before_color_transform bool even with save_as_reference == 0.
+    Regression: a 1-bit desync here made the reference reject every
+    preview stream we emitted."""
+    img = _test_image()
+    data = codestream.encode_lossy(img, distance=1.0, effort=3,
+                                   preview=32)
+    theirs, info = oracle.decode(data)
+    ours, _ = codestream.decode(data)
+    assert _peak(ours, theirs) <= 2
