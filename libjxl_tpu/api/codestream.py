@@ -410,7 +410,7 @@ def encode_lossy(image: np.ndarray, distance: float = 1.0,
     if photon_noise_iso is not None:
         from ..render.noise import photon_noise_lut
 
-        noise_lut = photon_noise_lut(photon_noise_iso)
+        noise_lut = photon_noise_lut(photon_noise_iso, w, h)
     fh.loop_filter.all_default = False
     # decoder blurs; encoder pre-sharpens (default on, like the ref)
     fh.loop_filter.gab = True if gaborish is None else bool(gaborish)

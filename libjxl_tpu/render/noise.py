@@ -161,13 +161,43 @@ def encode_noise(lut, w) -> None:
         w.write(10, q)
 
 
-def photon_noise_lut(iso: float = 800.0) -> list:
-    """Simple monotone photon-noise LUT (enc_photon_noise.cc spirit):
-    noise strength grows with intensity, scaled by ISO."""
-    s = min(1.0, iso / 6400.0)
-    xs = np.linspace(0, 1, NUM_NOISE_POINTS)
-    # typical reference LUTs are a few percent of full scale
-    return list(np.clip(s * (0.01 + 0.07 * np.sqrt(xs)), 0, 1.0))
+def photon_noise_lut(iso: float = 800.0, xsize: int = 3456,
+                     ysize: int = 2304) -> list:
+    """SimulatePhotonNoise (enc_photon_noise.cc:43-92): the physical
+    sensor model — photon shot noise + read noise + PRNU for a 35mm
+    sensor at the given ISO, converted through the opsin derivative
+    into the 8-point intensity->strength LUT. Defaults to an 8 MP
+    sensor when the caller does not pass dimensions."""
+    k_photons_per_lxs_per_um2 = 11260.0
+    k_qe = 0.20
+    k_prnu = 0.005
+    k_read_noise = 3.0
+    k_sensor_area_um2 = 36000.0 * 24000.0
+    k_opsin_bias = 0.0037930732552754493
+    bias_cbrt = k_opsin_bias ** (1.0 / 3.0)
+
+    h_18 = 10.0 / iso
+    pixel_area_um2 = k_sensor_area_um2 / (xsize * ysize)
+    electrons_per_pixel_18 = (k_qe * k_photons_per_lxs_per_um2 * h_18
+                              * pixel_area_um2)
+    lut = []
+    for i in range(NUM_NOISE_POINTS):
+        scaled_index = i / (NUM_NOISE_POINTS - 2.0)
+        y = 2.0 * scaled_index
+        linear = max(0.0, (y - bias_cbrt) ** 3 + k_opsin_bias)
+        electrons_per_pixel = electrons_per_pixel_18 * (linear / 0.18)
+        if electrons_per_pixel <= 0:
+            lut.append(0.0)
+            continue
+        noise = np.sqrt(k_read_noise ** 2 + electrons_per_pixel
+                        + (k_prnu * electrons_per_pixel) ** 2)
+        linear_noise = noise * (0.18 / electrons_per_pixel_18)
+        opsin_derivative = (1.0 / 3.0) / (
+            (linear - k_opsin_bias) ** (1.0 / 3.0)) ** 2
+        opsin_noise = linear_noise * opsin_derivative
+        lut.append(float(np.clip(
+            opsin_noise / (0.22 * np.sqrt(2.0) * 1.13), 0.0, 1.0)))
+    return lut
 
 
 # -------------------------------------------------------------- estimation

@@ -91,3 +91,44 @@ def test_encode_lossy_noise_estimation_roundtrip():
     out, _ = decode(data)
     assert not np.array_equal(out, decode(plain)[0])
     assert psnr(img, out) > 24
+
+
+def test_photon_noise_lut_matches_reference_model():
+    """photon_noise_lut implements SimulatePhotonNoise's sensor model
+    (enc_photon_noise.cc:43-92); the signaled strengths must track the
+    reference encoder's for the same ISO within LUT quantization.
+    Regression: the previous heuristic LUT was ~8x too strong at high
+    ISO, and the oracle's decode of our streams diverged by 35 u8."""
+    import numpy as np
+
+    from libjxl_tpu.extras import oracle
+    from libjxl_tpu.render.noise import photon_noise_lut
+
+    ours = np.asarray(photon_noise_lut(6400.0, 128, 128))
+    if not oracle.available():
+        import pytest
+
+        pytest.skip("no system libjxl")
+    from libjxl_tpu.api import codestream as cs
+    from libjxl_tpu.io.bits import BitReader
+    from libjxl_tpu.api.codestream import parse_codestream_header
+    from libjxl_tpu.io.frame_header import FrameHeader
+    from libjxl_tpu.api.frame import num_toc_entries
+    from libjxl_tpu.io.toc import read_group_offsets
+    from libjxl_tpu.render.noise import decode_noise
+
+    img = np.full((128, 128, 3), 128, np.uint8)
+    data = oracle.encode(img, distance=1.0, effort=5,
+                         photon_noise_iso=6400.0)
+    r = BitReader(data)
+    meta = parse_codestream_header(r)
+    fh = FrameHeader(meta)
+    fh.read(r)
+    fd = fh.frame_dimensions()
+    n = num_toc_entries(fd, fh.passes.num_passes)
+    offs, sizes, _ = read_group_offsets(n, r)
+    r.jump_to_byte_boundary()
+    base = r.total_bits_consumed() // 8
+    sr = BitReader(data[base + offs[0]:base + offs[0] + sizes[0]])
+    ref_lut = np.asarray(decode_noise(sr))
+    assert np.abs(ours - ref_lut).max() < 2e-3, (ours, ref_lut)
