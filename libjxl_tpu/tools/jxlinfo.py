@@ -69,7 +69,12 @@ def main(argv=None):
     from ..extras.mmapio import read_mapped
 
     data = read_mapped(args.input)
-    print(describe(data, args.verbose))
+    try:
+        print(describe(data, args.verbose))
+    except BrokenPipeError:  # e.g. `jxlinfo x.jxl | head`
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
     return 0
 
 
